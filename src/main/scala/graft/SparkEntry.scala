@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{EventTime, Funcs, LlmOps, Relational}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The full catalog lives in graft.queries.*; each entry pairs a Spark
+  * implementation with (when SQL-expressible) a DuckDB oracle twin with
+  * identical column names and types (SURVEY.md §2.3 determinism rules).
+  */
 object SparkEntry {
+
+  private lazy val catalog: Map[String, QueryDef] =
+    Relational.defs ++ Funcs.defs ++ EventTime.defs ++ LlmOps.defs ++ Map(
+      // multimodal plumbing (stubbed codec — see graft.multimodal):
+      // deterministic features over synthetic binary payloads; rows-only.
+      "q51_mm_features" -> QueryDef(
+        (s, dir) => graft.multimodal.Multimodal
+          .featuresDF(Tables.load(s, dir, "documents"))
+          .orderBy("doc_id"),
+        None))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.tpchQ1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, d) => k -> d.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }

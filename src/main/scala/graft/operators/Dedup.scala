@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact,
+  * deterministic window-dedup, n-gram Jaccard near-dup, MinHash-LSH
+  * candidate generation, and SimHash signatures.
+  *
+  * Scale notes (100 TB): exact/window dedup are single hash-shuffles on
+  * the dedup key. Near-dup avoids the O(n²) cross join — Jaccard joins
+  * only docs sharing a shingle (inverted-index join), MinHash-LSH joins
+  * only docs sharing a band bucket. Both shuffle on content-derived keys
+  * so they parallelize by key, with banding bounding the candidate set.
+  */
+object Dedup {
+
+  /** Deterministic exact dedup: keep the row with min `tieBreak` per key
+    * set. (`dropDuplicates` is nondeterministic about the survivor —
+    * never use it where results are compared. SURVEY.md §2.2.)
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** First row per key by explicit total order — the window form of
+    * dedup (survivor is well-defined).
+    */
+  def firstPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact word-n-gram Jaccard near-dup pairs via inverted-index join.
+    * Returns (da, db, jaccard) with da < db, jaccard >= threshold.
+    * `blockCols` (e.g. language) further restricts candidate pairs.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val sh = docs.select(
+      (Seq(col(idCol), TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("__sh"))
+        ++ blockCols.map(col)): _*)
+      .select((Seq(col(idCol), explode(array_distinct(col("__sh"))).as("g"))
+        ++ blockCols.map(col)): _*)
+      // join/shuffle on a 64-bit shingle hash instead of the string —
+      // far less shuffle IO; xxhash64 collisions are ~n²/2^64, nil here
+      .select((Seq(col(idCol), xxhash64(col("g")).as("gh"))
+        ++ blockCols.map(col)): _*)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("da"), col("gh"),
+      struct(blockCols.map(col): _*).as("__ba"))
+    val b = sh.select(col(idCol).as("db"), col("gh"),
+      struct(blockCols.map(col): _*).as("__bb"))
+    val inter = a.join(b,
+        a("gh") === b("gh") && a("__ba") === b("__bb") && a("da") < b("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("da"), col("__n").as("na")), "da")
+      .join(sizes.select(col(idCol).as("db"), col("__n").as("nb")), "db")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations,
+    * min over shingle hashes. Pure column expressions over xxhash64.
+    * NOTE: inlines the shingle expression once per hash — only use on a
+    * column that is already a plain array attribute; for whole-table
+    * signatures prefer the explode+groupBy form in [[minHashCandidates]],
+    * which computes shingles once and min-aggregates (vectorized, one
+    * shuffle, no 32×-duplicated expression trees).
+    */
+  def minHashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: signatures banded into `bands`, docs
+    * sharing any band bucket become candidates. Approximate (no oracle);
+    * deterministic given the fixed seeds.
+    *
+    * Shape: explode distinct shingles → hash-aggregate `numHashes`
+    * column-wise minima per doc (partial+final, one shuffle on the doc
+    * id) → band → bucket self-join. Each stage is a plain shuffle on a
+    * bounded key — the 100 TB-safe formulation.
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = docs.select(col(idCol),
+        explode(array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col(textCol)), shingleN))).as("g"))
+    val minCols = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed), col("g"))).as(s"__h$seed"))
+    val sig = sh.groupBy(idCol)
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    val banded = sig.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col(idCol), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val l = banded.select(col(idCol).as("da"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("db"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** 32-bit SimHash over word tokens from xxhash64 low bits: sum of
+    * per-bit votes, bit set iff vote positive. Deterministic.
+    */
+  def simHash(words: Column): Column = {
+    val bits = (0 until 32).map { i =>
+      // vote_i = sum over tokens of (bit_i(hash) ? 1 : -1)
+      val vote = aggregate(words, lit(0),
+        (acc, w) => acc +
+          when(shiftright(xxhash64(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus, so the corpus is scanned once with no shuffle of
+  * the big side; per-query top-k via window rank. At 100 TB the scale
+  * path is [[lshTopK]]: bucket corpus and queries by random-hyperplane
+  * sign bits and only score within matching buckets (recall < 1,
+  * bounded work per bucket).
+  */
+object Similarity {
+
+  /** Exact cosine top-k of `corpus` rows for each row of `queries`.
+    * Scores are rounded to 6 digits *before* ranking so ordering is
+    * reproducible across engines and partitionings; ties break on id.
+    */
+  def cosineTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int): DataFrame = {
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorFunctions.cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (linear-congruential doubles
+    * in [-1, 1]) — fixed seed so bucketing is stable run to run.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Approximate top-k: score only within matching hyperplane-sign
+    * buckets. The bucket join shuffles on the bucket key — bounded
+    * per-bucket work instead of a full cross join.
+    */
+  def lshTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nPlanes: Int,
+      dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val qb = queries.withColumn("bucket",
+      VectorFunctions.hyperplaneBucket(col("qe"), planes))
+    val cb = corpus.withColumn("bucket",
+      VectorFunctions.hyperplaneBucket(col("ce"), planes))
+    val scored = qb.join(cb, "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorFunctions.cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Builder-semantics orchestration layer (SURVEY.md §1.1/§2.1): the
+  * reference is a dependency-graph batch-pipeline framework ("make for
+  * data") — jobs declare targets and dependencies, a build graph is
+  * expanded over a time range, and stale jobs run in topological order.
+  *
+  * Spark-native re-expression: a job is a DataFrame transformation from
+  * named parquet inputs to one parquet target; Spark's own DAG handles
+  * intra-job parallelism, this runner handles the cross-job graph:
+  * topo order, mtime staleness (skip when target newer than all deps —
+  * builder's staleness rule), and cache_time debounce.
+  */
+final case class PipelineJob(
+    name: String,
+    /** target path (parquet dir), relative to the pipeline root */
+    target: String,
+    /** input target names this job consumes (edges of the rule graph) */
+    deps: Seq[String],
+    /** don't rerun within this many ms even if stale (builder cache_time) */
+    cacheTimeMs: Long = 0L)(
+    val run: (SparkSession, Map[String, DataFrame]) => DataFrame)
+
+final case class PipelineResult(ran: Seq[String], skipped: Seq[String])
+
+class PipelineRunner(spark: SparkSession, root: String) {
+
+  private def targetPath(j: PipelineJob) = s"$root/${j.target}"
+
+  private def mtime(path: String): Option[Long] = {
+    val p = Paths.get(path, "_SUCCESS")
+    if (Files.exists(p)) Some(Files.getLastModifiedTime(p).toMillis) else None
+  }
+
+  /** Topological order via Kahn's algorithm; cycles are an error. */
+  def topoSort(jobs: Seq[PipelineJob]): Seq[PipelineJob] = {
+    val byTarget = jobs.map(j => j.target -> j).toMap
+    val indeg = collection.mutable.Map(jobs.map(j =>
+      j.target -> j.deps.count(byTarget.contains)): _*)
+    val ready = collection.mutable.Queue(
+      jobs.filter(j => indeg(j.target) == 0).map(_.target).sorted: _*)
+    val out = collection.mutable.ArrayBuffer[PipelineJob]()
+    while (ready.nonEmpty) {
+      val t = ready.dequeue()
+      out += byTarget(t)
+      jobs.filter(_.deps.contains(t)).foreach { d =>
+        indeg(d.target) -= 1
+        if (indeg(d.target) == 0) ready.enqueue(d.target)
+      }
+    }
+    require(out.size == jobs.size, "pipeline graph has a cycle")
+    out.toSeq
+  }
+
+  /** Builder staleness rule: run iff target missing, or any dep target
+    * is newer (max dep mtime > target mtime), unless within cache_time.
+    */
+  def isStale(job: PipelineJob, now: Long): Boolean = {
+    mtime(targetPath(job)) match {
+      case None => true
+      case Some(tm) =>
+        if (job.cacheTimeMs > 0 && now - tm < job.cacheTimeMs) false
+        else {
+          val depTimes = job.deps.flatMap(d => mtime(s"$root/$d"))
+          depTimes.nonEmpty && depTimes.max > tm
+        }
+    }
+  }
+
+  /** Run the graph: topo order, skipping fresh jobs; inputs are handed
+    * to each job as DataFrames read from dep targets.
+    */
+  def run(jobs: Seq[PipelineJob]): PipelineResult = {
+    val now = System.currentTimeMillis()
+    val ran = collection.mutable.ArrayBuffer[String]()
+    val ranTargets = collection.mutable.Set[String]()
+    val skipped = collection.mutable.ArrayBuffer[String]()
+    topoSort(jobs).foreach { job =>
+      // a job is also stale transitively if a dep target just re-ran
+      if (isStale(job, now) || job.deps.exists(ranTargets.contains)) {
+        val inputs = job.deps.map(d => d -> spark.read.parquet(s"$root/$d")).toMap
+        job.run(spark, inputs).write.mode("overwrite").parquet(targetPath(job))
+        ran += job.name
+        ranTargets += job.target
+      } else skipped += job.name
+    }
+    PipelineResult(ran.toSeq, skipped.toSeq)
+  }
+}

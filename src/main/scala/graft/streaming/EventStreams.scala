@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming forms of the event-time operators (SURVEY.md
+  * §2.2 streaming column): the same transformations as the batch-scored
+  * queries, expressed over an unbounded source with watermarks. At
+  * cluster scale these run incrementally (`Trigger.AvailableNow` for
+  * catch-up batch, `ProcessingTime` for continuous ingest).
+  */
+object EventStreams {
+
+  /** Tumbling counts with a late-data watermark. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Sliding counts. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session counts per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stateful streaming dedup: first event per (user_id, event_type)
+    * within the watermark horizon.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Drain a stream into an in-memory table and return it (test/dev
+    * helper — processes everything currently available, then stops).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asOfCode: latest source at-or-before each probe, per key") {
+    val probes = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L))
+      .toDF("k", "t", "pid")
+    val sources = Seq((1L, 4L, 41L), (1L, 10L, 110L), (2L, 8L, 88L))
+      .toDF("k", "t", "code")
+    val out = AsOfJoin.asOfCode(probes, sources, "k", "t", "pid")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toMap
+    assert(out(100L).contains(110L)) // source at t=10 counts (at-or-before)
+    assert(out(101L).contains(41L))  // only t=4 is <= 5
+    assert(out(102L).isEmpty)        // t=8 source is after probe t=7
+  }
+
+  test("asOf: payload forward-fill with nulls before first source") {
+    val left = Seq((1L, 5L, "p1"), (1L, 20L, "p2")).toDF("k", "t", "pname")
+    val right = Seq((1L, 10L, 7L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rid", Seq("rid"))
+      .orderBy("t").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("rid")))
+    assert(out(1).getLong(out(1).fieldIndex("rid")) == 7L)
+  }
+
+  test("Sessionize.bySeconds splits on gap >= threshold") {
+    val df = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 2000L, 3L), (2L, 0L, 4L))
+      .toDF("u", "sec", "id")
+    val s = Sessionize.bySeconds(df, "u", "sec", "id", 1800L)
+      .select("id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == 0 && s(2L) == 0) // gap 100 < 1800: same session
+    assert(s(3L) == 1)               // gap 1900 >= 1800: new session
+    assert(s(4L) == 0)               // separate key restarts numbering
+  }
+
+  test("Dedup.exact keeps min tiebreak per key") {
+    val df = Seq(("a", 2L), ("a", 1L), ("b", 9L)).toDF("k", "id")
+    val out = Dedup.exact(df, Seq("k"), "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 9L))
+  }
+
+  test("jaccardPairs finds the planted near-dup and only it") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val near = "a b c d e f g h i j k l m n o q" // one word changed
+    val other = "z y x w v u t s r q p o n m l k"
+    val docs = Seq((1L, base, "en"), (2L, near, "en"), (3L, other, "en"),
+      (4L, base, "de")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L))) // 4 is blocked by lang, 3 dissimilar
+  }
+
+  test("minHashCandidates surfaces exact duplicates") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words with nothing shared at all here now"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 32, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simHash: identical texts hash equal, disjoint texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")).toDF("id", "text")
+    val hs = df.select(col("id"),
+        Dedup.simHash(functions.TextFunctions.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("qid", "qe")
+    val c = Seq((1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f))).toDF("cid", "ce")
+    val top = Similarity.cosineTopK(q, c, 2).orderBy("rnk")
+      .select("cid", "cos").collect()
+    assert(top(0).getLong(0) == 1L && top(0).getDouble(1) == 1.0)
+    assert(top(1).getLong(0) == 3L)
+  }
+
+  test("lshTopK self-consistency: buckets are deterministic") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toFloat)))
+    val q = vecs.toDF("qid", "qe")
+    val c = vecs.toDF("cid", "ce")
+    val a = Similarity.lshTopK(q, c, 3, 4, 8).collect().map(_.toString).sorted
+    val b = Similarity.lshTopK(q, c, 3, 4, 8).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}

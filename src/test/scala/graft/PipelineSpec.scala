@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Builder-semantics runner: topo order, staleness skip, transitive
+  * rerun (SURVEY.md §2.1 B3/B5/B7).
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkJobs(root: String) = {
+    val src = PipelineJob("src", "src.parquet", Nil)(
+      (s, _) => Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val derived = PipelineJob("derived", "derived.parquet", Seq("src.parquet"))(
+      (s, in) => in("src.parquet").withColumn("v2", upper(col("v"))))
+    val agg = PipelineJob("agg", "agg.parquet", Seq("derived.parquet"))(
+      (s, in) => in("derived.parquet").groupBy("v2").count())
+    Seq(agg, src, derived) // deliberately out of order
+  }
+
+  test("runs in topo order, then skips when fresh, then reruns transitively") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val runner = new PipelineRunner(spark, root)
+    val jobs = mkJobs(root)
+
+    val r1 = runner.run(jobs)
+    assert(r1.ran == Seq("src", "derived", "agg"))
+    assert(spark.read.parquet(s"$root/agg.parquet").count() == 2)
+
+    val r2 = runner.run(jobs)
+    assert(r2.ran.isEmpty && r2.skipped.size == 3)
+
+    // touch the root target: everything downstream must rebuild
+    Thread.sleep(1100) // fs mtime granularity
+    Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/src.parquet/_SUCCESS"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val r3 = runner.run(jobs)
+    assert(r3.ran == Seq("derived", "agg") && r3.skipped == Seq("src"))
+  }
+
+  test("cycle detection") {
+    val a = PipelineJob("a", "a.parquet", Seq("b.parquet"))((s, _) => Seq(1).toDF("x"))
+    val b = PipelineJob("b", "b.parquet", Seq("a.parquet"))((s, _) => Seq(1).toDF("x"))
+    val runner = new PipelineRunner(spark, "/tmp/unused")
+    intercept[IllegalArgumentException](runner.topoSort(Seq(a, b)))
+  }
+}
