@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off diagnostics main (not part of the driver contract). */
+/** One-off diagnostics main (not part of the driver contract): warm
+  * per-query timings and plan audits for the heaviest queries.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -13,31 +15,25 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROBE $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    import graft.functions.TextFunctions
-    val docs = sources.Tables.load(spark, dir, "documents")
-    val sh = docs.select(col("doc_id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("sh"))
-    time("shingles")(sh.count())
-    val sig = sh.select(col("doc_id"),
-      operators.Dedup.minHashSignature(col("sh"), 32).as("sig"))
-    time("signatures")(sig.count())
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(7)), b => slice(col("sig"), b * 4 + 1, lit(4)))))
-      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
-    time("banded")(banded.count())
-    time("bucket-join") {
-      val l = banded.select(col("doc_id").as("da"), col("band"), col("bucket"))
-      val r = banded.select(col("doc_id").as("db"), col("band"), col("bucket"))
-      l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
-        .select("da", "db").distinct().count()
+    val all = SparkEntry.queries
+    for (q <- args.drop(1)) time(q)(all(q)(spark, dir).count())
+    if (args.length <= 1) {
+      // default: warm-run the historically heavy queries twice
+      for (q <- Seq("q43_llm_neardup_jaccard", "q44_llm_neardup_minhash",
+          "q47_llm_ann_lsh", "q10_join_left_anti", "q26_sort_topk")) {
+        time(s"$q cold")(all(q)(spark, dir).count())
+        time(s"$q warm")(all(q)(spark, dir).count())
+      }
+      val q1 = queries.Relational.tpchQ1(spark, dir)
+      val plan = q1.queryExecution.executedPlan.toString
+      println("Q01 pushed-filter: " + plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
     }
-    time("full-op")(operators.Dedup.minHashCandidates(docs, "doc_id", "text", 3, 32, 8).count())
     spark.stop()
   }
 }
