@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.plans.NativeExpressions
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -24,10 +25,15 @@ object Similarity {
       queries: DataFrame, // qid, qe
       corpus: DataFrame, // cid, ce
       k: Int): DataFrame = {
-    val scored = broadcast(queries).crossJoin(corpus)
+    NativeExpressions.register(queries.sparkSession)
+    // norms once per side (not per pair); vec_dot is the codegen'd
+    // native expression — tight primitive loop per candidate pair
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(VectorFunctions.cosine(col("qe"), col("ce")), 6).as("cos"))
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -55,15 +61,18 @@ object Similarity {
       k: Int,
       nPlanes: Int,
       dim: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val qb = queries.withColumn("bucket",
-      VectorFunctions.hyperplaneBucket(col("qe"), planes))
+        VectorFunctions.hyperplaneBucket(col("qe"), planes))
+      .withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
     val cb = corpus.withColumn("bucket",
-      VectorFunctions.hyperplaneBucket(col("ce"), planes))
+        VectorFunctions.hyperplaneBucket(col("ce"), planes))
+      .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
     val scored = qb.join(cb, "bucket")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(VectorFunctions.cosine(col("qe"), col("ce")), 6).as("cos"))
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

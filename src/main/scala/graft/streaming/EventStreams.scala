@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming forms of the event-time operators (SURVEY.md
   * §2.2 streaming column): the same transformations as the batch-scored
@@ -41,6 +40,33 @@ object EventStreams {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user running
+    * event count + first/last seconds, emitted on every update. The
+    * KeyValueGroupedDataset form is the Spark-native replacement for a
+    * hand-rolled stateful operator — state lives in the state store,
+    * checkpointed, and scales with the number of keys, not events.
+    */
+  case class UserRunning(user_id: Long, n_events: Long, first_sec: Long, last_sec: Long)
+
+  def runningUserCounts(events: DataFrame): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserRunning]) =>
+          var cur = state.getOption.getOrElse(UserRunning(user, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, sec) =>
+            cur = UserRunning(user, cur.n_events + 1,
+              math.min(cur.first_sec, sec), math.max(cur.last_sec, sec))
+          }
+          state.update(cur)
+          Iterator(cur)
+      }
+  }
 
   /** Drain a stream into an in-memory table and return it (test/dev
     * helper — processes everything currently available, then stops).

@@ -86,6 +86,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(top(1).getLong(0) == 3L)
   }
 
+  test("saltedJoin equals the plain join") {
+    val fact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("k", "fid")
+    val dim = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "name")
+    val plain = fact.join(dim, "k").collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", "fid", 8)
+      .select("k", "fid", "name").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("lshTopK self-consistency: buckets are deterministic") {
     val vecs = (0 until 20).map(i =>
       (i.toLong, Seq.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toFloat)))

@@ -44,6 +44,22 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState running counts: final state matches batch totals") {
+    val out = EventStreams.runToMemory(
+      EventStreams.runningUserCounts(streamEvents).toDF(), "t_state",
+      mode = "update")
+    // last emitted row per user == total batch count for that user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalCounts = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Events.load(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == batch)
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per (user, type)") {
     val out = EventStreams.runToMemory(
       EventStreams.dedupWithinWatermark(streamEvents), "t_dedup",
