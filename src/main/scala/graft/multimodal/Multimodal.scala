@@ -47,6 +47,45 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame from a (stubbed) video payload. */
+  case class FrameRecord(doc_id: Long, frame_no: Long, n_bytes: Long, checksum: Long)
+
+  /** STUB resize: a real implementation re-encodes pixels; the stub
+    * deterministically re-derives a payload of size w*h/64 from the
+    * original bytes, preserving the per-partition batch shape.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(1, w * h / 64))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every payload (stub codec, real plumbing). */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => r.copy(content = resizeStub(r.content, w, h))))
+  }
+
+  /** STUB frame sampling: a real implementation seeks keyframes; the
+    * stub slices the payload into fixed-width chunks and keeps every
+    * `everyN`-th. flatMap shape — one input row fans out to 0..k frames.
+    */
+  def frameSample(ds: Dataset[MediaRecord], frameBytes: Int, everyN: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % everyN == 0 =>
+          var sum = 0L
+          chunk.foreach(b => sum = sum * 31 + (b & 0xff))
+          FrameRecord(r.doc_id, i.toLong, chunk.length.toLong, sum)
+      }
+    }
+  }
+
   /** Deterministic synthetic media built from document text (md5 bytes) —
     * stands in for real payloads in tests and the declared query.
     */

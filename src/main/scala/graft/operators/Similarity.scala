@@ -39,6 +39,30 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
+    * cluster/label key): all same-block pairs with cosine >= threshold.
+    * Blocking bounds the pair count; at 100 TB the block key would come
+    * from LSH buckets ([[lshTopK]]) instead of a given label.
+    */
+  def cosinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    NativeExpressions.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("va"), col(vecCol).as("ea"),
+        col(blockCol).as("block"))
+      .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+    val b = emb.select(col(idCol).as("vb"), col(vecCol).as("eb"),
+        col(blockCol).as("blockb"))
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    a.join(b, col("block") === col("blockb") && col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("block").cast("long").as("label"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes (linear-congruential doubles
     * in [-1, 1]) — fixed seed so bucketing is stable run to run.
     */

@@ -109,6 +109,22 @@ object LlmOps {
       },
       None),
 
+    "q63_llm_neardup_embedding" -> QueryDef(
+      (s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy("va", "vb"),
+      Some("""WITH p AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+          round(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) /
+            (sqrt(SUM(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE))) *
+             sqrt(SUM(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)))), 6) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+             (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2, 3)
+      SELECT va, vb, CAST(label AS BIGINT) AS label, cos
+      FROM p WHERE cos >= 0.35 ORDER BY va, vb""")),
+
     "q48_llm_text_quality" -> QueryDef(
       (s, dir) => {
         val words = TextFunctions.tokens(col("text"))

@@ -14,6 +14,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.length == docs.count())
   }
 
+  test("resize rewrites payloads to the target budget; frameSample fans out") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video/fake", Array.tabulate(64)(_.toByte)),
+      Multimodal.MediaRecord(2L, "video/fake", Array[Byte]())).toDS()
+    val resized = Multimodal.resize(media, 32, 32).collect()
+    assert(resized.forall(_.content.length == 32 * 32 / 64))
+    val frames = Multimodal.frameSample(media, frameBytes = 16, everyN = 2)
+      .collect().map(f => (f.doc_id, f.frame_no))
+    assert(frames.toSet == Set((1L, 0L), (1L, 2L))) // 4 chunks, every 2nd
+  }
+
   test("decode stub yields bounded dimensions from bytes") {
     val media = Seq(Multimodal.MediaRecord(1L, "image/fake", Array[Byte](0x42, 0x17, 9)))
       .toDS()

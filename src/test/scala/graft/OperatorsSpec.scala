@@ -76,6 +76,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(hs(1L) != hs(3L))
   }
 
+  test("cosinePairs finds same-block high-cosine pairs only") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.99f, 0.14f), 0),
+      (3L, Seq(0.0f, 1.0f), 0), (4L, Seq(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", "label", 0.9)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L))) // 3 is orthogonal, 4 blocked by label
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("qid", "qe")
     val c = Seq((1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),

@@ -41,6 +41,24 @@ class PipelineSpec extends SparkTestBase {
     assert(r3.ran == Seq("derived", "agg") && r3.skipped == Seq("src"))
   }
 
+  test("time-bucketed output is partition-pruned on read") {
+    val root = Files.createTempDirectory("graft_tp").toString
+    val ev = graft.sources.Events.load(spark, sf)
+    pipeline.TimePartition.writePartitioned(ev, "ts", s"$root/events_bucketed")
+    val read = spark.read.parquet(s"$root/events_bucketed")
+      .filter(col("dt") === "2024-01-05")
+    val expected = ev.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(expected > 0 && read.count() == expected)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt") ||
+      plan.contains("PartitionFilters: [(dt"))
+  }
+
+  test("GraftExtensions applies without error") {
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("cycle detection") {
     val a = PipelineJob("a", "a.parquet", Seq("b.parquet"))((s, _) => Seq(1).toDF("x"))
     val b = PipelineJob("b", "b.parquet", Seq("a.parquet"))((s, _) => Seq(1).toDF("x"))
