@@ -5,10 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch sessionization: split a per-key event sequence into sessions
-  * wherever the gap to the previous event reaches `gapSeconds`. The
+  * wherever the gap to the previous event exceeds `gapSeconds`. The
   * lag + running-sum form is the oracle-expressible equivalent of
-  * `session_window` (new session iff gap >= gapSeconds, matching Spark's
-  * exclusive session end). One shuffle on the key.
+  * `session_window`: Spark merges an event landing exactly on the
+  * session end, so a new session starts iff gap > gapSeconds (strict).
+  * One shuffle on the key.
   */
 object Sessionize {
 
@@ -23,7 +24,7 @@ object Sessionize {
     df.withColumn("__gap",
         col(secCol) - lag(col(secCol), 1).over(w))
       .withColumn("__new",
-        when(col("__gap").isNull || col("__gap") >= gapSeconds, 1L)
+        when(col("__gap").isNull || col("__gap") > gapSeconds, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("__new")).over(

@@ -44,8 +44,9 @@ object EventTime {
 
     // session windows, 30-min gap. Spark sessionizes on second-truncated
     // ts so gap comparisons are integral on both engines; the oracle is
-    // the lag + running-sum sessionization (new session iff gap >= 1800s,
-    // matching session_window's exclusive end).
+    // the lag + running-sum sessionization. Spark merges an event landing
+    // EXACTLY on the session end (verified on sf0.1: gap == 1800 merges),
+    // so a new session starts iff gap > 1800s.
     "q39_evt_session" -> QueryDef(
       (s, dir) => Events.load(s, dir)
         .select(col("user_id"), col("event_id"), timestamp_seconds(col("sec")).as("tss"))
@@ -57,7 +58,7 @@ object EventTime {
       Some(s"""WITH e AS (SELECT user_id, event_id, ${Det.epochSecSql("ts")} AS sec FROM events),
       m AS (SELECT user_id, event_id, sec,
         CASE WHEN lag(sec) OVER w IS NULL THEN 1
-             WHEN sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+             WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
       s AS (SELECT user_id, sec,
         SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
