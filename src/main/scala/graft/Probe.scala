@@ -22,6 +22,14 @@ object Probe {
       println(f"PROBE $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val all = SparkEntry.queries
+    if (args.drop(1).headOption.contains("plans")) {
+      for (q <- args.drop(2)) {
+        println(s"===== PLAN $q =====")
+        println(all(q)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      spark.stop(); return
+    }
     for (q <- args.drop(1)) time(q)(all(q)(spark, dir).count())
     if (args.length <= 1) {
       // default: warm-run the historically heavy queries twice
