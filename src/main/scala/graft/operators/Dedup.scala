@@ -73,22 +73,20 @@ object Dedup {
       n: Int,
       threshold: Double,
       blockCols: Seq[String] = Nil): DataFrame = {
-    // the index feeds three consumers (sizes + both join sides) — persist
-    // so the scan+window runs once (the cluster-scale analogue is
-    // checkpointing the inverted index before the pair join)
+    // per-doc shingle counts ride along as a window count over the index
+    // (same doc_id partitioning the index was built with — no extra
+    // shuffle), so no separate sizes relation and no post-join lookups.
+    // persist: the annotated index still feeds both join sides.
     val sh = shingleIndex(docs, idCol, textCol, n, blockCols)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(idCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
     val a = sh.select(col(idCol).as("da"), col("gh"),
-      struct(blockCols.map(col): _*).as("__ba"))
+      struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
     val b = sh.select(col(idCol).as("db"), col("gh"),
-      struct(blockCols.map(col): _*).as("__bb"))
-    val inter = a.join(b,
+      struct(blockCols.map(col): _*).as("__bb"), col("__n").as("nb"))
+    a.join(b,
         a("gh") === b("gh") && a("__ba") === b("__bb") && a("da") < b("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("da"), col("__n").as("na")), "da")
-      .join(sizes.select(col(idCol).as("db"), col("__n").as("nb")), "db")
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
