@@ -47,6 +47,16 @@ class FunctionsSpec extends SparkTestBase {
       .digest("hello world".getBytes).map("%02x".format(_)).mkString)
   }
 
+  test("WeightedAvg aggregator: exact decimal accumulation") {
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("x", "w")
+    val wavg = org.apache.spark.sql.functions.udaf(functions.Udafs.WeightedAvg)
+    val r = df.agg(wavg(col("x"), col("w")).as("v")).head().getDouble(0)
+    assert(r == (10.0 * 1 + 20.0 * 3) / 4.0) // 17.5 exactly
+    // empty input -> NaN, not a crash
+    val e = df.filter(col("x") > 100).agg(wavg(col("x"), col("w"))).head().getDouble(0)
+    assert(e.isNaN)
+  }
+
   test("hyperplaneBucket is stable and bounded") {
     val planes = operators.Similarity.hyperplanes(4, 3)
     val df = Seq(Seq(1.0f, 2.0f, -1.0f)).toDF("v")
