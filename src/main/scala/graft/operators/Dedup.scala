@@ -38,10 +38,14 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct (doc, shingle-hash) inverted index. Shingles exist only as
-    * 64-bit xxhash64 of the n consecutive words (computed via posexplode
-    * + window lead — codegen-friendly, ~4× faster than per-row
-    * higher-order lambdas, and a plain shuffle on the doc id at scale).
+  /** Distinct (doc, shingle-hash) inverted index, annotated with the
+    * per-doc distinct-shingle count `__n`. Shingles exist only as 64-bit
+    * xxhash64 of the n consecutive words (posexplode + window lead —
+    * codegen-friendly, ~4× faster than per-row higher-order lambdas).
+    *
+    * Single shuffle: the window's hashpartitioning(idCol) already
+    * satisfies the groupBy's clustering, so dedup (collect_set), the
+    * size, and the re-explode all stay in the same exchange.
     */
   def shingleIndex(
       docs: DataFrame,
@@ -58,8 +62,11 @@ object Dedup {
     toks.select((Seq(col(idCol)) ++ blockCols.map(col)
         :+ xxhash64(words: _*).as("gh") :+ words.last.as("__last")): _*)
       .filter(col("__last").isNotNull) // drop truncated trailing shingles
-      .drop("__last")
-      .distinct()
+      .groupBy((col(idCol) +: blockCols.map(col)): _*)
+      .agg(collect_set(col("gh")).as("__set"))
+      .select((Seq(col(idCol)) ++ blockCols.map(col)
+        :+ size(col("__set")).cast("long").as("__n")
+        :+ explode(col("__set")).as("gh")): _*)
   }
 
   /** Exact word-n-gram Jaccard near-dup pairs via inverted-index join.
@@ -73,12 +80,9 @@ object Dedup {
       n: Int,
       threshold: Double,
       blockCols: Seq[String] = Nil): DataFrame = {
-    // per-doc shingle counts ride along as a window count over the index
-    // (same doc_id partitioning the index was built with — no extra
-    // shuffle), so no separate sizes relation and no post-join lookups.
-    // persist: the annotated index still feeds both join sides.
+    // per-doc shingle counts ride along from the index build itself;
+    // persist: the annotated index feeds both join sides.
     val sh = shingleIndex(docs, idCol, textCol, n, blockCols)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(idCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col(idCol).as("da"), col("gh"),
       struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
