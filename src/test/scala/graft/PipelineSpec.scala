@@ -54,6 +54,24 @@ class PipelineSpec extends SparkTestBase {
       plan.contains("PartitionFilters: [(dt"))
   }
 
+  test("Incremental.sync processes only newly arrived files per run") {
+    val root = Files.createTempDirectory("graft_inc").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    Seq(1L, 2L).toDF("id").write.parquet(s"$in/batch1")
+    pipeline.Incremental.sync(spark, s"$in/*", schema, out, cp)(
+      df => df.withColumn("doubled", col("id") * 2))
+    assert(spark.read.parquet(out).count() == 2)
+    Seq(3L, 4L, 5L).toDF("id").write.parquet(s"$in/batch2")
+    pipeline.Incremental.sync(spark, s"$in/*", schema, out, cp)(
+      df => df.withColumn("doubled", col("id") * 2))
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 5) // batch1 not reprocessed (would be 7)
+    assert(rows.agg(sum(col("doubled"))).head().getLong(0) == 30)
+  }
+
   test("GraftExtensions applies without error") {
     new graft.plans.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
