@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Sessionize}
+
+/** Algebraic-law property tests (SURVEY.md §5.2 item 2), run by sbt's
+  * ScalaCheck framework. Few cases per law — each case is a real Spark
+  * job on literal data.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val ints = Gen.nonEmptyListOf(Gen.chooseNum(-50, 50))
+  private val vecs = Gen.nonEmptyListOf(Gen.chooseNum(-5.0f, 5.0f))
+    .suchThat(v => v.exists(_ != 0.0f)).map(_.take(16))
+
+  property("filter conjunction == chained filters") = forAll(ints) { xs =>
+    import spark.implicits._
+    val df = xs.toDF("x")
+    df.filter(col("x") > 0 && col("x") % 2 === 0).count() ==
+      df.filter(col("x") > 0).filter(col("x") % 2 === 0).count()
+  }
+
+  property("unionAll count is additive") = forAll(ints, ints) { (a, b) =>
+    import spark.implicits._
+    a.toDF("x").unionByName(b.toDF("x")).count() == (a.size + b.size).toLong
+  }
+
+  property("exact dedup is idempotent") = forAll(ints) { xs =>
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("k", "id")
+    val once = Dedup.exact(df, Seq("k"), "id")
+    val twice = Dedup.exact(once, Seq("k"), "id")
+    once.collect().map(_.toString).sorted
+      .sameElements(twice.collect().map(_.toString).sorted) &&
+      once.count() == xs.distinct.size.toLong
+  }
+
+  property("cosine(v, v) == 1 for nonzero v") = forAll(vecs) { v =>
+    import spark.implicits._
+    val c = Seq(Tuple1(v)).toDF("v")
+      .select(VectorFunctions.cosine(col("v"), col("v"))).head().getDouble(0)
+    math.abs(c - 1.0) < 1e-9
+  }
+
+  property("sessionize: ids start at 0 and count <= rows") = forAll(ints) { xs =>
+    import spark.implicits._
+    val df = xs.zipWithIndex
+      .map { case (x, i) => (1L, math.abs(x).toLong * 600, i.toLong) }
+      .toDF("u", "sec", "id")
+    val s = Sessionize.bySeconds(df, "u", "sec", "id", 1800L)
+      .select("session_id").collect().map(_.getLong(0))
+    s.min == 0L && s.max < xs.size.toLong
+  }
+
+  property("firstPerKey yields one row per key") = forAll(ints) { xs =>
+    import spark.implicits._
+    val df = xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }.toDF("k", "id")
+    Dedup.firstPerKey(df, Seq("k"), Seq(col("id"))).count() ==
+      xs.distinct.size.toLong
+  }
+}
