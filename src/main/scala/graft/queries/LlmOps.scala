@@ -153,10 +153,9 @@ object LlmOps {
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
-        toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
+        val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        graft.operators.TopK.perGroup(counts, Seq("lang"),
+            Seq(col("cnt").desc, col("tok")), k = 5)
           .orderBy("lang", "rnk")
       },
       Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -96,6 +96,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(top(1).getLong(0) == 3L)
   }
 
+  test("TopK.perGroup keeps k best rows per group, deterministically") {
+    val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "v")
+    val top = TopK.perGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .orderBy("g", "rnk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq(("a", 3L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
+  }
+
   test("saltedJoin equals the plain join") {
     val fact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
       .toDF("k", "fid")
