@@ -234,6 +234,27 @@ object Relational {
         (SELECT max(c.code) FROM c WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS match_code
       FROM p ORDER BY p.event_id""")),
 
+    // Same as-of semantics as q12 but through the custom whole-operator
+    // path (plans.AsOfJoinNode/Exec): one streaming merge per partition
+    // instead of union + running-max window. Shares q12's oracle.
+    "q69_join_asof_custom" -> QueryDef(
+      (s, dir) => {
+        val e = Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+        val probes = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), col("event_id"))
+        val srcs = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sec"),
+            (col("sec") * lit(100000000L) + col("event_id")).as("code"))
+        graft.plans.AsOfJoinPlan.asOf(probes, srcs).orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type, ${epochSecSql("ts")} AS sec FROM events),
+      p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, sec, sec*100000000 + event_id AS code FROM e WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+        (SELECT max(c.code) FROM c WHERE c.user_id = p.user_id AND c.sec <= p.sec) AS match_code
+      FROM p ORDER BY p.event_id""")),
+
     "q13_join_cross" -> QueryDef(
       (s, dir) => t(s, dir, "region").crossJoin(t(s, dir, "nation"))
         .select(col("r_name"), col("n_name"))
