@@ -97,6 +97,32 @@ object EventTime {
       },
       Some("""SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS win_start,
         event_type, COUNT(*) AS n
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Streaming sliding windows through the EventStreams module — same
+    // oracle construction as the batch q38.
+    "q70_stream_sliding" -> QueryDef(
+      (s, dir) => {
+        Events.load(s, dir) // ns-read conf fallback
+        val src = s.readStream.schema(
+            Tables.load(s, dir, "events").schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val withTs = if (src.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else src
+        val agg = withTs
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+        val out = graft.streaming.EventStreams.runToMemory(
+          agg, "q70_stream_sliding_sink")
+        out.select(unix_timestamp(col("w.start")).as("win_start"), col("n"))
+          .orderBy("win_start")
+      },
+      Some("""SELECT CAST(floor(epoch(ts)/900)*900 - k.k*900 AS BIGINT) AS win_start,
+        COUNT(*) AS n
+      FROM events, (SELECT unnest(range(0, 4)) AS k) k
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
