@@ -26,6 +26,24 @@ final case class PipelineJob(
 
 final case class PipelineResult(ran: Seq[String], skipped: Seq[String])
 
+/** Builder's `depends_one_or_more` (SURVEY.md §2.1 B4): a job that can
+  * run when at least one of its expanded inputs exists consumes
+  * whichever exist. Spark-native: filter to existing paths, read the
+  * union with `ignoreMissingFiles` guarding races.
+  */
+object AvailableInputs {
+  def readAvailable(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    val existing = paths.filter(p => Files.exists(Paths.get(p)))
+    require(existing.nonEmpty, s"no inputs exist among: ${paths.mkString(", ")}")
+    spark.read.schema(schema)
+      .option("ignoreMissingFiles", "true")
+      .parquet(existing: _*)
+  }
+}
+
 class PipelineRunner(spark: SparkSession, root: String) {
 
   private def targetPath(j: PipelineJob) = s"$root/${j.target}"

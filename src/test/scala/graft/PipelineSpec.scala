@@ -54,6 +54,22 @@ class PipelineSpec extends SparkTestBase {
       plan.contains("PartitionFilters: [(dt"))
   }
 
+  test("AvailableInputs reads whichever deps exist (depends_one_or_more)") {
+    val root = Files.createTempDirectory("graft_avail").toString
+    Seq(1L, 2L).toDF("id").write.parquet(s"$root/a.parquet")
+    Seq(3L).toDF("id").write.parquet(s"$root/b.parquet")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val df = pipeline.AvailableInputs.readAvailable(spark, schema,
+      Seq(s"$root/a.parquet", s"$root/missing.parquet", s"$root/b.parquet"))
+    assert(df.count() == 3)
+    intercept[IllegalArgumentException] {
+      pipeline.AvailableInputs.readAvailable(spark, schema,
+        Seq(s"$root/nope1.parquet", s"$root/nope2.parquet"))
+    }
+  }
+
   test("Incremental.sync processes only newly arrived files per run") {
     val root = Files.createTempDirectory("graft_inc").toString
     val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
