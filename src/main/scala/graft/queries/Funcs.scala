@@ -131,6 +131,67 @@ object Funcs {
         json_extract_string(props, '$.missing') AS miss
       FROM events ORDER BY event_id""")),
 
+    "q71_fn_bitwise" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"),
+          shiftleft(col("c_custkey"), 3).as("shl3"),
+          shiftright(col("c_custkey"), 2).as("shr2"),
+          col("c_custkey").bitwiseAND(lit(255L)).as("and255"),
+          col("c_custkey").bitwiseOR(lit(4096L)).as("or4k"),
+          col("c_custkey").bitwiseXOR(lit(1023L)).as("xor1k"),
+          bit_count(col("c_custkey")).cast("long").as("popcount"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        c_custkey << 3 AS shl3,
+        c_custkey >> 2 AS shr2,
+        c_custkey & 255 AS and255,
+        c_custkey | 4096 AS or4k,
+        xor(c_custkey, 1023) AS xor1k,
+        CAST(bit_count(c_custkey) AS BIGINT) AS popcount
+      FROM customer ORDER BY c_custkey""")),
+
+    "q72_fn_conditional" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
+          greatest(col("l_quantity"), col("l_discount") * 100.0).as("g"),
+          least(col("l_quantity"), col("l_tax") * 100.0).as("l"),
+          when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(lit(-1.0)).as("if_a"),
+          coalesce(nullif(col("l_linestatus"), lit("F")), lit("fallback")).as("ifnull_demo"))
+        .orderBy("l_orderkey", "lineno"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+        greatest(l_quantity, l_discount * 100.0) AS g,
+        least(l_quantity, l_tax * 100.0) AS l,
+        CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE -1.0 END AS if_a,
+        COALESCE(NULLIF(l_linestatus, 'F'), 'fallback') AS ifnull_demo
+      FROM lineitem ORDER BY l_orderkey, lineno""")),
+
+    "q73_agg_boolean" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000.0).cast("string").as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).cast("string").as("any_over_400k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        CAST(bool_and(o_totalprice > 1000.0) AS VARCHAR) AS all_over_1k,
+        CAST(bool_or(o_totalprice > 400000.0) AS VARCHAR) AS any_over_400k,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    "q74_fn_struct" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal")).as("s"))
+        .select(col("c_custkey"),
+          col("s.seg").as("seg"),
+          (col("s.bal") * 2.0).as("bal2"))
+        .orderBy("c_custkey"),
+      Some("""WITH t AS (SELECT c_custkey,
+        {'seg': c_mktsegment, 'bal': c_acctbal} AS s FROM customer)
+      SELECT c_custkey, s.seg AS seg, s.bal * 2.0 AS bal2
+      FROM t ORDER BY c_custkey""")),
+
     "q36_fn_explode" -> QueryDef(
       (s, dir) => t(s, dir, "embeddings")
         .filter(col("vec_id") < 10)
