@@ -97,6 +97,29 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: corpus docs sharing at least
+    * `minShared` word-n-gram shingles with any benchmark doc. The join
+    * runs on the hashed-shingle inverted index (never on text), so at
+    * scale it is one shuffle on the shingle hash with the (small)
+    * benchmark index broadcastable.
+    */
+  def contaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minShared: Long = 1L): DataFrame = {
+    val c = shingleIndex(corpus, idCol, textCol, n)
+      .select(col(idCol), col("gh"))
+    val b = shingleIndex(benchmark, idCol, textCol, n)
+      .select(col("gh")).distinct()
+    c.join(broadcast(b), "gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: for each of `numHashes` seeded permutations,
     * min over shingle hashes. Pure column expressions over xxhash64.
     * NOTE: inlines the shingle expression once per hash — only use on a

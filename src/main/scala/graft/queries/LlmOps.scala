@@ -109,6 +109,29 @@ object LlmOps {
       },
       None),
 
+    // decontamination: corpus docs sharing >= 3 word-trigrams with the
+    // "benchmark" slice (source src0). At 100 TB the benchmark index
+    // broadcasts; the corpus only shuffles its shingle hashes.
+    "q75_llm_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminated(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", n = 3, minShared = 3L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, source, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      sh AS (SELECT DISTINCT doc_id, source, g FROM sh0),
+      bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM sh c JOIN bench b ON c.g = b.g
+      WHERE c.source <> 'src0'
+      GROUP BY c.doc_id HAVING COUNT(*) >= 3
+      ORDER BY c.doc_id""")),
+
     "q63_llm_neardup_embedding" -> QueryDef(
       (s, dir) => Similarity.cosinePairs(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", threshold = 0.35)

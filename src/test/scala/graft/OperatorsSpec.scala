@@ -56,6 +56,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.toSet == Set((1L, 2L))) // 4 is blocked by lang, 3 dissimilar
   }
 
+  test("contaminated flags only docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),  // shares shingles with benchmark
+      (2L, "z y x w v u t s")). // disjoint
+      toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e q r s")).toDF("doc_id", "text")
+    val hits = Dedup.contaminated(corpus, bench, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L)) // doc 1 shares a_b_c, b_c_d, c_d_e
+    assert(hits(1L) == 3L)
+  }
+
   test("minHashCandidates surfaces exact duplicates") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
     val t2 = "completely different words with nothing shared at all here now"
