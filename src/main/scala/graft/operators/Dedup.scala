@@ -97,6 +97,41 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: assigns every doc that
+    * appears in a pair the minimum doc id reachable through pairs — the
+    * group-resolution step that turns pairwise near-dups into dedup
+    * groups (keep one doc per component).
+    *
+    * Iterative min-label propagation, the same shape GraphX/Pregel uses:
+    * each round is one join + aggregate, lineage truncated via
+    * localCheckpoint, terminating when no label changes. Rounds ≈ graph
+    * diameter (tiny for near-dup clusters).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(prop, labels("id") === prop("a"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("newComp"),
+          labels("comp").as("oldComp"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("newComp") < col("oldComp")).count()
+      labels = updated.select(col("id"), col("newComp").as("comp"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word-n-gram shingles with any benchmark doc. The join
     * runs on the hashed-shingle inverted index (never on text), so at

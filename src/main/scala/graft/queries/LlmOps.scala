@@ -54,6 +54,34 @@ object LlmOps {
       WHERE inter/(x.n + y.n - inter) >= 0.5
       ORDER BY da, db""")),
 
+    // near-dup group resolution: connected components over the >= 0.5
+    // Jaccard pairs; comp = min doc id in each component.
+    "q76_llm_neardup_groups" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        Dedup.components(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p2 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        WHERE inter/(x.n + y.n - inter) >= 0.5),
+      e AS (SELECT da AS a, db AS b FROM p2 UNION SELECT db, da FROM p2),
+      r AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, MIN(b)) AS comp
+      FROM r GROUP BY a ORDER BY doc_id""")),
+
     // MinHash-LSH candidates: approximate by construction (fixed seeds,
     // banding) — no SQL oracle; rows-only check. The exact Jaccard query
     // above is the oracle-scored ground truth of the same operator family.

@@ -56,6 +56,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.toSet == Set((1L, 2L))) // 4 is blocked by lang, 3 dissimilar
   }
 
+  test("components assigns min-reachable id across chained pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val comps = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("contaminated flags only docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),  // shares shingles with benchmark
