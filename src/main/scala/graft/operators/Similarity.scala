@@ -63,6 +63,46 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (here: the first
+    * `nlist` corpus vectors as centroids — deterministic; a production
+    * build would k-means them) assigns every vector to its nearest
+    * centroid; queries probe only their own centroid's bucket
+    * (`nprobe`=1 simplification). Bucket assignment broadcasts the
+    * centroid set and scans the corpus once; scoring then joins on the
+    * bucket key with bounded per-bucket work — the alternative
+    * scale path to [[lshTopK]].
+    */
+  def ivfTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nlist: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val centroids = broadcast(
+      corpus.orderBy("cid").limit(nlist)
+        .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+
+    def assign(df: DataFrame, vec: String): DataFrame = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("__d", expr(s"vec_dot($vec, centroid)"))
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("__d").desc, col("centroid_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .drop("__d", "__r", "centroid")
+    }
+
+    val qb = assign(queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")), "qe")
+    val cb = assign(corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")), "ce")
+    val scored = qb.join(cb, "centroid_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (linear-congruential doubles
     * in [-1, 1]) — fixed seed so bucketing is stable run to run.
     */

@@ -137,6 +137,21 @@ object LlmOps {
       },
       None),
 
+    // IVF-bucketed ANN (coarse-quantizer buckets) — approximate,
+    // deterministic centroids; rows-only check like the LSH variant.
+    "q77_llm_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Similarity.ivfTopK(queries, corpus, k = 5, nlist = 16)
+          .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      None),
+
     // decontamination: corpus docs sharing >= 3 word-trigrams with the
     // "benchmark" slice (source src0). At 100 TB the benchmark index
     // broadcasts; the corpus only shuffles its shingle hashes.

@@ -133,6 +133,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("ivfTopK is deterministic and finds the identical vector") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+    val q = Seq((999L, vecs(7)._2)).toDF("qid", "qe")
+    val c = vecs.toDF("cid", "ce")
+    val a = Similarity.ivfTopK(q, c, 3, nlist = 4).orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val b = Similarity.ivfTopK(q, c, 3, nlist = 4).orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+    assert(a.head._1 == 7L && a.head._2 == 1.0) // its own bucket holds it
+  }
+
   test("lshTopK self-consistency: buckets are deterministic") {
     val vecs = (0 until 20).map(i =>
       (i.toLong, Seq.tabulate(8)(j => ((i * 7 + j) % 5 - 2).toFloat)))
