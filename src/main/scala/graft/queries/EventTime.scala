@@ -17,6 +17,19 @@ import graft.util.Det.dsumSql
   */
 object EventTime {
 
+  /** Run `body` with a reduced shuffle-partition count, restoring the
+    * session value after. Streaming state stores instantiate one store
+    * per shuffle partition per micro-batch — at fixture scale (100k
+    * events) 32 stores are pure setup overhead, and on a real cluster
+    * the state partition count should be sized to state volume, not to
+    * the batch shuffle default. Results are partitioning-independent.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "q37_evt_tumbling" -> QueryDef(
       (s, dir) => Events.load(s, dir)
@@ -84,12 +97,14 @@ object EventTime {
           src.withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
         else src.withColumn("tsx", col("ts"))
         val qname = "q40_stream_tumbling_sink"
-        val q = withSec
-          .groupBy(window(col("tsx"), "1 hour").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("complete").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        withShufflePartitions(s, 8) {
+          val q = withSec
+            .groupBy(window(col("tsx"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .writeStream.outputMode("complete").format("memory").queryName(qname)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(qname)
           .select(unix_timestamp(col("w.start")).as("win_start"),
             col("event_type"), col("n"))
@@ -115,8 +130,10 @@ object EventTime {
         val agg = withTs
           .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
           .agg(count(lit(1)).as("n"))
-        val out = graft.streaming.EventStreams.runToMemory(
-          agg, "q70_stream_sliding_sink")
+        val out = withShufflePartitions(s, 8) {
+          graft.streaming.EventStreams.runToMemory(
+            agg, "q70_stream_sliding_sink")
+        }
         out.select(unix_timestamp(col("w.start")).as("win_start"), col("n"))
           .orderBy("win_start")
       },

@@ -19,6 +19,22 @@ object LlmOps {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** The >=0.5 Jaccard near-dup pairs relation is the input of BOTH
+    * q43 (pairs) and q76 (group resolution). Memoize the persisted
+    * DataFrame per (session, fixture dir) — the shared-scan /
+    * materialized-intermediate pattern: the expensive inverted-index
+    * join is computed once and reused, instead of once per consumer.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent(
+      (System.identityHashCode(s), dir),
+      _ => Dedup.jaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val defs: Map[String, QueryDef] = Map(
     "q41_llm_dedup_exact" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
@@ -38,8 +54,7 @@ object LlmOps {
       GROUP BY text ORDER BY doc_id""")),
 
     "q43_llm_neardup_jaccard" -> QueryDef(
-      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+      (s, dir) => jaccardPairsShared(s, dir)
         .orderBy("da", "db"),
       Some("""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
@@ -58,8 +73,7 @@ object LlmOps {
     // Jaccard pairs; comp = min doc id in each component.
     "q76_llm_neardup_groups" -> QueryDef(
       (s, dir) => {
-        val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        val pairs = jaccardPairsShared(s, dir)
         Dedup.components(pairs)
           .select(col("id").as("doc_id"), col("comp"))
           .orderBy("doc_id")
