@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.Skew
+import graft.sources.Tables
+import graft.util.Det
+import graft.util.Det.{davgSql, dsumSql}
+
+/** Round-2 completeness batch: deterministic hash sampling and
+  * train/val/test splits, lateral (correlated) joins, exact median,
+  * ROWS-frame moving averages, skew-salted joins, and the
+  * text-pipeline additions (PII redaction, tf-idf, within-doc
+  * repetition, quality-filter rule chain).
+  *
+  * Scale notes (100 TB): sampling/splitting are stateless per-row
+  * predicates over a multiplicative hash — no shuffle, fully pushed
+  * into the scan stage, and the same rows are selected on any cluster
+  * layout (the property randomized `TABLESAMPLE` lacks). The lateral
+  * join decorrelates to a ranked window (one shuffle on the
+  * correlation key). The salted join spreads a hot key over N reducers
+  * at the cost of an N-way dim replicate — the manual fallback when
+  * AQE skew splitting isn't enough. tf-idf is two hash aggregations
+  * (doc-term, then term) plus a broadcast of the corpus size.
+  */
+object Round2 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Knuth multiplicative hash bucket in [0, 1000). Oracle-portable
+    * (plain int64 arithmetic, identical in DuckDB), deterministic, and
+    * uncorrelated with key order — the right shape for sampling at
+    * scale vs `rand()` (nondeterministic under retries) or `xxhash64`
+    * (not available to the oracle).
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    pmod(key * lit(2654435761L), lit(1000L))
+
+  private val hashBucketSql = "(o_orderkey * 2654435761) % 1000"
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- deterministic 10% sample ------------------------------------
+    "q78_sample_hash" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .filter(hashBucket(col("o_orderkey")) < 100)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders WHERE $hashBucketSql < 100
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- deterministic train/val/test split (80/10/10) ---------------
+    "q79_split_train" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("split",
+          when(hashBucket(col("o_orderkey")) < 800, "train")
+            .when(hashBucket(col("o_orderkey")) < 900, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          Det.davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("split"),
+      Some(s"""SELECT CASE WHEN $hashBucketSql < 800 THEN 'train'
+             WHEN $hashBucketSql < 900 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n, ${davgSql("o_totalprice")} AS avg_price
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- lateral (correlated) join: top-2 orders per customer --------
+    // Catalyst decorrelates the LIMITed correlated subquery into a
+    // ranked window join — one shuffle on o_custkey, no per-row re-scan.
+    "q83_join_lateral" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q83_customer")
+        t(s, dir, "orders").createOrReplaceTempView("q83_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM q83_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM q83_orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")),
+
+    // ---- exact median (interpolating percentile) ---------------------
+    // l_quantity is integer-valued, so the even-count midpoint is exact
+    // in both engines' interpolation formulas (SURVEY.md §2.3).
+    "q84_agg_median" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"),
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, median(l_quantity) AS med_qty,
+        COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- skew-salted join (identical result to the plain join) -------
+    "q85_join_salted" -> QueryDef(
+      (s, dir) => {
+        val fact = t(s, dir, "lineitem").select(
+          col("l_partkey").as("p_partkey"), col("l_orderkey"),
+          col("l_extendedprice"))
+        val dim = t(s, dir, "part").select("p_partkey", "p_brand")
+        Skew.saltedJoin(fact, dim, "p_partkey", "l_orderkey", buckets = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            Det.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n,
+        ${dsumSql("l_extendedprice")} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- ROWS-frame moving average ------------------------------------
+    "q86_win_moving_avg" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-3, Window.currentRow)
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // fixture — only (partkey, shipdate, orderkey, linenumber) is.
+        // Total-order on that full key (shipdate ordered, then dropped).
+        t(s, dir, "lineitem")
+          .withColumn("mavg",
+            sum(col("l_extendedprice").cast(Det.D6)).over(w).cast("double")
+              / count(col("l_extendedprice")).over(w))
+          .orderBy("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber")
+          .select(col("l_partkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"), col("mavg"))
+      },
+      Some("""SELECT l_partkey, l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          / COUNT(l_extendedprice) OVER w AS mavg
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_partkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber""")),
+
+    // ---- PII redaction over synthesized log lines ---------------------
+    // The fixture text is digit-free word soup, so the query synthesizes
+    // realistic PII-bearing lines from orders columns, then extracts the
+    // email domain and redacts emails and digit runs. regexp_replace is
+    // all-occurrences in Spark; the oracle needs the 'g' flag.
+    "q80_llm_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val line = concat(lit("order #"), col("o_orderkey").cast("string"),
+          lit(" cust u"), col("o_custkey").cast("string"),
+          lit("@example.com phone 555-0"), col("o_orderkey").cast("string"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            regexp_extract(line, "@([A-Za-z0-9.]+)", 1).as("domain"),
+            regexp_replace(
+              regexp_replace(line, "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+              "[0-9]+", "<NUM>").as("redacted"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH l AS (SELECT o_orderkey,
+        'order #' || o_orderkey || ' cust u' || o_custkey ||
+          '@example.com phone 555-0' || o_orderkey AS line
+      FROM orders)
+      SELECT o_orderkey,
+        regexp_extract(line, '@([A-Za-z0-9.]+)', 1) AS domain,
+        regexp_replace(
+          regexp_replace(line, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+          '[0-9]+', '<NUM>', 'g') AS redacted
+      FROM l ORDER BY o_orderkey""")),
+
+    // ---- tf-idf: top-5 scored terms per document ----------------------
+    // score = tf * (N/df) with the ln() omitted: same ranking, and every
+    // arithmetic step is a single IEEE op both engines perform
+    // identically (libm ln() is not bit-portable).
+    "q81_llm_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            col("tf").cast("double")
+              * (col("n_docs").cast("double") / col("df")))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("doc_id", "tok", "tf", "df", "score", "rnk")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT doc_id, tfc.tok, tf, df,
+        CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS score
+        FROM tfc JOIN dfc ON tfc.tok = dfc.tok CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM s)
+      SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= 5
+      ORDER BY doc_id, rnk""")),
+
+    // ---- within-document repetition stats -----------------------------
+    "q82_llm_repetition" -> QueryDef(
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        tf.groupBy("doc_id")
+          .agg(sum("tf").as("n_words"), count(lit(1)).as("n_distinct"),
+            max("tf").as("max_tf"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+              .as("rep_ratio"),
+            round(col("max_tf").cast("double") / col("n_words"), 6)
+              .as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+        COUNT(*) AS n_distinct, MAX(tf) AS max_tf FROM tf GROUP BY 1)
+      SELECT doc_id, n_words, n_distinct,
+        round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS rep_ratio,
+        round(CAST(max_tf AS DOUBLE) / n_words, 6) AS top_frac
+      FROM a ORDER BY doc_id""")),
+
+    // ---- quality-filter rule chain (Gopher-style) ----------------------
+    // First failing rule wins; thresholds chosen to exercise every branch
+    // on the fixtures (word counts 10-99, rep 0-0.72, avg_wl 3.7-5.3).
+    "q87_llm_quality_filter" -> QueryDef(
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast("long")
+        val nDistinct = size(array_distinct(words)).cast("long")
+        val avgWl = length(replace(col("text"), lit(" "), lit("")))
+          .cast("double") / nWords
+        val rep = lit(1.0) - nDistinct.cast("double") / nWords
+        val reason = when(nWords < 20, "too_short")
+          .when(nWords > 90, "too_long")
+          .when(avgWl < 4.0 || avgWl > 5.1, "word_len")
+          .when(rep > 0.6, "repetitive")
+          .otherwise("pass")
+        t(s, dir, "documents")
+          .select(col("doc_id"), reason.as("reason"),
+            when(reason === "pass", 1L).otherwise(0L).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_wl,
+        1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS rep
+      FROM documents),
+      r AS (SELECT doc_id,
+        CASE WHEN n_words < 20 THEN 'too_short'
+             WHEN n_words > 90 THEN 'too_long'
+             WHEN avg_wl < 4.0 OR avg_wl > 5.1 THEN 'word_len'
+             WHEN rep > 0.6 THEN 'repetitive'
+             ELSE 'pass' END AS reason
+      FROM m)
+      SELECT doc_id, reason,
+        CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM r ORDER BY doc_id"""))
+  )
+}
