@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.operators.Skew
-import graft.sources.Tables
+import graft.sources.{Events, Tables}
 import graft.util.Det
 import graft.util.Det.{davgSql, dsumSql}
 
@@ -281,6 +281,69 @@ object Round2 {
       FROM m)
       SELECT doc_id, reason,
         CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
-      FROM r ORDER BY doc_id"""))
+      FROM r ORDER BY doc_id""")),
+
+    // ---- streaming session windows (stream/batch unification) ----------
+    // Same semantics and oracle as the batch q39: sessionize on
+    // whole-second event time with a 30-min gap, via a true file-source
+    // stream drained with AvailableNow into a complete-mode memory sink.
+    "q88_stream_session" -> QueryDef(
+      (s, dir) => {
+        Events.load(s, dir) // ns-read conf fallback
+        val src = s.readStream.schema(Tables.load(s, dir, "events").schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val withTs = (if (src.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        else src)
+          .select(col("user_id"), timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+        val agg = withTs
+          .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+        val out = graft.streaming.EventStreams.runToMemory(
+          agg, "q88_stream_session_sink")
+        out.select(col("user_id"), unix_timestamp(col("sw.start")).as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, ${Det.epochSecSql("ts")} AS sec FROM events),
+      m AS (SELECT user_id, event_id, sec,
+        CASE WHEN lag(sec) OVER w IS NULL THEN 1
+             WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      s AS (SELECT user_id, sec,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m)
+      SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ---- ORC source/sink roundtrip -------------------------------------
+    "q89_src_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        t(s, dir, "supplier")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).orderBy("s_suppkey")
+      },
+      Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        CAST(s_nationkey AS BIGINT) AS s_nationkey
+      FROM supplier ORDER BY s_suppkey""")),
+
+    // ---- approximate percentile (t-digest sketch) ----------------------
+    // Approximate by construction — rows-only check, like the HLL q20;
+    // the exact-percentile q17 is the oracle-scored twin of this family.
+    "q90_agg_approx_quantile" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95_approx"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }
