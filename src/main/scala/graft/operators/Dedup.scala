@@ -132,6 +132,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round, every node hooks its neighbors onto its
+    * neighborhood minimum — large-star moves strictly-larger neighbors,
+    * small-star moves smaller-or-equal ones. Converges in O(log n)
+    * rounds regardless of graph DIAMETER, vs O(diameter) for
+    * [[components]]' label propagation — the formulation that survives
+    * 100 TB graphs with long chains. Same output contract as
+    * [[components]]: (id, comp) with comp = min id in the component.
+    */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // edges kept directed larger -> smaller (the small-star convention);
+    // self-loops dropped
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("u"),
+        least(col("da"), col("db")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    /** Large-star: over the SYMMETRIC neighborhood of each u, hook every
+      * strictly larger neighbor onto m(u) = min(N(u) ∪ {u}). Edges to
+      * smaller neighbors are handled by the reversed grouping.
+      */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // min-aggregate then join back on the SAME key: the join reuses the
+      // aggregation's hashpartitioning (no second shuffle), and no
+      // neighbor list is ever materialized in one row — a hot node's
+      // degree never exceeds a partition's streaming capacity.
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    /** Small-star: group the larger->smaller edges by their larger end;
+      * hook every (smaller) neighbor and u itself onto the minimum.
+      */
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      moved.unionByName(self)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint when the (distinct) edge set is unchanged
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // at fixpoint the edges form stars: (member, component-min)
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word-n-gram shingles with any benchmark doc. The join
     * runs on the hashed-shingle inverted index (never on text), so at

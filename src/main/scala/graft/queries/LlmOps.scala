@@ -35,6 +35,28 @@ object LlmOps {
           "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Recursive-CTE connected-components oracle shared by q76 (label
+    * propagation) and q91 (large-star/small-star) — two implementations
+    * of one operator, one ground truth.
+    */
+  private val componentsOracle = """WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p2 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        WHERE inter/(x.n + y.n - inter) >= 0.5),
+      e AS (SELECT da AS a, db AS b FROM p2 UNION SELECT db, da FROM p2),
+      r AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, MIN(b)) AS comp
+      FROM r GROUP BY a ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
     "q41_llm_dedup_exact" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
@@ -78,23 +100,21 @@ object LlmOps {
           .select(col("id").as("doc_id"), col("comp"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-      sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
-      sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
-      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      p2 AS (SELECT da, db FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
-        WHERE inter/(x.n + y.n - inter) >= 0.5),
-      e AS (SELECT da AS a, db AS b FROM p2 UNION SELECT db, da FROM p2),
-      r AS (
-        SELECT a, b FROM e
-        UNION
-        SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-      SELECT a AS doc_id, least(a, MIN(b)) AS comp
-      FROM r GROUP BY a ORDER BY doc_id""")),
+      Some(componentsOracle)),
+
+    // Same operator, the O(log n)-round formulation: alternating
+    // large-star/small-star hooking (Kiveris et al.) instead of
+    // diameter-bound label propagation — the variant that survives
+    // long-chain components at 100 TB. Scored against the identical
+    // recursive-CTE oracle as q76.
+    "q91_llm_neardup_groups_star" -> QueryDef(
+      (s, dir) => {
+        val pairs = jaccardPairsShared(s, dir)
+        Dedup.componentsStar(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+          .orderBy("doc_id")
+      },
+      Some(componentsOracle)),
 
     // MinHash-LSH candidates: approximate by construction (fixed seeds,
     // banding) — no SQL oracle; rows-only check. The exact Jaccard query

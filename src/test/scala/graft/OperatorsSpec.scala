@@ -63,6 +63,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("componentsStar matches components on chains, stars, and merges") {
+    // long chain (worst case for label propagation), a star, a diamond
+    // merge, and an isolated pair
+    val pairs = (
+      (1L to 9L).map(i => (i, i + 1)) ++ // chain 1..10
+        Seq((20L, 21L), (20L, 22L), (20L, 23L)) ++ // star
+        Seq((30L, 31L), (31L, 33L), (30L, 32L), (32L, 33L)) ++ // diamond
+        Seq((40L, 41L))
+    ).toDF("da", "db")
+    val expect = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.componentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got(10L) == 1L && got(23L) == 20L && got(33L) == 30L && got(41L) == 40L)
+  }
+
+  test("componentsStar handles reversed/duplicated edge input") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("da", "db")
+    val got = Dedup.componentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("contaminated flags only docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),  // shares shingles with benchmark

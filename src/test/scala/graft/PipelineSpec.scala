@@ -93,6 +93,24 @@ class PipelineSpec extends SparkTestBase {
       new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("Compact merges a many-small-file table, preserving rows") {
+    val src = Files.createTempDirectory("graft_compact_src").toString
+    val dst = Files.createTempDirectory("graft_compact_dst").toString
+    spark.range(10000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(20).write.mode("overwrite").parquet(src)
+    val smallFiles = new java.io.File(src).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 20)
+    // target sized to land well under the input file count
+    val n = Compact.compact(spark, src, dst, targetFileBytes = 64L * 1024)
+    val outFiles = new java.io.File(dst).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n && n < smallFiles)
+    assert(spark.read.parquet(dst).count() == 10000)
+    assert(spark.read.parquet(dst).agg(sum("v")).head.getLong(0)
+      == spark.read.parquet(src).agg(sum("v")).head.getLong(0))
+  }
+
   test("cycle detection") {
     val a = PipelineJob("a", "a.parquet", Seq("b.parquet"))((s, _) => Seq(1).toDF("x"))
     val b = PipelineJob("b", "b.parquet", Seq("a.parquet"))((s, _) => Seq(1).toDF("x"))
