@@ -333,6 +333,23 @@ object Round2 {
         CAST(s_nationkey AS BIGINT) AS s_nationkey
       FROM supplier ORDER BY s_suppkey""")),
 
+    // ---- custom DataSourceV2 connector ---------------------------------
+    // Generated table through the full DSv2 contract (TableProvider →
+    // ScanBuilder with filter + column pushdown → partitioned Batch
+    // read); the id-range predicate prunes input partitions at planning
+    // time. Oracled against DuckDB's range() generator.
+    "q92_src_custom_dsv2" -> QueryDef(
+      (s, dir) => s.read.format("graft.sources.SeqSource")
+        .option("rows", "2000").option("slices", "8").load()
+        .filter(col("id") >= 100 && col("id") < 1900)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), max(col("payload")).as("max_payload"))
+        .orderBy("bucket"),
+      Some("""SELECT i % 10 AS bucket, COUNT(*) AS n,
+        MAX('doc_' || i) AS max_payload
+      FROM range(0, 2000) t(i) WHERE i >= 100 AND i < 1900
+      GROUP BY 1 ORDER BY 1""")),
+
     // ---- approximate percentile (t-digest sketch) ----------------------
     // Approximate by construction — rows-only check, like the HLL q20;
     // the exact-percentile q17 is the oracle-scored twin of this family.

@@ -72,4 +72,24 @@ object GraftProperties extends Properties("graft") {
     Dedup.firstPerKey(df, Seq("k"), Seq(col("id"))).count() ==
       xs.distinct.size.toLong
   }
+
+  // random undirected graphs over a small node universe: the two CC
+  // formulations (O(diameter) label propagation vs O(log n) star
+  // hooking) must produce identical component labelings
+  private val edgeLists: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 19L)
+      b <- Gen.chooseNum(0L, 19L) if a != b
+    } yield (a, b)).map(_.take(30))
+
+  property("componentsStar == components on random graphs") =
+    forAll(edgeLists) { es =>
+      import spark.implicits._
+      val pairs = es.toDF("da", "db")
+      val byProp = Dedup.components(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStar = Dedup.componentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      byProp == byStar
+    }
 }
