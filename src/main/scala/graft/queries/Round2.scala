@@ -350,6 +350,28 @@ object Round2 {
       FROM range(0, 2000) t(i) WHERE i >= 100 AND i < 1900
       GROUP BY 1 ORDER BY 1""")),
 
+    // ---- mergeable HLL sketches (Datasketches) -------------------------
+    // THE 100 TB pre-aggregation pattern: build per-group sketches once
+    // (e.g. per day/partition), then answer any rollup by UNIONING the
+    // sketch column — no re-scan of raw data. approx_count_distinct
+    // cannot do this (its state isn't a first-class mergeable value).
+    // Sketch state is register-maxima, so estimates are partitioning-
+    // independent (the determinism sweep enforces this); approximate vs
+    // the oracle, hence rows-only like q20.
+    "q93_agg_hll_mergeable" -> QueryDef(
+      (s, dir) => {
+        val sk = graft.sources.Events.load(s, dir)
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val per = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+        val all = sk.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+          .select(lit("~ALL").as("event_type"), col("approx_users"))
+        per.unionByName(all).orderBy("event_type")
+      },
+      None),
+
     // ---- approximate percentile (t-digest sketch) ----------------------
     // Approximate by construction — rows-only check, like the HLL q20;
     // the exact-percentile q17 is the oracle-scored twin of this family.

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.pipeline._
+import graft.sources.Tables
 
 /** Builder-semantics runner: topo order, staleness skip, transitive
   * rerun (SURVEY.md §2.1 B3/B5/B7).
@@ -109,6 +110,27 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(dst).count() == 10000)
     assert(spark.read.parquet(dst).agg(sum("v")).head.getLong(0)
       == spark.read.parquet(src).agg(sum("v")).head.getLong(0))
+  }
+
+  test("Layout.rangeSortedWrite yields disjoint per-file key ranges") {
+    val dst = Files.createTempDirectory("graft_layout").toString
+    Layout.rangeSortedWrite(
+      Tables.load(spark, sf, "orders"), dst, 4, col("o_orderkey"))
+    val files = new java.io.File(dst).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint and ordered: each file's min exceeds the previous max
+    ranges.sliding(2).foreach { case Array((_, amax), (bmin, _)) =>
+      assert(bmin > amax)
+    }
+    // row preservation
+    assert(spark.read.parquet(dst).count()
+      == Tables.load(spark, sf, "orders").count())
   }
 
   test("cycle detection") {
