@@ -39,13 +39,16 @@ object Dedup {
   }
 
   /** Distinct (doc, shingle-hash) inverted index, annotated with the
-    * per-doc distinct-shingle count `__n`. Shingles exist only as 64-bit
-    * xxhash64 of the n consecutive words (posexplode + window lead —
-    * codegen-friendly, ~4× faster than per-row higher-order lambdas).
+    * per-doc distinct-shingle count `__n`. Shingles exist only as
+    * 64-bit xxhash64 of the n consecutive words, emitted by the custom
+    * [[graft.plans.WordNGramHashes]] Generator — tokenize + shingle +
+    * hash fused into one generate step with NO shuffle (the n-gram
+    * neighborhood is row-local; the earlier window-`lead` formulation
+    * paid an exchange+sort of the whole token stream first).
     *
-    * Single shuffle: the window's hashpartitioning(idCol) already
-    * satisfies the groupBy's clustering, so dedup (collect_set), the
-    * size, and the re-explode all stay in the same exchange.
+    * The only shuffle is the aggregation's hashpartitioning(idCol);
+    * dedup (collect_set), the size, and the re-explode all stay in
+    * that one exchange.
     */
   def shingleIndex(
       docs: DataFrame,
@@ -53,15 +56,9 @@ object Dedup {
       textCol: String,
       n: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
-    val toks = docs.select(
-      (Seq(col(idCol)) ++ blockCols.map(col)
-        :+ posexplode(split(col(textCol), " "))): _*)
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val words = (0 until n).map(k =>
-      if (k == 0) col("col") else lead(col("col"), k).over(w))
-    toks.select((Seq(col(idCol)) ++ blockCols.map(col)
-        :+ xxhash64(words: _*).as("gh") :+ words.last.as("__last")): _*)
-      .filter(col("__last").isNotNull) // drop truncated trailing shingles
+    graft.plans.NativeExpressions.register(docs.sparkSession)
+    docs.select((Seq(col(idCol)) ++ blockCols.map(col)
+        :+ expr(s"word_ngram_hashes($textCol, $n)").as("gh")): _*)
       .groupBy((col(idCol) +: blockCols.map(col)): _*)
       .agg(collect_set(col("gh")).as("__set"))
       .select((Seq(col(idCol)) ++ blockCols.map(col)

@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNGramHashes].getName, "word_ngram_hashes"),
+      (exprs: Seq[Expression]) => WordNGramHashes(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngram_hashes n must be an integer literal, got $other")
+        })))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

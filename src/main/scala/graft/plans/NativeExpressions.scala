@@ -64,9 +64,21 @@ object NativeExpressions {
   /** Register `vec_dot` in the session's function registry (idempotent)
     * so it is usable from SQL and via [[vecDot]].
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngram_hashes",
+      exprs => WordNGramHashes(exprs(0), NativeExpressions.literalInt(exprs(1))),
+      "built-in")
+  }
+
+  private def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_ngram_hashes n must be an integer literal, got $other")
+    }
 
   /** Codegen'd dot product of two float-array columns. Columns are
     * referenced by name (resolution happens via expr), so pass plain

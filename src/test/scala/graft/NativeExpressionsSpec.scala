@@ -35,4 +35,33 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(rows(0).isNullAt(0))
     assert(rows(1).getDouble(0) == 11.0)
   }
+
+  test("word_ngram_hashes: count, determinism, and injectivity basics") {
+    NativeExpressions.register(spark)
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"), (4L, "only"))
+      .toDF("id", "text")
+    val g = df.select(col("id"), expr("word_ngram_hashes(text, 3)").as("gh"))
+    // len-n+1 shingles per doc; docs shorter than n emit nothing
+    val counts = g.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L))
+    // identical texts produce identical hash sets
+    val s1 = g.filter(col("id") === 1).select("gh").collect().map(_.getLong(0)).toSet
+    val s2 = g.filter(col("id") === 2).select("gh").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 2)
+    // word-boundary sensitivity: ["ab","c"] != ["a","bc"]
+    val h = Seq(("ab c x", 1), ("a bc x", 2)).toDF("t", "k")
+      .select(col("k"), expr("word_ngram_hashes(t, 3)").as("gh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(1) != h(2))
+  }
+
+  test("word_ngram_hashes plans with no exchange before the generate") {
+    NativeExpressions.register(spark)
+    val plan = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr("word_ngram_hashes(text, 3)").as("gh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("wordngramhashes") || plan.toLowerCase.contains("word_ngram_hashes"))
+    assert(!plan.contains("Exchange"))
+  }
 }
