@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_ngram_hashes n must be an integer literal, got $other")
         })))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // analysis-time (post-hoc resolution): must run BEFORE the
+    // optimizer's ReplaceDeduplicateWithAggregate consumes the
+    // Deduplicate node and bakes in the arbitrary-survivor first()
+    e.injectPostHocResolutionRule(_ => DeterministicDeduplicate)
   }
 }
