@@ -333,6 +333,48 @@ object Round2 {
         CAST(s_nationkey AS BIGINT) AS s_nationkey
       FROM supplier ORDER BY s_suppkey""")),
 
+    // ---- correlated EXISTS / NOT EXISTS --------------------------------
+    // q68 covers IN + scalar subqueries; this adds the EXISTS family.
+    // Both decorrelate to semi/anti joins on the correlation key.
+    "q94_subquery_exists" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q94_customer")
+        t(s, dir, "orders").createOrReplaceTempView("q94_orders")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM q94_customer c
+          WHERE EXISTS (SELECT 1 FROM q94_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
+            AND NOT EXISTS (SELECT 1 FROM q94_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""")),
+
+    // ---- ordered string aggregation ------------------------------------
+    // listagg/string_agg with an explicit WITHIN-GROUP order (the only
+    // hash-matchable form — unordered string_agg is nondeterministic).
+    "q95_agg_string" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("q95_nation")
+        s.sql("""SELECT n_regionkey,
+            string_agg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+          FROM q95_nation
+          GROUP BY n_regionkey ORDER BY n_regionkey""")
+          .select(col("n_regionkey").cast("long").as("n_regionkey"),
+            col("names"))
+      },
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // ---- custom DataSourceV2 connector ---------------------------------
     // Generated table through the full DSv2 contract (TableProvider →
     // ScanBuilder with filter + column pushdown → partitioned Batch
