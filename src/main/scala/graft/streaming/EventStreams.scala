@@ -68,6 +68,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: click-like events joined to view-like
+    * events of the same user within a bounded event-time window. Both
+    * sides carry watermarks and the join condition bounds the time
+    * difference, so Spark can expire join state — the REQUIRED shape
+    * for an unbounded two-stream join (state stays proportional to the
+    * interval, not the stream).
+    */
+  def intervalJoin(
+      left: DataFrame, // user_id, ts, + payload
+      right: DataFrame,
+      intervalSeconds: Long = 300L,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSeconds SECONDS") &&
+        col("l_id") =!= col("r_id"))
+  }
+
   /** Drain a stream into an in-memory table and return it (test/dev
     * helper — processes everything currently available, then stops).
     */

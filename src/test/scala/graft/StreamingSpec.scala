@@ -60,6 +60,29 @@ class StreamingSpec extends SparkTestBase {
     assert(finalCounts == batch)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val clicks = streamEvents.filter(col("event_type") === "click")
+    val views = streamEvents.filter(col("event_type") === "view")
+    val streamed = EventStreams.runToMemory(
+      EventStreams.intervalJoin(clicks, views, intervalSeconds = 21600L),
+      "t_ssjoin", mode = "append")
+      .select("l_id", "r_id").collect().map(_.toString).sorted
+    val ev = Events.load(spark, sf)
+    val bl = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val br = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    val batch = bl.join(br,
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 21600 SECONDS") &&
+          col("l_id") =!= col("r_id"))
+      .select("l_id", "r_id").collect().map(_.toString).sorted
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per (user, type)") {
     val out = EventStreams.runToMemory(
       EventStreams.dedupWithinWatermark(streamEvents), "t_dedup",
