@@ -238,10 +238,14 @@ object Dedup {
     * sharing any band bucket become candidates. Approximate (no oracle);
     * deterministic given the fixed seeds.
     *
-    * Shape: explode distinct shingles → hash-aggregate `numHashes`
+    * Shape: generate shingle hashes (zero-shuffle, see
+    * [[graft.plans.WordNGramHashes]]) → hash-aggregate `numHashes`
     * column-wise minima per doc (partial+final, one shuffle on the doc
-    * id) → band → bucket self-join. Each stage is a plain shuffle on a
-    * bounded key — the 100 TB-safe formulation.
+    * id) → band → bucket self-join. Duplicate shingles cannot change a
+    * minimum, so — unlike [[jaccardPairs]] — no distinct-shingle
+    * materialization (collect_set + explode) is needed at all. Each
+    * stage is a plain shuffle on a bounded key — the 100 TB-safe
+    * formulation.
     */
   def minHashCandidates(
       docs: DataFrame,
@@ -252,7 +256,9 @@ object Dedup {
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingleIndex(docs, idCol, textCol, shingleN)
+    graft.plans.NativeExpressions.register(docs.sparkSession)
+    val sh = docs.select(col(idCol),
+      expr(s"word_ngram_hashes($textCol, $shingleN)").as("gh"))
     val minCols = (0 until numHashes).map(seed =>
       min(xxhash64(lit(seed), col("gh"))).as(s"__h$seed"))
     val sig = sh.groupBy(idCol)

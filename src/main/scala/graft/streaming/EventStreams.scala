@@ -68,6 +68,54 @@ object EventStreams {
       }
   }
 
+  /** The same per-user running aggregate on the transformWithState API
+    * (Spark 4's arbitrary-state surface, successor to
+    * flatMapGroupsWithState): state is a named, typed, TTL-capable
+    * ValueState in the state store, and the processor can register
+    * event/processing-time timers — the building block for custom
+    * streaming operators (sessionizers, CDC appliers, rate trackers)
+    * beyond what windowed aggregation expresses. Requires the RocksDB
+    * state store provider (column families):
+    * `spark.sql.streaming.stateStore.providerClass=
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * — which is also the provider of choice at 100 TB (state spills to
+    * disk; the default HDFS-backed store is JVM-heap-bound).
+    */
+  class RunningUserProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserRunning] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      var cur = Option(state.get())
+        .getOrElse(UserRunning(user, 0L, Long.MaxValue, Long.MinValue))
+      rows.foreach { case (_, sec) =>
+        cur = UserRunning(user, cur.n_events + 1,
+          math.min(cur.first_sec, sec), math.max(cur.last_sec, sec))
+      }
+      state.update(cur)
+      Iterator(cur)
+    }
+  }
+
+  def runningUserCountsTws(events: DataFrame): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningUserProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: click-like events joined to view-like
     * events of the same user within a bounded event-time window. Both
     * sides carry watermarks and the join condition bounds the time

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkTestBase {
     assert(finalCounts == batch)
   }
 
+  test("transformWithState running counts: final state matches batch totals") {
+    // transformWithState needs column families -> RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = try EventStreams.runToMemory(
+      EventStreams.runningUserCountsTws(streamEvents).toDF(), "t_tws",
+      mode = "update")
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalCounts = out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Events.load(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == batch)
+  }
+
   test("stream-stream interval join == batch interval join") {
     val clicks = streamEvents.filter(col("event_type") === "click")
     val views = streamEvents.filter(col("event_type") === "view")
