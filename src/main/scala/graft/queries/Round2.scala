@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
@@ -374,6 +374,49 @@ object Round2 {
       Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         string_agg(n_name, ',' ORDER BY n_name) AS names
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- int8 embedding quantization -----------------------------------
+    // Symmetric per-vector quantization (scale = 127/max|x|, q = round
+    // (x*scale)) with reconstruction error — the storage-reduction step
+    // of an embedding pipeline (4x smaller vectors at ~1e-3 error).
+    // Every arithmetic step is a single IEEE op structured identically
+    // in the oracle, and round() ties break away-from-zero in both
+    // engines, so the per-vector error is bit-reproducible.
+    "q96_llm_quantize" -> QueryDef(
+      (s, dir) => {
+        val xd = (x: Column) => x.cast("double")
+        val absmax = array_max(transform(col("embedding"), x => abs(xd(x))))
+        val scale = lit(127.0) / col("absmax")
+        val err = (x: Column) =>
+          abs(xd(x) - round(xd(x) * scale) / scale)
+        t(s, dir, "embeddings")
+          .withColumn("absmax", absmax)
+          .filter(col("absmax") > 0)
+          .select(col("vec_id"),
+            round(scale, 6).as("scale"),
+            round(array_max(transform(col("embedding"), err)), 6)
+              .as("max_abs_err"),
+            size(col("embedding")).cast("long").as("n_dims"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH m AS (
+        SELECT vec_id, MAX(abs(CAST(embedding[i.i] AS DOUBLE))) AS absmax
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1),
+      e AS (
+        SELECT eb.vec_id,
+          127.0 / m.absmax AS scale,
+          MAX(abs(CAST(eb.embedding[i.i] AS DOUBLE)
+            - round(CAST(eb.embedding[i.i] AS DOUBLE) * (127.0 / m.absmax))
+              / (127.0 / m.absmax))) AS max_err,
+          COUNT(*) AS n_dims
+        FROM embeddings eb JOIN m ON eb.vec_id = m.vec_id,
+             (SELECT unnest(range(1, 65)) AS i) i
+        WHERE m.absmax > 0
+        GROUP BY 1, 2)
+      SELECT vec_id, round(scale, 6) AS scale,
+        round(max_err, 6) AS max_abs_err, n_dims
+      FROM e ORDER BY vec_id""")),
 
     // ---- custom DataSourceV2 connector ---------------------------------
     // Generated table through the full DSv2 contract (TableProvider →
