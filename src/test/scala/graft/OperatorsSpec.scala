@@ -63,6 +63,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("ApproxNtile: monotone value-based buckets, near-equal sizes") {
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+    val n = 4
+    val bucketed = ApproxNtile(cust, "c_acctbal", n)
+    val stats = bucketed.groupBy("tile")
+      .agg(count(lit(1)).as("cnt"), min("c_acctbal").as("lo"),
+        max("c_acctbal").as("hi"))
+      .orderBy("tile").collect()
+    assert(stats.length == n)
+    // buckets are ordered by value: each bucket's max <= next bucket's min
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2)) // prev hi <= next lo
+    }
+    // near-equal sizes (exact cutpoints, near-unique doubles)
+    val total = cust.count()
+    stats.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / n) <= total / n / 4 + 1,
+        s"bucket sizes skewed: ${stats.mkString(",")}")
+    }
+    // no single-partition exchange in the plan (the point of the operator)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("componentsStar matches components on chains, stars, and merges") {
     // long chain (worst case for label propagation), a star, a diamond
     // merge, and an isolated pair
