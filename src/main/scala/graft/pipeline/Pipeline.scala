@@ -88,6 +88,71 @@ class PipelineRunner(spark: SparkSession, root: String) {
     }
   }
 
+  /** Builder's ExecutionManager run loop (SURVEY.md §2.1 B8):
+    * event-driven parallel execution — every job whose parents are done
+    * runs concurrently on a bounded pool, completion releases
+    * downstream jobs, and failures retry up to `maxRetries` before
+    * aborting the build. Spark sessions are thread-safe; concurrent
+    * jobs become concurrent Spark jobs sharing the cluster (use
+    * scheduler pools for fairness at scale). Staleness/skip semantics
+    * identical to [[run]].
+    */
+  def runParallel(
+      jobs: Seq[PipelineJob],
+      parallelism: Int = 4,
+      maxRetries: Int = 0): PipelineResult = {
+    topoSort(jobs) // validates the DAG up front
+    val now = System.currentTimeMillis()
+    val byTarget = jobs.map(j => j.target -> j).toMap
+    val indeg = collection.mutable.Map(jobs.map(j =>
+      j.target -> j.deps.count(byTarget.contains)): _*)
+    val ran = collection.mutable.ArrayBuffer[String]()
+    val ranTargets = collection.mutable.Set[String]()
+    val skipped = collection.mutable.ArrayBuffer[String]()
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val done = new java.util.concurrent.ExecutorCompletionService[
+      (PipelineJob, Boolean)](pool)
+    try {
+      def submit(job: PipelineJob): Unit = {
+        // decision made after all parents completed -> ranTargets stable
+        val stale = isStale(job, now) || job.deps.exists(ranTargets.contains)
+        done.submit(() => {
+          if (stale) {
+            var attempt = 0
+            var ok = false
+            while (!ok) {
+              try {
+                val inputs = job.deps
+                  .map(d => d -> spark.read.parquet(s"$root/$d")).toMap
+                job.run(spark, inputs).write.mode("overwrite")
+                  .parquet(targetPath(job))
+                ok = true
+              } catch {
+                case e: Throwable if attempt < maxRetries => attempt += 1
+              }
+            }
+          }
+          (job, stale)
+        })
+      }
+
+      jobs.filter(j => indeg(j.target) == 0).foreach(submit)
+      var remaining = jobs.size
+      while (remaining > 0) {
+        val (job, wasStale) = done.take().get()
+        remaining -= 1
+        if (wasStale) { ran += job.name; ranTargets += job.target }
+        else skipped += job.name
+        jobs.filter(_.deps.contains(job.target)).foreach { d =>
+          indeg(d.target) -= 1
+          if (indeg(d.target) == 0) submit(d)
+        }
+      }
+    } finally pool.shutdown()
+    PipelineResult(ran.toSeq, skipped.toSeq)
+  }
+
   /** Run the graph: topo order, skipping fresh jobs; inputs are handed
     * to each job as DataFrames read from dep targets.
     */

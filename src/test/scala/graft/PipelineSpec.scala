@@ -94,6 +94,41 @@ class PipelineSpec extends SparkTestBase {
       new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("runParallel: independent jobs overlap, deps wait, retries recover") {
+    val root = Files.createTempDirectory("graft_par").toString
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    def slowJob(name: String) =
+      PipelineJob(name, s"$name.parquet", Seq("src.parquet")) { (s, in) =>
+        val cur = inFlight.incrementAndGet()
+        maxInFlight.getAndUpdate(m => math.max(m, cur))
+        Thread.sleep(300)
+        inFlight.decrementAndGet()
+        in("src.parquet").withColumn("tag", lit(name))
+      }
+    val src = PipelineJob("src", "src.parquet", Nil)(
+      (s, _) => Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val join = PipelineJob("join", "join.parquet",
+        Seq("b1.parquet", "b2.parquet")) { (s, in) =>
+      // flaky job: fails twice, then succeeds
+      if (failures.incrementAndGet() <= 2) sys.error("transient")
+      in("b1.parquet").unionByName(in("b2.parquet"))
+    }
+    val runner = new PipelineRunner(spark, root)
+    val r = runner.runParallel(
+      Seq(join, slowJob("b1"), slowJob("b2"), src),
+      parallelism = 4, maxRetries = 2)
+    assert(r.ran.toSet == Set("src", "b1", "b2", "join"))
+    assert(maxInFlight.get() == 2, s"b1/b2 did not overlap: ${maxInFlight.get()}")
+    assert(failures.get() == 3) // 2 failures + 1 success
+    assert(spark.read.parquet(s"$root/join.parquet").count() == 4)
+    // second run: everything fresh
+    val r2 = runner.runParallel(
+      Seq(join, slowJob("b1"), slowJob("b2"), src), parallelism = 4)
+    assert(r2.ran.isEmpty && r2.skipped.size == 4)
+  }
+
   test("Compact merges a many-small-file table, preserving rows") {
     val src = Files.createTempDirectory("graft_compact_src").toString
     val dst = Files.createTempDirectory("graft_compact_dst").toString
