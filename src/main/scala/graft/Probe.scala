@@ -33,8 +33,9 @@ object Probe {
     for (q <- args.drop(1)) time(q)(all(q)(spark, dir).count())
     if (args.length <= 1) {
       // default: warm-run the historically heavy queries twice
-      for (q <- Seq("q43_llm_neardup_jaccard", "q44_llm_neardup_minhash",
-          "q47_llm_ann_lsh", "q10_join_left_anti", "q26_sort_topk")) {
+      for (q <- Seq("q44_llm_neardup_minhash", "q88_stream_session",
+          "q76_llm_neardup_groups", "q81_llm_tfidf",
+          "q91_llm_neardup_groups_star")) {
         time(s"$q cold")(all(q)(spark, dir).count())
         time(s"$q warm")(all(q)(spark, dir).count())
       }

@@ -301,8 +301,14 @@ object Round2 {
         val agg = withTs
           .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"))
-        val out = graft.streaming.EventStreams.runToMemory(
-          agg, "q88_stream_session_sink")
+        // session state at 8 partitions, like q40/q70 (stores instantiate
+        // per shuffle partition; results are partitioning-independent)
+        val old = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        val out =
+          try graft.streaming.EventStreams.runToMemory(
+            agg, "q88_stream_session_sink")
+          finally s.conf.set("spark.sql.shuffle.partitions", old)
         out.select(col("user_id"), unix_timestamp(col("sw.start")).as("session_start"),
             col("n_events"))
           .orderBy("user_id", "session_start")
