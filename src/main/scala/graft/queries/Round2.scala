@@ -381,6 +381,46 @@ object Round2 {
         string_agg(n_name, ',' ORDER BY n_name) AS names
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // ---- XML source/sink roundtrip (Spark 4 native spark-xml) ----------
+    "q97_src_xml_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+        t(s, dir, "region")
+          .select(col("r_regionkey").cast("long").as("r_regionkey"),
+            col("r_name"))
+          .write.mode("overwrite").option("rootTag", "regions")
+          .option("rowTag", "region").xml(tmp)
+        s.read.option("rowTag", "region")
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("r_regionkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("r_name",
+              org.apache.spark.sql.types.StringType))))
+          .xml(tmp)
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+      FROM region ORDER BY r_regionkey""")),
+
+    // ---- text source roundtrip (line-oriented ingest) ------------------
+    // The raw-text ingest path of an LLM corpus pipeline: serialize to
+    // one line per record, read back with spark.read.text, re-parse.
+    "q98_src_text_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+        t(s, dir, "nation")
+          .select(concat_ws("|", col("n_nationkey").cast("string"),
+            col("n_name")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(split(col("value"), "\\|").as("p"))
+          .select(element_at(col("p"), 1).cast("long").as("n_nationkey"),
+            element_at(col("p"), 2).as("n_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      FROM nation ORDER BY n_nationkey""")),
+
     // ---- int8 embedding quantization -----------------------------------
     // Symmetric per-vector quantization (scale = 127/max|x|, q = round
     // (x*scale)) with reconstruction error — the storage-reduction step
