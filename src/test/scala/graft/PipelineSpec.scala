@@ -168,6 +168,24 @@ class PipelineSpec extends SparkTestBase {
       == Tables.load(spark, sf, "orders").count())
   }
 
+  test("Upsert.mergeByKey: updates win, new keys append, others survive") {
+    val root = Files.createTempDirectory("graft_upsert").toString
+    val t0 = s"$root/t0"; val t1 = s"$root/t1"
+    Seq((1L, "a", 0.1), (2L, "b", 0.2), (3L, "c", 0.3))
+      .toDF("doc_id", "text", "score")
+      .write.parquet(t0)
+    val updates = Seq((2L, "b2", 0.9), (4L, "d", 0.4))
+      .toDF("doc_id", "text", "score")
+    Upsert.mergeByKey(spark, t0, updates, "doc_id", Some(t1))
+    val got = spark.read.parquet(t1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 0.1), (2L, "b2", 0.9),
+      (3L, "c", 0.3), (4L, "d", 0.4)))
+    // missing target: merge == updates
+    val fresh = Upsert.mergeByKey(spark, s"$root/nope", updates, "doc_id")
+    assert(fresh.count() == 2)
+  }
+
   test("cycle detection") {
     val a = PipelineJob("a", "a.parquet", Seq("b.parquet"))((s, _) => Seq(1).toDF("x"))
     val b = PipelineJob("b", "b.parquet", Seq("a.parquet"))((s, _) => Seq(1).toDF("x"))
