@@ -421,6 +421,38 @@ object Round2 {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
       FROM nation ORDER BY n_nationkey""")),
 
+    // ---- document chunking (overlapping word windows) ------------------
+    // The context-window preparation step: split each document into
+    // 32-word chunks with stride 24 (8-word overlap). Stateless per-row
+    // expansion (sequence + slice — no shuffle before the final sort),
+    // so it scales as a pure map over the corpus.
+    "q99_llm_chunk" -> QueryDef(
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"), words.as("w"), size(words).as("n"))
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(24))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            size(slice(col("w"), col("col") + 1, lit(32))).cast("long")
+              .as("n_words"),
+            md5(concat_ws(" ", slice(col("w"), col("col") + 1, lit(32))))
+              .as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, CAST(i.gen AS BIGINT) // 24 AS chunk_id,
+          w[i.gen + 1 : i.gen + 32] AS chunk
+        FROM s, LATERAL (SELECT unnest(range(0, n, 24)) AS gen) i)
+      SELECT doc_id, chunk_id,
+        CAST(len(chunk) AS BIGINT) AS n_words,
+        md5(array_to_string(chunk, ' ')) AS chunk_fp
+      FROM c ORDER BY doc_id, chunk_id""")),
+
     // ---- int8 embedding quantization -----------------------------------
     // Symmetric per-vector quantization (scale = 127/max|x|, q = round
     // (x*scale)) with reconstruction error — the storage-reduction step
