@@ -453,6 +453,63 @@ object Round2 {
         md5(array_to_string(chunk, ' ')) AS chunk_fp
       FROM c ORDER BY doc_id, chunk_id""")),
 
+    // ---- the full training-data pipeline, end to end -------------------
+    // quality filter -> exact dedup -> chunk -> deterministic sample, as
+    // ONE oracled query: three stateless per-row stages around a single
+    // dedup shuffle — the whole corpus-preparation flow in one plan,
+    // every intermediate semantics pinned by the DuckDB twin.
+    "q100_llm_pipeline" -> QueryDef(
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast("long")
+        val avgWl = length(replace(col("text"), lit(" "), lit("")))
+          .cast("double") / nWords
+        val rep = lit(1.0) - size(array_distinct(words)).cast("double") / nWords
+        val pass = t(s, dir, "documents")
+          .filter(nWords >= 20 && nWords <= 90 &&
+            avgWl >= 4.0 && avgWl <= 5.1 && rep <= 0.6)
+        val uniq = pass.groupBy("text").agg(min("doc_id").as("doc_id"))
+        val chunks = uniq
+          .select(col("doc_id"), split(col("text"), " ").as("w"),
+            size(split(col("text"), " ")).as("n"))
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(24))))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+            size(slice(col("w"), col("col") + 1, lit(32))).cast("long")
+              .as("n_words"),
+            md5(concat_ws(" ", slice(col("w"), col("col") + 1, lit(32))))
+              .as("chunk_fp"))
+        // bound the intermediate before the big multiplier: the raw
+        // product overflows int64 once doc_id reaches ~3.5e9/1e6 — at
+        // sf0.1 already (ANSI overflow), let alone at corpus scale
+        chunks.filter(
+            pmod(pmod(col("doc_id") * 1009L + col("chunk_id"), lit(1000003L))
+              * lit(2654435761L), lit(1000L)) < 300)
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, text,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_wl,
+        1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS rep
+      FROM documents),
+      pass AS (SELECT doc_id, text FROM m
+        WHERE n_words >= 20 AND n_words <= 90
+          AND avg_wl >= 4.0 AND avg_wl <= 5.1 AND rep <= 0.6),
+      uniq AS (SELECT MIN(doc_id) AS doc_id, text FROM pass GROUP BY text),
+      s AS (SELECT doc_id, string_split(text, ' ') AS w,
+        len(string_split(text, ' ')) AS n FROM uniq),
+      c AS (SELECT doc_id, CAST(i.gen AS BIGINT) // 24 AS chunk_id,
+          w[i.gen + 1 : i.gen + 32] AS chunk
+        FROM s, LATERAL (SELECT unnest(range(0, n, 24)) AS gen) i)
+      SELECT doc_id, chunk_id,
+        CAST(len(chunk) AS BIGINT) AS n_words,
+        md5(array_to_string(chunk, ' ')) AS chunk_fp
+      FROM c
+      WHERE (((doc_id * 1009 + chunk_id) % 1000003) * 2654435761) % 1000 < 300
+      ORDER BY doc_id, chunk_id""")),
+
     // ---- int8 embedding quantization -----------------------------------
     // Symmetric per-vector quantization (scale = 127/max|x|, q = round
     // (x*scale)) with reconstruction error — the storage-reduction step
