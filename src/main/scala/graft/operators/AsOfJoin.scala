@@ -84,4 +84,36 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(col(probeId), col(key), col("match_code"))
   }
+
+  /** [[asOfCode]] with a tolerance bound: a match older than `tolSecs`
+    * before the probe is nulled out. Because the as-of match is the
+    * *latest* at-or-before row, post-filtering it on age is equivalent
+    * to restricting the search to `[t - tol, t]` — same single-shuffle
+    * plan, no extra pass. `codeBase` is the per-second multiplier used
+    * to encode the source time into `code` (integer DIV recovers it;
+    * codes exceed 2^53, so double math would corrupt them).
+    */
+  def asOfCodeTol(
+      probes: DataFrame,
+      sources: DataFrame,
+      key: String,
+      timeCol: String,
+      probeId: String,
+      codeBase: Long,
+      tolSecs: Long): DataFrame = {
+    val p = probes.select(col(key), col(timeCol), lit(1).as("__side"),
+      lit(null).cast("long").as("code"), col(probeId))
+    val s = sources.select(col(key), col(timeCol), lit(0).as("__side"),
+      col("code"), lit(null).cast("long").as(probeId))
+    val w = Window.partitionBy(key)
+      .orderBy(col(timeCol), col("__side"), col("code"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(s)
+      .withColumn("match_code", max(col("code")).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("match_code",
+        when(col(timeCol) - expr(s"match_code DIV $codeBase") <= tolSecs,
+          col("match_code")))
+      .select(col(probeId), col(key), col("match_code"))
+  }
 }
