@@ -28,7 +28,7 @@ object LlmOps {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+  private[queries] def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(
       (System.identityHashCode(s), dir),
       _ => Dedup.jaccardPairs(t(s, dir, "documents"),
@@ -39,7 +39,7 @@ object LlmOps {
     * propagation) and q91 (large-star/small-star) — two implementations
     * of one operator, one ground truth.
     */
-  private val componentsOracle = """WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+  private[queries] val componentsOracle = """WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
         FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),

@@ -334,6 +334,607 @@ object Round3 {
       SELECT s.doc_id, s.n_shared, t.n_total,
         round(CAST(s.n_shared AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6) AS frac
       FROM shared s JOIN tot t ON s.doc_id = t.doc_id
-      WHERE s.n_shared >= 3 ORDER BY s.doc_id"""))
+      WHERE s.n_shared >= 3 ORDER BY s.doc_id""")),
+
+    // ---- binaryFile source (opaque-blob ingest) ------------------------
+    // Round-trips document text as raw .bin files through Spark's
+    // binaryFile source (the multimodal ingest path: path + length +
+    // content as binary). The write side is a driver loop because it
+    // seeds a tiny fixture; at scale blobs arrive in object storage and
+    // only the read path matters.
+    "q109_src_binaryfile" -> QueryDef(
+      (s, dir) => {
+        import java.nio.file.Files
+        val tmp = Files.createTempDirectory("graft_q109_").toFile
+        tmp.deleteOnExit()
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
+          .select("doc_id", "text").collect()
+        docs.foreach { r =>
+          Files.write(new java.io.File(tmp, s"doc_${r.getLong(0)}.bin").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+          .load(tmp.getAbsolutePath)
+          .select(regexp_extract(col("path"), "doc_([0-9]+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+            col("length").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id < 25 ORDER BY doc_id""")),
+
+    // ---- cumulative distinct users per day -----------------------------
+    // COUNT(DISTINCT) OVER a running frame is unsupported (and
+    // inherently unscalable); the distributed form: each user's first
+    // day (one hash agg), daily new-user counts (second hash agg),
+    // running sum over the tiny day spine.
+    "q111_win_cumulative_distinct" -> QueryDef(
+      (s, dir) => {
+        val firstDay = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), (col("sec") / lit(86400L)).cast("long").as("d"))
+          .groupBy("user_id").agg(min(col("d")).as("d"))
+        val w = Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstDay.groupBy("d").agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .orderBy("d")
+      },
+      Some(s"""WITH f AS (SELECT user_id,
+          MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS d
+        FROM events GROUP BY user_id),
+      byday AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY d)
+      SELECT d, new_users, CAST(SUM(new_users) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      FROM byday ORDER BY d""")),
+
+    // ---- interval-overlap sweep (max concurrency) ----------------------
+    // Classic +1/-1 boundary-event sweep: each event holds a 300 s
+    // half-open interval; running sum of deltas ordered by (time,
+    // delta) gives instantaneous concurrency; max per type. Within a
+    // tie group all deltas share a sign, so the partition max is
+    // order-independent — safe under any shuffle layout.
+    "q112_interval_overlap" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("event_type"), col("sec"))
+        val deltas = e.select(col("event_type"), col("sec").as("t"),
+            lit(1L).as("delta"))
+          .unionAll(e.select(col("event_type"),
+            (col("sec") + 300L).as("t"), lit(-1L).as("delta")))
+        val w = Window.partitionBy("event_type").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("conc", sum(col("delta")).over(w))
+          .groupBy("event_type")
+          .agg(max(col("conc")).as("max_concurrent"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type, ${Det.epochSecSql("ts")} AS sec
+        FROM events),
+      d AS (SELECT event_type, sec AS t, 1 AS delta FROM e
+        UNION ALL SELECT event_type, sec + 300, -1 FROM e),
+      c AS (SELECT event_type, SUM(delta) OVER (PARTITION BY event_type
+        ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS conc FROM d)
+      SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+      FROM c GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- as-of join with tolerance bound -------------------------------
+    // q12's as-of match, nulled when the matched click is more than
+    // 10 minutes old — same single-shuffle plan (see AsOfJoin
+    // .asOfCodeTol; the post-filter is equivalent to a bounded search).
+    "q113_join_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+        val probes = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), col("event_id"))
+        val srcs = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sec"),
+            (col("sec") * lit(100000000L) + col("event_id")).as("code"))
+        graft.operators.AsOfJoin
+          .asOfCodeTol(probes, srcs, "user_id", "sec", "event_id",
+            codeBase = 100000000L, tolSecs = 600L)
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+          ${Det.epochSecSql("ts")} AS sec FROM events),
+      p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, sec, sec*100000000 + event_id AS code
+        FROM e WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+        (SELECT max(c.code) FROM c WHERE c.user_id = p.user_id
+          AND c.sec BETWEEN p.sec - 600 AND p.sec) AS match_code
+      FROM p ORDER BY p.event_id""")),
+
+    // ---- column profiling (deequ-style stats in one scan) --------------
+    // One aggregation computes every column's null count / distinct /
+    // min / max, then unpivots to long form on the driver side of the
+    // plan (stack) — a single pass over the table regardless of column
+    // count, vs the naive one-scan-per-column loop.
+    "q115_profile" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val agg = c.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("nn_custkey"),
+          countDistinct(col("c_custkey")).as("nd_custkey"),
+          min(col("c_custkey")).cast("string").as("min_custkey"),
+          max(col("c_custkey")).cast("string").as("max_custkey"),
+          sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("nn_seg"),
+          countDistinct(col("c_mktsegment")).as("nd_seg"),
+          min(col("c_mktsegment")).as("min_seg"),
+          max(col("c_mktsegment")).as("max_seg"),
+          sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("nn_nat"),
+          countDistinct(col("c_nationkey")).as("nd_nat"),
+          min(col("c_nationkey")).cast("string").as("min_nat"),
+          max(col("c_nationkey")).cast("string").as("max_nat"))
+        agg.select(expr(
+          """stack(3,
+            'c_custkey', n_rows, nn_custkey, nd_custkey, min_custkey, max_custkey,
+            'c_mktsegment', n_rows, nn_seg, nd_seg, min_seg, max_seg,
+            'c_nationkey', n_rows, nn_nat, nd_nat, min_nat, max_nat)
+            AS (col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"""))
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
+        CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nd_custkey,
+        CAST(MIN(c_custkey) AS VARCHAR) AS min_custkey,
+        CAST(MAX(c_custkey) AS VARCHAR) AS max_custkey,
+        CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_seg,
+        CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd_seg,
+        MIN(c_mktsegment) AS min_seg, MAX(c_mktsegment) AS max_seg,
+        CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_nat,
+        CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nd_nat,
+        CAST(MIN(c_nationkey) AS VARCHAR) AS min_nat,
+        CAST(MAX(c_nationkey) AS VARCHAR) AS max_nat FROM customer)
+      SELECT u.* FROM a, LATERAL (VALUES
+        ('c_custkey', a.n_rows, a.nn_custkey, a.nd_custkey, a.min_custkey, a.max_custkey),
+        ('c_mktsegment', a.n_rows, a.nn_seg, a.nd_seg, a.min_seg, a.max_seg),
+        ('c_nationkey', a.n_rows, a.nn_nat, a.nd_nat, a.min_nat, a.max_nat))
+        AS u(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)
+      ORDER BY col_name""")),
+
+    // ---- linear regression (slope/intercept from exact sums) -----------
+    // regr_slope/regr_intercept recomputed from order-independent
+    // decimal sums, then one fixed double formula — bit-identical on
+    // any cluster layout, unlike the engines' internal streaming-moment
+    // implementations. Decimal widths are chosen int64-backed
+    // (DECIMAL(18,s)) with exactly-representable addends: int128-backed
+    // decimals (precision > 18) lose oracle parity once the unscaled
+    // sum exceeds 2^53, because the two engines' int128->double casts
+    // round differently (found empirically: 1-ulp divergence). x is
+    // integer-valued and y has 2 decimals, so scales 0/2 are lossless.
+    "q117_agg_regression" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x.cast(DecimalType(18, 0))).cast("double").as("sx"),
+            sum(y.cast(Det.D6)).cast("double").as("sy"),
+            sum((x * y).cast(DecimalType(18, 2))).cast("double").as("sxy"),
+            sum((x * x).cast(DecimalType(18, 0))).cast("double").as("sxx"))
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")))
+          .withColumn("intercept",
+            (col("sy") - col("slope") * col("sx")) / col("n"))
+          .select(col("l_returnflag"), col("slope"), col("intercept"),
+            col("n").cast("long").as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (SELECT l_returnflag,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+        CAST(n AS BIGINT) AS n
+      FROM a ORDER BY l_returnflag""")),
+
+    // ---- paragraph-level dedup (keep-first within the corpus) ----------
+    // Documents sliced into 16-word paragraphs; each distinct paragraph
+    // survives only in its first (doc_id, para_id) owner. One shuffle
+    // on the paragraph fingerprint; the survivor is an order-independent
+    // MIN over an encoded (doc, para) code — no window needed.
+    "q118_llm_paragraph_dedup" -> QueryDef(
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val paras = t(s, dir, "documents")
+          .select(col("doc_id"), words.as("w"), size(words).as("n"))
+          .select(col("doc_id"), col("w"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(16))))
+          .select(col("doc_id"), col("pos").cast("long").as("para_id"),
+            md5(concat_ws(" ", slice(col("w"), col("col") + 1, lit(16))))
+              .as("fp"))
+          .withColumn("code", col("doc_id") * 100000L + col("para_id"))
+        val survivors = paras.groupBy("fp")
+          .agg(min(col("code")).as("keep_code"))
+        paras.join(survivors, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("code") === col("keep_code"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w,
+          len(string_split(text, ' ')) AS n FROM documents),
+      p AS (SELECT doc_id, CAST(i.gen AS BIGINT) // 16 AS para_id,
+          md5(array_to_string(w[i.gen + 1 : i.gen + 16], ' ')) AS fp
+        FROM s, LATERAL (SELECT unnest(range(0, n, 16)) AS gen) i),
+      pc AS (SELECT doc_id, para_id, fp,
+          doc_id * 100000 + para_id AS code FROM p),
+      sur AS (SELECT fp, MIN(code) AS keep_code FROM pc GROUP BY fp)
+      SELECT pc.doc_id, COUNT(*) AS n_paras,
+        CAST(SUM(CASE WHEN pc.code = sur.keep_code THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept
+      FROM pc JOIN sur ON pc.fp = sur.fp
+      GROUP BY pc.doc_id ORDER BY pc.doc_id""")),
+
+    // ---- partitioned parquet sink + partition-pruned read --------------
+    // Hive-style partitionBy(year) write, then a read that prunes to
+    // one partition (the .explain shows PartitionFilters, not a full
+    // scan) — the layout that bounds every incremental job at 100 TB.
+    "q120_src_partitioned_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q120_").toFile
+        tmp.deleteOnExit()
+        t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("yr")
+          .parquet(tmp.getAbsolutePath)
+        s.read.parquet(tmp.getAbsolutePath)
+          .filter(col("yr") === 1996)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            Det.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders WHERE year(o_orderdate) = 1996
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- per-label centroids + outlier distances (k-means kernel) ------
+    // The assignment/update step of distributed k-means: centroids via
+    // exact-decimal per-dimension means (one shuffle on (label, dim)),
+    // distances via a second exact-decimal sum — bit-identical on any
+    // partitioning, then top-5 outliers per label.
+    "q121_llm_embedding_centroids" -> QueryDef(
+      (s, dir) => {
+        val wide = org.apache.spark.sql.types.DecimalType(28, 12)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"),
+            (col("pos") + 1).as("pos"), col("col").cast("double").as("v"))
+        val cent = e.groupBy("label", "pos")
+          .agg((sum(col("v").cast(Det.D6)).cast("double") / count(col("v")))
+            .as("c"))
+        val dist = e.join(cent, Seq("label", "pos"))
+          .withColumn("d2", (col("v") - col("c")) * (col("v") - col("c")))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("d2").cast(wide)).cast("double").as("dist2"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("dist2").desc, col("vec_id"))
+        dist.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("label").cast("long").as("label"),
+            col("vec_id"), col("dist2"))
+          .orderBy("label", "vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, i.i AS pos,
+          CAST(embedding[i.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+      cent AS (SELECT label, pos,
+          CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)/COUNT(v) AS c
+        FROM e GROUP BY label, pos),
+      d AS (SELECT e.vec_id, e.label,
+          CAST(SUM(CAST((v-c)*(v-c) AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+        FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+        GROUP BY e.vec_id, e.label),
+      r AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY dist2 DESC, vec_id) AS rn FROM d)
+      SELECT CAST(label AS BIGINT) AS label, vec_id, dist2
+      FROM r WHERE rn <= 5 ORDER BY label, vec_id""")),
+
+    // ---- event funnel (ordered-stage conversion) -----------------------
+    // view -> click -> purchase, each stage's timestamp bounded below
+    // by the previous stage (per user): three hash aggregations chained
+    // by broadcast-sized joins on user_id — no window over the raw
+    // event stream, so the plan scales with users, not events.
+    "q122_evt_funnel" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("event_type"), col("sec"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("sec").as("t1"))
+        val c = e.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+          .filter(col("e.sec") >= col("v.t1"))
+          .groupBy(col("e.user_id")).agg(min("sec").as("t2"))
+        val p = e.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+          .filter(col("e.sec") >= col("c.t2"))
+          .groupBy(col("e.user_id")).agg(min("sec").as("t3"))
+        v.agg(count(lit(1)).as("n")).select(lit("s1_view").as("stage"), col("n"))
+          .unionAll(c.agg(count(lit(1)).as("n"))
+            .select(lit("s2_click").as("stage"), col("n")))
+          .unionAll(p.agg(count(lit(1)).as("n"))
+            .select(lit("s3_purchase").as("stage"), col("n")))
+          .orderBy("stage")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type,
+          ${Det.epochSecSql("ts")} AS sec FROM events),
+      v AS (SELECT user_id, MIN(sec) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.sec) AS t2 FROM e
+        JOIN v ON e.user_id = v.user_id AND e.sec >= v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.sec) AS t3 FROM e
+        JOIN c ON e.user_id = c.user_id AND e.sec >= c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT stage, n FROM (
+        SELECT 's1_view' AS stage, COUNT(*) AS n FROM v
+        UNION ALL SELECT 's2_click', COUNT(*) FROM c
+        UNION ALL SELECT 's3_purchase', COUNT(*) FROM p)
+      ORDER BY stage""")),
+
+    // ---- near-dup cluster size distribution ----------------------------
+    // Analytics over the dedup graph: component sizes -> histogram.
+    // Reuses the shared (persisted) jaccard pair set and the same
+    // recursive-CTE ground truth as q76/q91.
+    "q123_llm_cluster_stats" -> QueryDef(
+      (s, dir) => {
+        val comps = graft.operators.Dedup
+          .components(LlmOps.jaccardPairsShared(s, dir))
+        comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(LlmOps.componentsOracle.replace(
+        "SELECT a AS doc_id, least(a, MIN(b)) AS comp\n      FROM r GROUP BY a ORDER BY doc_id",
+        """, comps AS (SELECT a AS doc_id, least(a, MIN(b)) AS comp FROM r GROUP BY a),
+      cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comps GROUP BY comp)
+      SELECT cluster_size, COUNT(*) AS n_clusters
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size"""))),
+
+    // ---- event-path pattern match (MATCH_RECOGNIZE-lite) ---------------
+    // Each user's ordered event initials collapse to one path string
+    // (one hash agg; the sort happens inside the per-user array, not
+    // over the event stream), then a regex classifies the journey.
+    "q124_evt_path_regex" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("l"))
+        e.groupBy("user_id")
+          .agg(concat_ws("", transform(
+            array_sort(collect_list(struct(col("sec"), col("event_id"), col("l")))),
+            x => x.getField("l"))).as("path"))
+          .select(when(col("path").rlike("v.*c.*p"), "converted")
+            .otherwise("other").as("journey"))
+          .groupBy("journey").agg(count(lit(1)).as("n_users"))
+          .orderBy("journey")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec,
+          event_id, substring(event_type, 1, 1) AS l FROM events),
+      p AS (SELECT user_id,
+          string_agg(l, '' ORDER BY sec, event_id) AS path
+        FROM e GROUP BY user_id)
+      SELECT CASE WHEN regexp_matches(path, 'v.*c.*p') THEN 'converted'
+                  ELSE 'other' END AS journey, COUNT(*) AS n_users
+      FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // ---- unpivot / melt (wide -> long) ---------------------------------
+    "q125_unpivot_melt" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("val")).as("total"))
+        .orderBy("metric"),
+      Some(s"""SELECT 'l_quantity' AS metric, COUNT(*) AS n,
+          ${dsumSql("l_quantity")} AS total FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', COUNT(*),
+          ${dsumSql("l_extendedprice")} FROM lineitem
+      UNION ALL SELECT 'l_discount', COUNT(*),
+          ${dsumSql("l_discount")} FROM lineitem
+      ORDER BY metric""")),
+
+    // ---- schema evolution across parquet snapshots ---------------------
+    // Two snapshot generations (the newer one adds a column) merged by
+    // mergeSchema=true; old rows surface NULL for the new column. The
+    // write is a fixture seed; the read path is the scored surface.
+    "q126_src_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q126_").toFile
+        tmp.deleteOnExit()
+        val o = t(s, dir, "orders")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        s.read.option("mergeSchema", "true").parquet(tmp.getAbsolutePath)
+          .groupBy(coalesce(col("o_orderpriority"), lit("(missing)")).as("prio"))
+          .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+          .orderBy("prio")
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+          ELSE '(missing)' END AS prio, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- gaps & islands (longest consecutive-day streak per user) ------
+    // The row_number-difference trick: within a user, consecutive days
+    // share (day - rank), so islands fall out of one window + one agg —
+    // two shuffles on user_id total, no self-join.
+    "q128_win_gap_islands" -> QueryDef(
+      (s, dir) => {
+        val days = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), (col("sec") / lit(86400L)).cast("long").as("d"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days.withColumn("island", col("d") - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max(col("len")).as("best_streak"),
+            sum(col("len")).cast("long").as("n_active_days"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH days AS (SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+      isl AS (SELECT user_id, d,
+          d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        FROM days),
+      runs AS (SELECT user_id, island, COUNT(*) AS len
+        FROM isl GROUP BY user_id, island)
+      SELECT user_id, MAX(len) AS best_streak,
+        CAST(SUM(len) AS BIGINT) AS n_active_days
+      FROM runs GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- period-over-period change (month-over-month revenue) ----------
+    // Exact-decimal monthly sums, then lag + one double division — the
+    // time-series shape where the series is tiny after aggregation, so
+    // the window costs nothing at any input scale.
+    "q129_ts_mom_change" -> QueryDef(
+      (s, dir) => {
+        val w = Window.orderBy("ym")
+        t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(Det.dsum(col("o_totalprice")).as("rev"))
+          .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .withColumn("pct_change",
+            (col("rev") - col("prev_rev")) / col("prev_rev"))
+          .orderBy("ym")
+      },
+      Some(s"""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+          ${dsumSql("o_totalprice")} AS rev FROM orders GROUP BY 1)
+      SELECT ym, rev, lag(rev) OVER (ORDER BY ym) AS prev_rev,
+        (rev - lag(rev) OVER (ORDER BY ym)) / lag(rev) OVER (ORDER BY ym)
+          AS pct_change
+      FROM m ORDER BY ym""")),
+
+    // ---- cohort retention (weekly) -------------------------------------
+    // cohort = user's first active week; retention = distinct users
+    // active k weeks later. Two hash aggs + a join on user_id — the
+    // standard retention-triangle shape, no event-stream window.
+    "q130_evt_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        val weeks = graft.sources.Events.load(s, dir)
+          .select(col("user_id"),
+            (col("sec") / lit(604800L)).cast("long").as("wk"))
+          .distinct()
+        val cohort = weeks.groupBy("user_id").agg(min("wk").as("cwk"))
+        weeks.join(cohort, "user_id")
+          .groupBy(col("cwk"), (col("wk") - col("cwk")).as("offset_wk"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cwk", "offset_wk")
+      },
+      Some(s"""WITH weeks AS (SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+      cohort AS (SELECT user_id, MIN(wk) AS cwk FROM weeks GROUP BY user_id)
+      SELECT c.cwk, w.wk - c.cwk AS offset_wk, COUNT(*) AS n_users
+      FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- feature scaling (z-score + min-max, ML preprocessing) ---------
+    // Group stats from exact decimal sums, broadcast back, then pure
+    // per-row IEEE arithmetic — bit-identical normalized features on
+    // any partitioning (the property a trainer's feature store needs).
+    // price^2 sums use DECIMAL(18,0): int64-backed for oracle parity
+    // (see q117's note) and tie-free (a 4-decimal square never ends in
+    // .5000 — 50 is not a quadratic residue mod 100, nor 5000 mod 10^4).
+    "q131_fn_zscore" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val stats = li.groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("l_extendedprice").cast(Det.D6)).cast("double").as("sx"),
+            sum((col("l_extendedprice") * col("l_extendedprice"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+              .cast("double").as("sxx"),
+            min(col("l_extendedprice")).as("mn"),
+            max(col("l_extendedprice")).as("mx"))
+        li.join(broadcast(stats), li("l_returnflag") === stats("flag"))
+          .select(col("l_partkey"), col("l_shipdate").cast("date").as("sd"),
+            col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+            ((col("l_extendedprice") - col("sx") / col("n"))
+              / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+                / (col("n") - 1))).as("z"),
+            ((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")))
+              .as("scaled"))
+          .orderBy("l_partkey", "sd", "l_orderkey", "ln")
+      },
+      Some("""WITH s AS (SELECT l_returnflag AS flag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,0)))
+            AS DOUBLE) AS sxx,
+          MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem GROUP BY 1)
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS sd, l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS ln,
+        (l_extendedprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z,
+        (l_extendedprice - mn) / (mx - mn) AS scaled
+      FROM lineitem JOIN s ON l_returnflag = s.flag
+      ORDER BY l_partkey, sd, l_orderkey, ln""")),
+
+    // ---- CSV bad-record handling (PERMISSIVE + corrupt-record column) --
+    // A deterministically corrupted CSV fixture (every 7th key gets a
+    // non-numeric field) read back in PERMISSIVE mode: malformed rows
+    // surface in _corrupt_record instead of killing the job — the
+    // ingest contract for dirty data at scale.
+    "q132_src_csv_badrecords" -> QueryDef(
+      (s, dir) => {
+        import java.nio.file.Files
+        val tmp = Files.createTempDirectory("graft_q132_").toFile
+        tmp.deleteOnExit()
+        val rows = t(s, dir, "customer").filter(col("c_custkey") < 100)
+          .select("c_custkey", "c_acctbal").collect()
+        val lines = rows.map { r =>
+          val k = r.getLong(0)
+          if (k % 7 == 0) s"$k,not_a_number" else s"$k,${r.getDouble(1)}"
+        }
+        Files.write(new java.io.File(tmp, "part.csv").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_acctbal",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType)))
+        // Spark refuses plans whose scan materializes ONLY the corrupt
+        // column (column pruning strips everything else from this
+        // aggregate); the documented workaround is caching the parsed
+        // frame so all columns materialize once.
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(tmp.getAbsolutePath)
+          .cache()
+        parsed
+          .select(when(col("_corrupt_record").isNull, "good")
+            .otherwise("bad").as("kind"))
+          .groupBy("kind").agg(count(lit(1)).as("n"))
+          .orderBy("kind")
+      },
+      Some("""SELECT CASE WHEN c_custkey % 7 = 0 THEN 'bad' ELSE 'good' END
+          AS kind, COUNT(*) AS n
+      FROM customer WHERE c_custkey < 100 GROUP BY 1 ORDER BY 1"""))
   )
 }

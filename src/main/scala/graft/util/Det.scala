@@ -15,6 +15,14 @@ import org.apache.spark.sql.types.DecimalType
   * (same IEEE nearest-rounding both sides). Result: bit-identical doubles
   * regardless of partitioning — also the property that keeps results
   * stable between local[32] and a 1000-executor cluster.
+  *
+  * WIDTH RULE (found empirically, round 3): stay int64-backed —
+  * precision <= 18. DECIMAL(p>18) is int128-backed in DuckDB, and once
+  * the unscaled sum exceeds 2^53 the two engines' int128->double casts
+  * round differently (observed 1-ulp divergence on a DECIMAL(28,6)
+  * sum of price^2). For wider addends, lower the scale until the
+  * addend is still exactly representable (integers -> scale 0,
+  * 2-decimal money -> scale 2) instead of raising the precision.
   */
 object Det {
   val D6: DecimalType = DecimalType(18, 6)
