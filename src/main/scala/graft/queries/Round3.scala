@@ -834,12 +834,15 @@ object Round3 {
     // standard retention-triangle shape, no event-stream window.
     "q130_evt_cohort_retention" -> QueryDef(
       (s, dir) => {
+        // cohort via min-over-window instead of agg+self-join: the
+        // distinct and the window share one hashpartitioning(user_id)
+        // exchange, so the whole retention triangle is two shuffles.
         val weeks = graft.sources.Events.load(s, dir)
           .select(col("user_id"),
             (col("sec") / lit(604800L)).cast("long").as("wk"))
           .distinct()
-        val cohort = weeks.groupBy("user_id").agg(min("wk").as("cwk"))
-        weeks.join(cohort, "user_id")
+        val cwk = min(col("wk")).over(Window.partitionBy("user_id"))
+        weeks.withColumn("cwk", cwk)
           .groupBy(col("cwk"), (col("wk") - col("cwk")).as("offset_wk"))
           .agg(count(lit(1)).as("n_users"))
           .orderBy("cwk", "offset_wk")
@@ -935,6 +938,104 @@ object Round3 {
       },
       Some("""SELECT CASE WHEN c_custkey % 7 = 0 THEN 'bad' ELSE 'good' END
           AS kind, COUNT(*) AS n
-      FROM customer WHERE c_custkey < 100 GROUP BY 1 ORDER BY 1"""))
+      FROM customer WHERE c_custkey < 100 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- VARIANT semi-structured path (Spark 4) ------------------------
+    // parse_json -> VariantType -> typed variant_get: the
+    // shred-at-read path for semi-structured columns (vs q35's
+    // string-walking get_json_object). Same oracle surface.
+    "q133_fn_variant" -> QueryDef(
+      (s, dir) => graft.sources.Events.load(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k_val"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          try_variant_get(col("v"), "$.missing", "string").as("miss"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        json_extract_string(props, '$.k') AS k_str,
+        json_extract_string(props, '$.missing') AS miss
+      FROM events ORDER BY event_id""")),
+
+    // ---- time-weighted average (irregular time series) -----------------
+    // Each observation holds until the next one (per user): weight =
+    // seconds to successor via lead(), then exact-decimal weighted
+    // sums — one window shuffle + one hash agg.
+    "q134_ts_time_weighted_avg" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"), col("value"))
+          .withColumn("dt",
+            (lead(col("sec"), 1).over(w) - col("sec")).cast("double"))
+          .filter(col("dt").isNotNull && col("dt") > 0)
+          .groupBy("user_id")
+          .agg(Det.dsum(col("value") * col("dt")).as("vw"),
+            Det.dsum(col("dt")).as("tw"))
+          .select(col("user_id"), (col("vw") / col("tw")).as("twa"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH o AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec,
+          event_id, value FROM events),
+      d AS (SELECT user_id, value, CAST(lead(sec) OVER (PARTITION BY user_id
+          ORDER BY sec, event_id) - sec AS DOUBLE) AS dt FROM o)
+      SELECT user_id,
+        ${dsumSql("value * dt")} / ${dsumSql("dt")} AS twa
+      FROM d WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- TPC-H Q10-ish: returned-item revenue by customer --------------
+    // 4-way join with the two small dims broadcast; one shuffle pair
+    // for the fact-fact join, one for the aggregation; top-20 via
+    // TakeOrderedAndProject (no global sort).
+    "q135_tpch_q10ish" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+        ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- TPC-H Q12-ish: order-priority counts by ship bucket -----------
+    // Conditional aggregation over one join — the CASE pushes into the
+    // aggregate, so the whole query is a single shuffle after the join.
+    "q136_tpch_q12ish" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("l_quantity") < 25).cast("string").as("small_ship"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+          .orderBy("small_ship")
+      },
+      Some("""SELECT CAST(l_quantity < 25 AS VARCHAR) AS small_ship,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
