@@ -40,4 +40,20 @@ object Upsert {
     outDir.foreach(o => merged.write.mode("overwrite").parquet(o))
     merged
   }
+
+  /** Full CDC apply (MERGE with deletes): `changes` carries an `opCol`
+    * with 'U' (upsert) or 'D' (delete). Targets keyed by any changed
+    * key drop out via one anti-join; upserts union back in. Same
+    * single-shuffle shape as [[mergeByKey]] — deletes are free because
+    * the anti-join already removes every changed key.
+    */
+  def applyCdc(
+      target: DataFrame,
+      changes: DataFrame,
+      key: String,
+      opCol: String): DataFrame = {
+    val upserts = changes.filter(col(opCol) === "U").drop(opCol)
+    target.join(changes.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -1036,6 +1036,151 @@ object Round3 {
         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- CDC apply (MERGE with updates AND deletes) --------------------
+    // A deterministic change feed (every 7th key deleted, every 5th
+    // repriced) applied through Upsert.applyCdc: one anti-join removes
+    // all changed keys, upserts union back — deletes cost nothing
+    // beyond the anti-join the merge already pays.
+    "q137_merge_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val target = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val changes = target
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0
+            || pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("op",
+            when(pmod(col("o_orderkey"), lit(7)) === 0, "D").otherwise("U"))
+          .withColumn("o_totalprice",
+            when(col("op") === "U", col("o_totalprice") + 1000.0)
+              .otherwise(col("o_totalprice")))
+        graft.pipeline.Upsert.applyCdc(target, changes, "o_orderkey", "op")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH merged AS (SELECT o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS total
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- hierarchical traversal (recursive-CTE replacement) ------------
+    // Synthetic parent pointers (parent = key DIV 7) walked to the
+    // root by operators.Hierarchy: a driver loop of frontier
+    // self-joins, rounds = max depth (switch to pointer-doubling past
+    // ~20 levels). Scored against DuckDB's native WITH RECURSIVE.
+    "q138_hierarchy_depth" -> QueryDef(
+      (s, dir) => {
+        val edges = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            expr("c_custkey DIV 7").as("parent"))
+        graft.operators.Hierarchy.depths(edges)
+          .groupBy(col("d").as("depth"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("depth")
+      },
+      Some("""WITH RECURSIVE walk AS (
+        SELECT c_custkey AS id, c_custkey // 7 AS cur, CAST(1 AS BIGINT) AS d
+        FROM customer
+        UNION ALL
+        SELECT id, cur // 7, d + 1 FROM walk WHERE cur > 0)
+      SELECT d AS depth, COUNT(*) AS n FROM walk WHERE cur = 0
+      GROUP BY d ORDER BY d""")),
+
+    // ---- point-in-time join (SCD2 lookup) ------------------------------
+    // Each lineitem priced under the priority its customer had as of
+    // the ship date: one broadcast equi-join to attach the customer,
+    // then the as-of union+window directly over the fact rows — a
+    // single shuffle of the facts on the dimension key. (A distinct-
+    // probe + re-join variant measured ~2x slower here: its extra two
+    // fact shuffles cost more than the smaller window saves.)
+    "q139_join_point_in_time" -> QueryDef(
+      (s, dir) => {
+        val changes = t(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            col("o_orderdate").cast("date").as("d"),
+            col("o_orderkey"), col("o_orderpriority").as("prio"))
+        val facts = t(s, dir, "lineitem").as("l")
+          .join(broadcast(t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey")).as("o"),
+            col("l.l_orderkey") === col("o.o_orderkey"))
+          .select(col("o.o_custkey").as("cust"),
+            col("l.l_shipdate").cast("date").as("d"),
+            col("l.l_extendedprice"))
+        val matched = graft.operators.AsOfJoin
+          .asOf(facts, changes, "cust", "d", "o_orderkey", Seq("prio"))
+        // ships can predate the first change in this synthetic data, so
+        // unmatched facts keep a '(none)' sentinel on both sides
+        matched
+          .groupBy(coalesce(col("prio"), lit("(none)")).as("prio"))
+          .agg(count(lit(1)).as("n"),
+            Det.dsum(col("l_extendedprice")).as("total"))
+          .orderBy("prio")
+      },
+      Some(s"""WITH changes AS (SELECT o_custkey AS cust,
+          CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio,
+          (CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) * 1000000
+            + o_orderkey AS code
+        FROM orders),
+      facts AS (SELECT o_custkey AS cust, CAST(l_shipdate AS DATE) AS d,
+          l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      probes AS (SELECT DISTINCT cust, d FROM facts),
+      m AS (SELECT p.cust, p.d, MAX(c.code) AS mc
+        FROM probes p LEFT JOIN changes c ON p.cust = c.cust AND c.d <= p.d
+        GROUP BY p.cust, p.d),
+      pm AS (SELECT m.cust, m.d, c.prio
+        FROM m LEFT JOIN changes c ON c.code = m.mc)
+      SELECT COALESCE(pm.prio, '(none)') AS prio, COUNT(*) AS n,
+        ${dsumSql("f.l_extendedprice")} AS total
+      FROM facts f JOIN pm ON f.cust = pm.cust AND f.d = pm.d
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- typed cogroup (custom per-key merge of two datasets) ----------
+    // KeyValueGroupedDataset.cogroup: both sides hash-partition on the
+    // key once, then arbitrary JVM logic sees each key's two iterators
+    // — the escape hatch when per-key merge logic outgrows SQL. Here:
+    // views before each user's first purchase (scored against the
+    // equivalent relational form).
+    "q140_cogroup_typed" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("sec"), col("event_type"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id").as[Long], col("sec").as[Long])
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as[Long], col("sec").as[Long])
+        views.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) {
+          (uid, vs, ps) =>
+            val firstP = ps.map(_._2).minOption
+            val vsecs = vs.map(_._2)
+            val n = firstP match {
+              case Some(fp) => vsecs.count(_ < fp).toLong
+              case None => vsecs.size.toLong
+            }
+            Iterator((uid, n, if (firstP.isDefined) "yes" else "no"))
+        }.toDF("user_id", "n_views_before", "purchased")
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec,
+          event_type FROM events),
+      v AS (SELECT user_id, sec FROM e WHERE event_type = 'view'),
+      p AS (SELECT user_id, MIN(sec) AS fp FROM e
+        WHERE event_type = 'purchase' GROUP BY user_id),
+      keys AS (SELECT DISTINCT user_id FROM e
+        WHERE event_type IN ('view', 'purchase')),
+      a AS (SELECT k.user_id, p.fp FROM keys k
+        LEFT JOIN p ON k.user_id = p.user_id)
+      SELECT a.user_id,
+        CAST(COUNT(v.sec) AS BIGINT) AS n_views_before,
+        CASE WHEN a.fp IS NULL THEN 'no' ELSE 'yes' END AS purchased
+      FROM a LEFT JOIN v ON v.user_id = a.user_id
+        AND (a.fp IS NULL OR v.sec < a.fp)
+      GROUP BY a.user_id, a.fp ORDER BY a.user_id"""))
   )
 }
