@@ -190,9 +190,16 @@ object Round2 {
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        // document frequency from its own cheap scan (distinct tokens
+        // per doc), NOT derived from tf: the vocabulary is tiny, so
+        // broadcasting it saves re-shuffling all tf rows on tok — and
+        // an independent subtree avoids recomputing tf for the build
+        // side (no mid-query persist needed).
+        val dfreq = docs
+          .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nDocs))
           .withColumn("score",
             col("tf").cast("double")
               * (col("n_docs").cast("double") / col("df")))
