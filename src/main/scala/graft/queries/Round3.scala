@@ -1181,6 +1181,100 @@ object Round3 {
         CASE WHEN a.fp IS NULL THEN 'no' ELSE 'yes' END AS purchased
       FROM a LEFT JOIN v ON v.user_id = a.user_id
         AND (a.fp IS NULL OR v.sec < a.fp)
-      GROUP BY a.user_id, a.fp ORDER BY a.user_id"""))
+      GROUP BY a.user_id, a.fp ORDER BY a.user_id""")),
+
+    // ---- burst dedup (batch twin of dropDuplicatesWithinWatermark) -----
+    // Keep the first event of each (user, type) burst: a new burst
+    // starts when the gap to the previous same-key event exceeds 10
+    // minutes. One window shuffle on the key — the batch semantics of
+    // streaming's within-watermark dedup, verifiable by oracle.
+    "q141_evt_dedup_burst" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("sec", "event_id")
+        graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+          .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+          .filter(col("gap").isNull || col("gap") > 600)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_bursts"))
+          .orderBy("user_id", "event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+          ${Det.epochSecSql("ts")} AS sec FROM events),
+      g AS (SELECT user_id, event_type,
+          sec - lag(sec) OVER (PARTITION BY user_id, event_type
+            ORDER BY sec, event_id) AS gap FROM e)
+      SELECT user_id, event_type, COUNT(*) AS n_bursts
+      FROM g WHERE gap IS NULL OR gap > 600
+      GROUP BY user_id, event_type ORDER BY user_id, event_type""")),
+
+    // ---- percent-of-total contribution (ratio_to_report) ---------------
+    // Each nation's share of its region's revenue: exact-decimal
+    // region sums via a window over the aggregated (tiny) frame, then
+    // one IEEE division — the aggregate-then-window shape keeps the
+    // window off the fact table entirely.
+    "q142_win_percent_of_total" -> QueryDef(
+      (s, dir) => {
+        val rev = t(s, dir, "customer").as("c")
+          .join(t(s, dir, "orders").as("o"),
+            col("c.c_custkey") === col("o.o_custkey"))
+          .join(broadcast(t(s, dir, "nation")).as("n"),
+            col("c.c_nationkey") === col("n.n_nationkey"))
+          .join(broadcast(t(s, dir, "region")).as("r"),
+            col("n.n_regionkey") === col("r.r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(Det.dsum(col("o_totalprice")).as("rev"))
+        val w = Window.partitionBy("r_name")
+        rev.withColumn("region_rev", sum(col("rev").cast(Det.D6)).over(w)
+            .cast("double"))
+          .withColumn("share", col("rev") / col("region_rev"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""WITH rev AS (SELECT r_name, n_name,
+          ${dsumSql("o_totalprice")} AS rev
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, rev,
+        CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY r_name)
+          AS DOUBLE) AS region_rev,
+        rev / CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY r_name)
+          AS DOUBLE) AS share
+      FROM rev ORDER BY r_name, n_name""")),
+
+    // ---- fuzzy matching (blocked Levenshtein) --------------------------
+    // Edit-distance candidate pairs over documents, blocked by
+    // (lang, length bucket) so the quadratic comparison runs inside
+    // small blocks — the standard entity-resolution shape: block,
+    // compare, threshold. levenshtein() is the same integer DP in both
+    // engines.
+    "q143_llm_fuzzy_match" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") / lit(64)).cast("long").as("lb"),
+            substring(col("text"), 1, 24).as("pfx"))
+        val a = d.select(col("doc_id").as("da"), col("lang"),
+          col("lb"), col("pfx").as("pa"))
+        val b = d.select(col("doc_id").as("db"), col("lang"),
+          col("lb"), col("pfx").as("pb"))
+        a.join(b, Seq("lang", "lb"))
+          .filter(col("da") < col("db"))
+          .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+          .filter(col("dist") <= 6)
+          .select("da", "db", "dist")
+          .orderBy("da", "db")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars // 64 AS lb,
+          substring(text, 1, 24) AS pfx FROM documents)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb
+        AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 6
+      ORDER BY da, db"""))
   )
 }
