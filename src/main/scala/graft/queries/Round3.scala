@@ -1275,6 +1275,47 @@ object Round3 {
       FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb
         AND a.doc_id < b.doc_id
       WHERE levenshtein(a.pfx, b.pfx) <= 6
-      ORDER BY da, db"""))
+      ORDER BY da, db""")),
+
+    // ---- discrete percentile (no interpolation) ------------------------
+    // percentile_disc returns an actual data value (vs q17's
+    // interpolating percentile_cont) — exact-match-safe for any double
+    // column because nothing is computed, only selected.
+    "q144_agg_percentile_disc" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p50_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+        quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        quantile_disc(o_totalprice, 0.9) AS p90_disc,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- grouping_id over rollup (subtotal-level marker) ---------------
+    "q145_agg_grouping_id" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q145_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+            CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+            CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            COUNT(*) AS n
+          FROM q145_lineitem
+          GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY gid, l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus"""))
   )
 }

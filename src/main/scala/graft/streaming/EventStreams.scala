@@ -144,6 +144,16 @@ object EventStreams {
   /** Drain a stream into an in-memory table and return it (test/dev
     * helper — processes everything currently available, then stops).
     */
+  /** Stream–static enrichment: the unbounded stream broadcast-joins a
+    * bounded dimension each micro-batch — no state, no watermark
+    * needed on the static side. The standard lookup-table pattern;
+    * at scale the dim re-broadcasts per batch, so pin it with
+    * `.persist()` when it is expensive to produce.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   def runToMemory(df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory")

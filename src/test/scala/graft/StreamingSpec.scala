@@ -115,4 +115,21 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("count") > 1).count()
     assert(n == 0)
   }
+
+  test("stream-static enrichment matches the batch join") {
+    val dim = Events.load(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", concat(lit("c"), pmod(col("user_id"), lit(5))))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.enrichWithStatic(
+        streamEvents.select("event_id", "user_id"), dim, "user_id"),
+      "t_enrich", mode = "append")
+      .groupBy("cohort").count()
+      .collect().map(_.toString).sorted
+    val batch = Events.load(spark, sf)
+      .select("event_id", "user_id").join(dim, "user_id")
+      .groupBy("cohort").count()
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
 }
