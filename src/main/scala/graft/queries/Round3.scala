@@ -1316,6 +1316,67 @@ object Round3 {
         COUNT(*) AS n
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
-      ORDER BY gid, l_returnflag, l_linestatus"""))
+      ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // ---- multimodal decode metadata, ORACLED ---------------------------
+    // q51's mapPartitions decode path scored exactly: the synthetic
+    // payload is unhex(md5(text)), so the oracle re-derives each byte
+    // from the md5 hex digits with integer arithmetic and applies the
+    // same stub header-decode formula. (The wrapping-Long checksum
+    // stays rows-only in q51 — Java wraparound has no portable SQL
+    // twin; width/height/n_bytes are the decode contract.)
+    "q146_mm_decode_meta" -> QueryDef(
+      (s, dir) => graft.multimodal.Multimodal
+        .featuresDF(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      b AS (SELECT doc_id, ${Round3.hexByteSql("hx", 0)} AS b0,
+          ${Round3.hexByteSql("hx", 1)} AS b1 FROM h)
+      SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
+        CAST(16 + (b0 % 16) * 16 AS BIGINT) AS width,
+        CAST(16 + (b1 % 16) * 16 AS BIGINT) AS height
+      FROM b ORDER BY doc_id""")),
+
+    // ---- multimodal frame sampling, ORACLED ----------------------------
+    // frameSample slices each payload into 4-byte frames and keeps
+    // every 2nd; with 4-byte frames the 31-polynomial checksum stays
+    // far inside int64, so the oracle computes it exactly from the
+    // same md5 bytes — the full flatMap fan-out path scored.
+    "q147_mm_frame_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.multimodal.Multimodal.frameSample(
+          graft.multimodal.Multimodal.syntheticMedia(
+            Tables.load(s, dir, "documents")),
+          frameBytes = 4, everyN = 2)
+          .toDF()
+          .orderBy("doc_id", "frame_no")
+      },
+      Some {
+        val bytes = (0 until 16)
+          .map(i => s"${Round3.hexByteSql("hx", i)} AS b$i").mkString(", ")
+        def ck(f: Int) = {
+          val b = (0 until 4).map(j => s"b${4 * f + j}")
+          s"((${b(0)} * 31 + ${b(1)}) * 31 + ${b(2)}) * 31 + ${b(3)}"
+        }
+        s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        b AS (SELECT doc_id, $bytes FROM h),
+        f AS (SELECT doc_id, CAST(0 AS BIGINT) AS frame_no,
+            CAST(${ck(0)} AS BIGINT) AS checksum FROM b
+          UNION ALL
+          SELECT doc_id, CAST(2 AS BIGINT), CAST(${ck(2)} AS BIGINT) FROM b)
+        SELECT doc_id, frame_no, CAST(4 AS BIGINT) AS n_bytes, checksum
+        FROM f ORDER BY doc_id, frame_no"""
+      })
   )
+
+  /** Oracle helper: byte `i` (0-based) of a lowercase hex string column
+    * as integer arithmetic DuckDB evaluates exactly.
+    */
+  def hexByteSql(hexCol: String, i: Int): String = {
+    def nib(pos: Int) =
+      s"(instr('0123456789abcdef', substring($hexCol, $pos, 1)) - 1)"
+    s"(${nib(2 * i + 1)} * 16 + ${nib(2 * i + 2)})"
+  }
 }
