@@ -1368,7 +1368,39 @@ object Round3 {
           SELECT doc_id, CAST(2 AS BIGINT), CAST(${ck(2)} AS BIGINT) FROM b)
         SELECT doc_id, frame_no, CAST(4 AS BIGINT) AS n_bytes, checksum
         FROM f ORDER BY doc_id, frame_no"""
-      })
+      }),
+
+    // ---- stream-static enrichment, SCORED ------------------------------
+    // The unbounded event stream broadcast-joins a static cohort
+    // dimension per micro-batch (no stream state), aggregates, and
+    // lands in a memory sink — scored against the equivalent batch
+    // SQL. The lookup-enrichment shape every ingest pipeline runs.
+    "q148_stream_enrich" -> QueryDef(
+      (s, dir) => {
+        graft.sources.Events.load(s, dir)
+        val src = s.readStream
+          .schema(Tables.load(s, dir, "events").schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .select(col("event_id"), col("user_id"))
+        val dim = graft.sources.Events.load(s, dir)
+          .select("user_id").distinct()
+          .withColumn("cohort",
+            concat(lit("c"), pmod(col("user_id"), lit(4L))))
+        val qname = "q148_stream_enrich_sink"
+        val q = graft.streaming.EventStreams
+          .enrichWithStatic(src, dim, "user_id")
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .groupBy("cohort").agg(count(lit(1)).as("n"))
+          .orderBy("cohort")
+      },
+      Some("""SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS cohort,
+        COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Oracle helper: byte `i` (0-based) of a lowercase hex string column
