@@ -1400,7 +1400,51 @@ object Round3 {
       },
       Some("""SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS cohort,
         COUNT(*) AS n
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- bigram language-model scoring (statistical fluency) -----------
+    // A corpus-trained bigram model scores each document by its mean
+    // transition probability P(w2|w1) = c(w1,w2)/c(w1·) — the KenLM-
+    // style quality signal without logs (libm ln is not bit-portable;
+    // the probability ratios are exact integer divisions and the mean
+    // is an exact decimal sum, so the score is bit-identical). Doc
+    // bigrams come from arrays_zip of shifted slices — stateless, no
+    // window over the token stream; the model tables are vocabulary-
+    // sized and broadcast.
+    "q149_llm_bigram_score" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val words = split(col("text"), " ")
+        val bigrams = docs.select(col("doc_id"), words.as("w"))
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+            slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bigrams
+          .join(broadcast(c2), Seq("w1", "w2"))
+          .join(broadcast(c1), Seq("w1"))
+          .withColumn("p", col("c2").cast("double") / col("c1").cast("double"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (Det.dsum(col("p")) / count(lit(1))).as("fluency"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      bg AS (SELECT doc_id, w[i.i] AS w1, w[i.i+1] AS w2
+        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i
+        WHERE i.i + 1 <= len(w)),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      p AS (SELECT bg.doc_id,
+          CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+        FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        JOIN c1 ON bg.w1 = c1.w1)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ${dsumSql("p")} / COUNT(*) AS fluency
+      FROM p GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** Oracle helper: byte `i` (0-based) of a lowercase hex string column
