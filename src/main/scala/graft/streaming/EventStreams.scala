@@ -141,9 +141,6 @@ object EventStreams {
         col("l_id") =!= col("r_id"))
   }
 
-  /** Drain a stream into an in-memory table and return it (test/dev
-    * helper — processes everything currently available, then stops).
-    */
   /** Stream–static enrichment: the unbounded stream broadcast-joins a
     * bounded dimension each micro-batch — no state, no watermark
     * needed on the static side. The standard lookup-table pattern;
@@ -154,6 +151,9 @@ object EventStreams {
       key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  /** Drain a stream into an in-memory table and return it (test/dev
+    * helper — processes everything currently available, then stops).
+    */
   def runToMemory(df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory")
