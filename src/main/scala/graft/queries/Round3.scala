@@ -1444,7 +1444,31 @@ object Round3 {
         JOIN c1 ON bg.w1 = c1.w1)
       SELECT doc_id, COUNT(*) AS n_bigrams,
         ${dsumSql("p")} / COUNT(*) AS fluency
-      FROM p GROUP BY doc_id ORDER BY doc_id"""))
+      FROM p GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- dataset card (corpus summary in one scan) ---------------------
+    // The one-row statistics block a training-data release publishes:
+    // size, language/source diversity, exact-duplicate rate — one
+    // aggregation pass, countDistincts expanded by Spark into a single
+    // multi-distinct plan.
+    "q150_llm_dataset_card" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"))
+        .withColumn("dup_rate",
+          (col("n_docs") - col("n_unique_texts")).cast("double")
+            / col("n_docs").cast("double")),
+      Some("""SELECT COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+      FROM documents"""))
   )
 
   /** Oracle helper: byte `i` (0-based) of a lowercase hex string column
