@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Hierarchy {
 
+  /** Depth reported for nodes whose walk cannot finish: a parent
+    * pointer references an id absent from `edges` (dangling), or the
+    * chain is still unresolved after `maxRounds` (cycle or
+    * deeper-than-bound hierarchy). Rows never vanish silently.
+    */
+  val Unresolved: Long = -1L
+
   /** Depth of each node above the root sentinel (parent == 0 means the
-    * node is a root at depth 1). `edges` columns: id, parent.
+    * node is a root at depth 1). `edges` columns: id, parent. Nodes
+    * with a dangling parent chain or unfinished after `maxRounds`
+    * surface with depth [[Unresolved]] instead of being dropped.
     */
   def depths(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     var frontier = edges.select(col("id"), col("parent").as("cur"),
@@ -23,15 +32,24 @@ object Hierarchy {
     frontier = frontier.filter(col("cur") =!= 0)
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
+      // left join: a frontier row whose cur matches no edge id is a
+      // dangling pointer — emit it with the sentinel rather than let an
+      // inner join erase it.
       val stepped = frontier.as("f")
-        .join(edges.as("e"), col("f.cur") === col("e.id"))
+        .join(edges.as("e"), col("f.cur") === col("e.id"), "left")
         .select(col("f.id"), col("e.parent").as("cur"),
-          (col("f.d") + 1).as("d"))
-      done = done.unionByName(
-        stepped.filter(col("cur") === 0).select("id", "d"))
-      frontier = stepped.filter(col("cur") =!= 0)
+          (col("f.d") + 1).as("d"), col("e.id").isNull.as("dangling"))
+      done = done
+        .unionByName(stepped.filter(col("dangling"))
+          .select(col("id"), lit(Unresolved).as("d")))
+        .unionByName(stepped
+          .filter(!col("dangling") && col("cur") === 0).select("id", "d"))
+      frontier = stepped.filter(!col("dangling") && col("cur") =!= 0)
+        .select("id", "cur", "d")
       round += 1
     }
-    done
+    // chains still open after maxRounds (cycle, or depth > bound):
+    // surface with the sentinel instead of silently dropping.
+    done.unionByName(frontier.select(col("id"), lit(Unresolved).as("d")))
   }
 }

@@ -112,7 +112,7 @@ object Extra {
     // explicit schema — values must survive exactly.
     "q58_src_csv_roundtrip" -> QueryDef(
       (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_csv").toString
+        val tmp = graft.util.Scratch.dir("graft_csv")
         t(s, dir, "nation")
           .select(col("n_nationkey").cast("long"), col("n_name"),
             col("n_regionkey").cast("long"))
@@ -131,7 +131,7 @@ object Extra {
 
     "q59_src_json_roundtrip" -> QueryDef(
       (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_json").toString
+        val tmp = graft.util.Scratch.dir("graft_json")
         t(s, dir, "region")
           .select(col("r_regionkey").cast("long"), col("r_name"))
           .write.mode("overwrite").json(tmp)

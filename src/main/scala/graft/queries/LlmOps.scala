@@ -35,11 +35,13 @@ object LlmOps {
           "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Recursive-CTE connected-components oracle shared by q76 (label
-    * propagation) and q91 (large-star/small-star) — two implementations
-    * of one operator, one ground truth.
+  /** Recursive-CTE prefix computing the near-dup edge closure `r` —
+    * shared verbatim by the per-doc component oracle below (q76/q91)
+    * and q123's cluster-size tail, which concatenate their own final
+    * SELECT onto it (no string surgery: the tails are appended, so a
+    * whitespace drift in the prefix can't silently no-op a replace).
     */
-  private[queries] val componentsOracle = """WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+  private[queries] val componentsClosureCte = """WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
         FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
@@ -53,7 +55,13 @@ object LlmOps {
       r AS (
         SELECT a, b FROM e
         UNION
-        SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+        SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)"""
+
+  /** Connected-components oracle shared by q76 (label propagation) and
+    * q91 (large-star/small-star) — two implementations of one operator,
+    * one ground truth.
+    */
+  private[queries] val componentsOracle = componentsClosureCte + """
       SELECT a AS doc_id, least(a, MIN(b)) AS comp
       FROM r GROUP BY a ORDER BY doc_id"""
 

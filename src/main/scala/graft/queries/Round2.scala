@@ -335,7 +335,7 @@ object Round2 {
     // ---- ORC source/sink roundtrip -------------------------------------
     "q89_src_orc_roundtrip" -> QueryDef(
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val tmp = graft.util.Scratch.dir("graft_orc")
         t(s, dir, "supplier")
           .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
             col("s_nationkey").cast("long").as("s_nationkey"))
@@ -391,7 +391,7 @@ object Round2 {
     // ---- XML source/sink roundtrip (Spark 4 native spark-xml) ----------
     "q97_src_xml_roundtrip" -> QueryDef(
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+        val tmp = graft.util.Scratch.dir("graft_xml")
         t(s, dir, "region")
           .select(col("r_regionkey").cast("long").as("r_regionkey"),
             col("r_name"))
@@ -414,7 +414,7 @@ object Round2 {
     // one line per record, read back with spark.read.text, re-parse.
     "q98_src_text_roundtrip" -> QueryDef(
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+        val tmp = graft.util.Scratch.dir("graft_text")
         t(s, dir, "nation")
           .select(concat_ws("|", col("n_nationkey").cast("string"),
             col("n_name")).as("value"))

@@ -345,8 +345,7 @@ object Round3 {
     "q109_src_binaryfile" -> QueryDef(
       (s, dir) => {
         import java.nio.file.Files
-        val tmp = Files.createTempDirectory("graft_q109_").toFile
-        tmp.deleteOnExit()
+        val tmp = new java.io.File(graft.util.Scratch.dir("graft_q109_"))
         val docs = t(s, dir, "documents").filter(col("doc_id") < 25)
           .select("doc_id", "text").collect()
         docs.foreach { r =>
@@ -428,18 +427,21 @@ object Round3 {
           .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
         val probes = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("sec"), col("event_id"))
+        // code packs (sec, event_id); the 1e9 base is the key-domain
+        // ceiling (event_id < 1e9 holds through ~1e9 events) and the
+        // int64 ceiling (epoch-sec ~1.8e9 * 1e9 < 2^63; 1e10 overflows)
         val srcs = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("sec"),
-            (col("sec") * lit(100000000L) + col("event_id")).as("code"))
+            (col("sec") * lit(1000000000L) + col("event_id")).as("code"))
         graft.operators.AsOfJoin
           .asOfCodeTol(probes, srcs, "user_id", "sec", "event_id",
-            codeBase = 100000000L, tolSecs = 600L)
+            codeBase = 1000000000L, tolSecs = 600L)
           .orderBy("event_id")
       },
       Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
           ${Det.epochSecSql("ts")} AS sec FROM events),
       p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
-      c AS (SELECT user_id, sec, sec*100000000 + event_id AS code
+      c AS (SELECT user_id, sec, sec*1000000000 + event_id AS code
         FROM e WHERE event_type = 'click')
       SELECT p.event_id, p.user_id,
         (SELECT max(c.code) FROM c WHERE c.user_id = p.user_id
@@ -583,9 +585,7 @@ object Round3 {
     // scan) — the layout that bounds every incremental job at 100 TB.
     "q120_src_partitioned_roundtrip" -> QueryDef(
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_q120_").toFile
-        tmp.deleteOnExit()
+        val tmp = new java.io.File(graft.util.Scratch.dir("graft_q120_"))
         t(s, dir, "orders")
           .withColumn("yr", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("yr")
@@ -609,7 +609,10 @@ object Round3 {
     // partitioning, then top-5 outliers per label.
     "q121_llm_embedding_centroids" -> QueryDef(
       (s, dir) => {
-        val wide = org.apache.spark.sql.types.DecimalType(28, 12)
+        // WIDTH RULE (Det.scala): addend cast stays int64-backed
+        // (precision <= 18). d2 <= ~1.4 (embeddings are unit-scale), so
+        // scale 12 keeps the per-vector unscaled sum ~1e14 << 2^53.
+        val wide = org.apache.spark.sql.types.DecimalType(18, 12)
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")))
@@ -637,7 +640,7 @@ object Round3 {
           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)/COUNT(v) AS c
         FROM e GROUP BY label, pos),
       d AS (SELECT e.vec_id, e.label,
-          CAST(SUM(CAST((v-c)*(v-c) AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+          CAST(SUM(CAST((v-c)*(v-c) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
         FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
         GROUP BY e.vec_id, e.label),
       r AS (SELECT *, row_number() OVER (PARTITION BY label
@@ -699,12 +702,11 @@ object Round3 {
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
           .orderBy("cluster_size")
       },
-      Some(LlmOps.componentsOracle.replace(
-        "SELECT a AS doc_id, least(a, MIN(b)) AS comp\n      FROM r GROUP BY a ORDER BY doc_id",
+      Some(LlmOps.componentsClosureCte +
         """, comps AS (SELECT a AS doc_id, least(a, MIN(b)) AS comp FROM r GROUP BY a),
       cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comps GROUP BY comp)
       SELECT cluster_size, COUNT(*) AS n_clusters
-      FROM cs GROUP BY cluster_size ORDER BY cluster_size"""))),
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size""")),
 
     // ---- event-path pattern match (MATCH_RECOGNIZE-lite) ---------------
     // Each user's ordered event initials collapse to one path string
@@ -757,9 +759,7 @@ object Round3 {
     // write is a fixture seed; the read path is the scored surface.
     "q126_src_schema_evolution" -> QueryDef(
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_q126_").toFile
-        tmp.deleteOnExit()
+        val tmp = new java.io.File(graft.util.Scratch.dir("graft_q126_"))
         val o = t(s, dir, "orders")
         o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
           .select("o_orderkey", "o_totalprice")
@@ -904,8 +904,7 @@ object Round3 {
     "q132_src_csv_badrecords" -> QueryDef(
       (s, dir) => {
         import java.nio.file.Files
-        val tmp = Files.createTempDirectory("graft_q132_").toFile
-        tmp.deleteOnExit()
+        val tmp = new java.io.File(graft.util.Scratch.dir("graft_q132_"))
         val rows = t(s, dir, "customer").filter(col("c_custkey") < 100)
           .select("c_custkey", "c_acctbal").collect()
         val lines = rows.map { r =>
@@ -1123,7 +1122,11 @@ object Round3 {
       },
       Some(s"""WITH changes AS (SELECT o_custkey AS cust,
           CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio,
-          (CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) * 1000000
+          -- pack (day, orderkey) so MAX(code) = lexicographic max; the
+          -- 1e10 multiplier is derived from the key domain (TPC-H
+          -- o_orderkey max = 6M*sf, < 1e10 through sf~1600; day < 2e4
+          -- keeps day*1e10 + key < 2^63)
+          (CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) * 10000000000
             + o_orderkey AS code
         FROM orders),
       facts AS (SELECT o_custkey AS cust, CAST(l_shipdate AS DATE) AS d,
@@ -1246,22 +1249,29 @@ object Round3 {
       FROM rev ORDER BY r_name, n_name""")),
 
     // ---- fuzzy matching (blocked Levenshtein) --------------------------
-    // Edit-distance candidate pairs over documents, blocked by
-    // (lang, length bucket) so the quadratic comparison runs inside
-    // small blocks — the standard entity-resolution shape: block,
-    // compare, threshold. levenshtein() is the same integer DP in both
-    // engines.
+    // Edit-distance candidate pairs over documents — the standard
+    // entity-resolution shape: block, compare, threshold. The block key
+    // is (lang, length bucket, FIRST TOKEN): the content-derived first
+    // token bounds per-block size by token collision frequency (vocab-
+    // distributed) rather than letting blocks grow linearly with the
+    // corpus as a (lang, bucket)-only key would — (langs × buckets) is a
+    // small constant, so those blocks are O(n) and the in-block compare
+    // O(n²). Recall trade-off is the usual one for prefix-edit-distance
+    // blocking: a near-pair whose first token differs is missed, which
+    // dist≤6-over-24-chars pairs rarely do. levenshtein() is the same
+    // integer DP in both engines.
     "q143_llm_fuzzy_match" -> QueryDef(
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / lit(64)).cast("long").as("lb"),
+            element_at(split(col("text"), " "), 1).as("ft"),
             substring(col("text"), 1, 24).as("pfx"))
         val a = d.select(col("doc_id").as("da"), col("lang"),
-          col("lb"), col("pfx").as("pa"))
+          col("lb"), col("ft"), col("pfx").as("pa"))
         val b = d.select(col("doc_id").as("db"), col("lang"),
-          col("lb"), col("pfx").as("pb"))
-        a.join(b, Seq("lang", "lb"))
+          col("lb"), col("ft"), col("pfx").as("pb"))
+        a.join(b, Seq("lang", "lb", "ft"))
           .filter(col("da") < col("db"))
           .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
           .filter(col("dist") <= 6)
@@ -1269,10 +1279,11 @@ object Round3 {
           .orderBy("da", "db")
       },
       Some("""WITH d AS (SELECT doc_id, lang, n_chars // 64 AS lb,
+          string_split(text, ' ')[1] AS ft,
           substring(text, 1, 24) AS pfx FROM documents)
       SELECT a.doc_id AS da, b.doc_id AS db,
         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-      FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb
+      FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.ft = b.ft
         AND a.doc_id < b.doc_id
       WHERE levenshtein(a.pfx, b.pfx) <= 6
       ORDER BY da, db""")),
@@ -1409,8 +1420,12 @@ object Round3 {
     // the probability ratios are exact integer divisions and the mean
     // is an exact decimal sum, so the score is bit-identical). Doc
     // bigrams come from arrays_zip of shifted slices — stateless, no
-    // window over the token stream; the model tables are vocabulary-
-    // sized and broadcast.
+    // window over the token stream. Only the unigram table c1 is
+    // broadcast: its cardinality is vocabulary-bounded. The bigram
+    // table c2 is keyed on (w1,w2) whose distinct count grows with the
+    // corpus, so that join stays a shuffle join — the bigram stream is
+    // already hash-partitioned on (w1,w2) by the count aggregation, so
+    // the exchange is reused rather than added.
     "q149_llm_bigram_score" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -1423,7 +1438,7 @@ object Round3 {
         val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
         bigrams
-          .join(broadcast(c2), Seq("w1", "w2"))
+          .join(c2, Seq("w1", "w2"))
           .join(broadcast(c1), Seq("w1"))
           .withColumn("p", col("c2").cast("double") / col("c1").cast("double"))
           .groupBy("doc_id")

@@ -204,4 +204,18 @@ class OperatorsSpec extends SparkTestBase {
     val b = Similarity.lshTopK(q, c, 3, 4, 8).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("Hierarchy.depths: clean chains resolve; dangling and cyclic get sentinel") {
+    // 1 -> 0 (root, d=1); 2 -> 1 (d=2); 3 -> 9 (dangling: 9 not an id);
+    // 4 -> 5, 5 -> 4 (cycle, never finishes)
+    val edges = Seq((1L, 0L), (2L, 1L), (3L, 9L), (4L, 5L), (5L, 4L))
+      .toDF("id", "parent")
+    val out = Hierarchy.depths(edges, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 5, s"no node may vanish: $out")
+    assert(out(1L) == 1L && out(2L) == 2L)
+    assert(out(3L) == Hierarchy.Unresolved)
+    assert(out(4L) == Hierarchy.Unresolved)
+    assert(out(5L) == Hierarchy.Unresolved)
+  }
 }

@@ -37,9 +37,7 @@ class PushdownSpec extends SparkTestBase {
   }
 
   test("partitioned layout prunes partitions at planning time") {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_prune_").toFile
-    tmp.deleteOnExit()
+    val tmp = new java.io.File(graft.util.Scratch.dir("graft_prune_"))
     spark.read.parquet(s"$sf/orders.parquet")
       .withColumn("yr", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("yr")
