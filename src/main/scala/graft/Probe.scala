@@ -15,6 +15,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_AUTOBC=-1 disables the planner's size-estimate
+    // broadcasts, simulating the at-scale condition where build sides
+    // exceed the threshold — explicit broadcast() hints still apply, so
+    // the capture shows which broadcasts are *forced* vs *estimated*.
+    sys.env.get("SPARK_GRAFT_AUTOBC").foreach(v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
