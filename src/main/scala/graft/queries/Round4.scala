@@ -104,6 +104,65 @@ object Round4 {
       FROM p JOIN c ON p.user_id = c.user_id
         AND c.sec BETWEEN p.sec AND p.sec + 300
         AND p.event_id != c.event_id
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- SQL MERGE INTO (native row-level-operation path) --------------
+    // The SQL-syntax upsert entry point over a writable v2 table
+    // (sources.MemCatalog): Spark's RewriteMergeIntoTable plans
+    // ReplaceData(MergeRows(target ⟗ source)) — matching, WHEN-clause
+    // actions, and the matched-more-than-once cardinality check are all
+    // engine-native. Same semantics as the DataFrame composition
+    // pipeline.Upsert.applyCdc (q137): updates win, 'D' rows delete,
+    // unmatched non-deletes insert. The oracle rebuilds the post-merge
+    // state relationally (kept ∪ updated ∪ inserted).
+    "q153_sql_merge_into" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.tgt")
+        s.sql("CREATE TABLE graftmem.tgt (c_custkey BIGINT, bal DOUBLE, seg STRING)")
+        t(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_acctbal").cast("double").as("bal"),
+            col("c_mktsegment").as("seg"))
+          .createOrReplaceTempView("q153_seed")
+        s.sql("INSERT INTO graftmem.tgt SELECT * FROM q153_seed")
+        t(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(2)) === 0)
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            when(pmod(col("c_custkey"), lit(10)) === 0, lit("D"))
+              .otherwise(lit("U")).as("op"),
+            (col("c_acctbal").cast("double") + lit(100.0)).as("bal"),
+            lower(col("c_mktsegment")).as("seg"))
+          .createOrReplaceTempView("q153_changes")
+        s.sql("""MERGE INTO graftmem.tgt t USING q153_changes c
+          ON t.c_custkey = c.c_custkey
+          WHEN MATCHED AND c.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET bal = c.bal, seg = c.seg
+          WHEN NOT MATCHED AND c.op != 'D' THEN
+            INSERT (c_custkey, bal, seg) VALUES (c.c_custkey, c.bal, c.seg)""")
+        s.sql("SELECT c_custkey, bal, seg FROM graftmem.tgt ORDER BY c_custkey")
+      },
+      Some("""WITH tgt AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+          CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 3 != 0),
+      ch AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+          CASE WHEN c_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+          CAST(c_acctbal AS DOUBLE) + 100 AS bal,
+          lower(c_mktsegment) AS seg
+        FROM customer WHERE c_custkey % 2 = 0)
+      SELECT c_custkey, bal, seg FROM (
+        SELECT t.c_custkey, t.bal, t.seg FROM tgt t
+          LEFT JOIN ch c ON t.c_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT t.c_custkey, c.bal, c.seg FROM tgt t
+          JOIN ch c ON t.c_custkey = c.c_custkey WHERE c.op = 'U'
+        UNION ALL
+        SELECT c.c_custkey, c.bal, c.seg FROM ch c
+          LEFT JOIN tgt t ON t.c_custkey = c.c_custkey
+          WHERE t.c_custkey IS NULL AND c.op != 'D')
+      ORDER BY c_custkey"""))
   )
 }
