@@ -310,12 +310,10 @@ object Round2 {
           .agg(count(lit(1)).as("n_events"))
         // session state at 8 partitions, like q40/q70 (stores instantiate
         // per shuffle partition; results are partitioning-independent)
-        val old = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", 8)
-        val out =
-          try graft.streaming.EventStreams.runToMemory(
+        val out = EventTime.withShufflePartitions(s, 8) {
+          graft.streaming.EventStreams.runToMemory(
             agg, "q88_stream_session_sink")
-          finally s.conf.set("spark.sql.shuffle.partitions", old)
+        }
         out.select(col("user_id"), unix_timestamp(col("sw.start")).as("session_start"),
             col("n_events"))
           .orderBy("user_id", "session_start")

@@ -19,11 +19,8 @@ object Round4 {
   /** See EventTime.withShufflePartitions — state stores instantiate one
     * per shuffle partition per micro-batch.
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
-  }
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    EventTime.withShufflePartitions(s, n)(body)
 
   /** Streaming events source with a whole-second `tss` timestamp column
     * (the only ts projection that is oracle-safe — SURVEY.md §1.2) and
