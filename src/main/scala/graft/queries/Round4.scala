@@ -160,6 +160,42 @@ object Round4 {
         SELECT c.c_custkey, c.bal, c.seg FROM ch c
           LEFT JOIN tgt t ON t.c_custkey = c.c_custkey
           WHERE t.c_custkey IS NULL AND c.op != 'D')
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---- SQL UPDATE + DELETE (row-level copy-on-write) ------------------
+    // The remaining two row-level SQL verbs over the same v2 catalog:
+    // UPDATE rewrites to ReplaceData(updated ∪ carry-over), DELETE to
+    // ReplaceData(surviving rows) — both engine-native, no connector
+    // logic beyond scan + replace-write. price*2 is an exact IEEE
+    // scale, so values stay bit-identical to the oracle's CASE form.
+    "q154_sql_update_delete" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.ord")
+        s.sql("CREATE TABLE graftmem.ord (o_orderkey BIGINT, status STRING, price DOUBLE)")
+        t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("double").as("price"))
+          .createOrReplaceTempView("q154_seed")
+        s.sql("INSERT INTO graftmem.ord SELECT * FROM q154_seed")
+        s.sql("""UPDATE graftmem.ord SET status = 'X', price = price * 2
+          WHERE status = 'F' AND o_orderkey % 2 = 0""")
+        s.sql("DELETE FROM graftmem.ord WHERE status = 'O' AND o_orderkey % 3 = 0")
+        s.sql("SELECT o_orderkey, status, price FROM graftmem.ord ORDER BY o_orderkey")
+      },
+      Some("""WITH seed AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+          o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey < 2000),
+      upd AS (SELECT o_orderkey,
+          CASE WHEN status = 'F' AND o_orderkey % 2 = 0
+               THEN 'X' ELSE status END AS status,
+          CASE WHEN status = 'F' AND o_orderkey % 2 = 0
+               THEN price * 2 ELSE price END AS price
+        FROM seed)
+      SELECT o_orderkey, status, price FROM upd
+      WHERE NOT (status = 'O' AND o_orderkey % 3 = 0)
+      ORDER BY o_orderkey"""))
   )
 }
