@@ -1092,11 +1092,14 @@ object Round3 {
 
     // ---- point-in-time join (SCD2 lookup) ------------------------------
     // Each lineitem priced under the priority its customer had as of
-    // the ship date: one broadcast equi-join to attach the customer,
-    // then the as-of union+window directly over the fact rows — a
-    // single shuffle of the facts on the dimension key. (A distinct-
-    // probe + re-join variant measured ~2x slower here: its extra two
-    // fact shuffles cost more than the smaller window saves.)
+    // the ship date: one equi-join to attach the customer, then the
+    // as-of union+window directly over the fact rows — a single shuffle
+    // of the facts on the dimension key. The lineitem⋈orders key join
+    // carries NO broadcast hint: orders is fact-sized (grows with sf),
+    // so the planner's size estimate decides — broadcast at fixture
+    // scale, sort-merge over co-bucketed orderkey layout at 100 TB.
+    // (A distinct-probe + re-join variant measured ~2x slower here: its
+    // extra two fact shuffles cost more than the smaller window saves.)
     "q139_join_point_in_time" -> QueryDef(
       (s, dir) => {
         val changes = t(s, dir, "orders")
@@ -1104,8 +1107,8 @@ object Round3 {
             col("o_orderdate").cast("date").as("d"),
             col("o_orderkey"), col("o_orderpriority").as("prio"))
         val facts = t(s, dir, "lineitem").as("l")
-          .join(broadcast(t(s, dir, "orders")
-            .select("o_orderkey", "o_custkey")).as("o"),
+          .join(t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey").as("o"),
             col("l.l_orderkey") === col("o.o_orderkey"))
           .select(col("o.o_custkey").as("cust"),
             col("l.l_shipdate").cast("date").as("d"),

@@ -141,15 +141,21 @@ object EventStreams {
         col("l_id") =!= col("r_id"))
   }
 
-  /** Stream–static enrichment: the unbounded stream broadcast-joins a
-    * bounded dimension each micro-batch — no state, no watermark
-    * needed on the static side. The standard lookup-table pattern;
-    * at scale the dim re-broadcasts per batch, so pin it with
-    * `.persist()` when it is expensive to produce.
+  /** Stream–static enrichment: the unbounded stream joins a static
+    * dimension each micro-batch — no state, no watermark needed on the
+    * static side. Pass `hintBroadcast = true` ONLY for a dimension
+    * whose size is bounded by construction (a config table, a fixed
+    * taxonomy); for key spaces that grow with the data (per-user, per-
+    * entity lookups) leave it false and the planner's per-batch size
+    * estimate picks broadcast vs shuffle — forcing broadcast there
+    * OOMs at scale. At scale a re-used dim is worth `.persist()`ing
+    * either way (it re-evaluates every micro-batch).
     */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
-      key: String): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+      key: String, hintBroadcast: Boolean = false): DataFrame =
+    if (hintBroadcast)
+      stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+    else stream.join(dim, key)
 
   /** Drain a stream into an in-memory table and return it (test/dev
     * helper — processes everything currently available, then stops).
