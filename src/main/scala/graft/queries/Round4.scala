@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.QueryDef
@@ -196,6 +197,72 @@ object Round4 {
         FROM seed)
       SELECT o_orderkey, status, price FROM upd
       WHERE NOT (status = 'O' AND o_orderkey % 3 = 0)
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---- dataset mixture: per-domain downsampling to target weights ----
+    // Training-data mixture construction: each source tier keeps a
+    // target fraction of its docs (high-quality 75%, mid 50%, tail
+    // 12.5% — binary-exact doubles so ceil() is bit-identical in both
+    // engines), chosen by the deterministic multiplicative-hash rank
+    // (same rows win on any partitioning/retry — what rand() can't
+    // promise). One window shuffle on the source key; at 100 TB each
+    // domain ranks independently, no global pass.
+    "q155_llm_mixture_downsample" -> QueryDef(
+      (s, dir) => {
+        val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+        val frac = when(idx < 5, lit(0.75))
+          .when(idx < 13, lit(0.5)).otherwise(lit(0.125))
+        val bySrc = Window.partitionBy("source")
+        val w = bySrc.orderBy(
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L)),
+          col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("quota",
+            ceil(frac * count(lit(1)).over(bySrc)).cast("long"))
+          .filter(col("rn") <= col("quota"))
+          .select(col("source"), col("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+          CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS idx
+        FROM documents),
+      r AS (SELECT doc_id, source,
+          CASE WHEN idx < 5 THEN CAST(0.75 AS DOUBLE)
+               WHEN idx < 13 THEN CAST(0.5 AS DOUBLE)
+               ELSE CAST(0.125 AS DOUBLE) END AS frac,
+          row_number() OVER (PARTITION BY source
+            ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM d)
+      SELECT source, doc_id FROM r
+      WHERE rn <= CAST(ceil(frac * n) AS BIGINT)
+      ORDER BY source, doc_id""")),
+
+    // ---- dataset mixture: per-domain epoch upsampling ------------------
+    // The other half of mixture construction: small high-value domains
+    // repeat for multiple epochs (3×/2×/1× by tier) — a stateless
+    // explode(sequence(1, epochs)), no shuffle at all; the repeat index
+    // rides along so downstream shuffling/packing can keep copies
+    // distinguishable.
+    "q156_llm_mixture_epochs" -> QueryDef(
+      (s, dir) => {
+        val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+        val epochs = when(idx < 5, 3).when(idx < 13, 2).otherwise(1)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1), epochs)).as("rep"))
+          .select(col("doc_id"), col("source"),
+            col("rep").cast("long").as("rep"))
+          .orderBy("doc_id", "rep")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+          CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS idx
+        FROM documents),
+      f AS (SELECT doc_id, source,
+          CASE WHEN idx < 5 THEN 3 WHEN idx < 13 THEN 2 ELSE 1 END AS ep
+        FROM d)
+      SELECT doc_id, source, CAST(unnest(range(1, ep + 1)) AS BIGINT) AS rep
+      FROM f ORDER BY doc_id, rep"""))
   )
 }
