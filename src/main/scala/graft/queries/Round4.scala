@@ -263,6 +263,38 @@ object Round4 {
           CASE WHEN idx < 5 THEN 3 WHEN idx < 13 THEN 2 ELSE 1 END AS ep
         FROM d)
       SELECT doc_id, source, CAST(unnest(range(1, ep + 1)) AS BIGINT) AS rep
-      FROM f ORDER BY doc_id, rep"""))
+      FROM f ORDER BY doc_id, rep""")),
+
+    // ---- SQL time travel (VERSION AS OF) -------------------------------
+    // Every MemCatalog commit snapshots the table; `VERSION AS OF n`
+    // pins a scan to snapshot n via the catalog's versioned loadTable —
+    // the audit/rollback surface (Iceberg/Delta-style) joined here
+    // against the live table to compute per-key drift across an UPDATE.
+    // All arithmetic (×1.5, +100, subtraction) is IEEE-exact.
+    "q157_sql_time_travel" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.tt")
+        s.sql("CREATE TABLE graftmem.tt (k BIGINT, v DOUBLE)")
+        t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"),
+            (col("n_nationkey").cast("double") * lit(1.5)).as("v"))
+          .createOrReplaceTempView("q157_seed")
+        s.sql("INSERT INTO graftmem.tt SELECT * FROM q157_seed") // version 1
+        s.sql("UPDATE graftmem.tt SET v = v + 100 WHERE k % 2 = 0") // version 2
+        s.sql("""SELECT cur.k, old.v AS v_then, cur.v AS v_now,
+            cur.v - old.v AS delta
+          FROM graftmem.tt cur
+          JOIN graftmem.tt VERSION AS OF 1 old ON cur.k = old.k
+          ORDER BY cur.k""")
+      },
+      Some("""WITH seed AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+          CAST(n_nationkey AS DOUBLE) * CAST(1.5 AS DOUBLE) AS v
+        FROM nation),
+      cur AS (SELECT k,
+          CASE WHEN k % 2 = 0 THEN v + 100 ELSE v END AS v FROM seed)
+      SELECT c.k, s.v AS v_then, c.v AS v_now, c.v - s.v AS delta
+      FROM cur c JOIN seed s ON c.k = s.k ORDER BY c.k"""))
   )
 }

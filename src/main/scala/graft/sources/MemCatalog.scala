@@ -19,6 +19,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DataFrame composition. Register with
   * `spark.sql.catalog.<name> = graft.sources.MemCatalog`, then
   * `CREATE TABLE <name>.t …`, `INSERT INTO`, `MERGE INTO` all work.
+  * Every commit snapshots the table (version 0 = the empty
+  * just-created state), and `SELECT … FROM t VERSION AS OF n` time-
+  * travels via the catalog's versioned `loadTable` — the
+  * Iceberg/Delta-style audit/rollback surface.
   *
   * The copy-on-write (group-based) protocol: Spark rewrites MERGE into
   * `ReplaceData(MergeRows(target-scan ⟗ source))` — the connector only
@@ -58,11 +62,21 @@ class MemCatalog extends TableCatalog {
     new MemTable(k)
   }
 
+  // SELECT ... FROM t VERSION AS OF n — pin the scan to snapshot n.
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val k = key(ident)
+    val e = MemCatalog.store.getOrElse(k, throw new NoSuchTableException(ident))
+    val v = version.toInt
+    require(v >= 0 && v < e.versions.length,
+      s"version $v out of range [0, ${e.versions.length})")
+    new MemTable(k, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val k = key(ident)
     if (MemCatalog.store.putIfAbsent(k,
-        MemCatalog.Entry(schema, Vector.empty)).isDefined)
+        MemCatalog.Entry(schema, Vector(Vector.empty))).isDefined)
       throw new TableAlreadyExistsException(ident)
     new MemTable(k)
   }
@@ -78,22 +92,29 @@ class MemCatalog extends TableCatalog {
 }
 
 object MemCatalog {
+  /** `versions(i)` = the table contents after commit i; the live table
+    * is the last snapshot. Snapshots share unchanged row objects
+    * (immutable vectors), so versioning costs O(delta), not O(table).
+    */
   private[sources] final case class Entry(schema: StructType,
-      @volatile var rows: Vector[InternalRow])
+      @volatile var versions: Vector[Vector[InternalRow]]) {
+    def rows: Vector[InternalRow] = versions.last
+  }
   private[sources] val store = TrieMap.empty[String, Entry]
 }
 
-private class MemTable(key: String)
+private class MemTable(key: String, pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
   private def entry = MemCatalog.store(key)
-  override def name(): String = key
+  override def name(): String =
+    pinnedVersion.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = entry.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(key, schema())
+    new MemScanBuilder(key, schema(), pinnedVersion)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(key, info.schema(), replaceAll = false)
   override def newRowLevelOperationBuilder(
@@ -115,20 +136,24 @@ private class MemRowLevelOperation(key: String,
     new MemWriteBuilder(key, info.schema(), replaceAll = true)
 }
 
-private class MemScanBuilder(key: String, schema: StructType)
-    extends ScanBuilder {
-  override def build(): Scan = new MemScan(key, schema)
+private class MemScanBuilder(key: String, schema: StructType,
+    pinnedVersion: Option[Int] = None) extends ScanBuilder {
+  override def build(): Scan = new MemScan(key, schema, pinnedVersion)
 }
 
-private class MemScan(key: String, schema: StructType)
-    extends Scan with Batch {
+private class MemScan(key: String, schema: StructType,
+    pinnedVersion: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft_mem $key"
+  override def description(): String =
+    s"graft_mem $key${pinnedVersion.fold("")(v => s" version=$v")}"
   // Rows travel inside the partition (UnsafeRow is serializable), so
   // the read needs no executor-side access to the driver store.
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(MemPartition(MemCatalog.store(key).rows.toArray))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val e = MemCatalog.store(key)
+    val rows = pinnedVersion.fold(e.rows)(e.versions(_))
+    Array(MemPartition(rows.toArray))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory
 }
@@ -168,7 +193,8 @@ private class MemBatchWrite(key: String, schema: StructType,
       .flatMap(_.asInstanceOf[MemCommit].rows).toVector
     val e = MemCatalog.store(key)
     MemCatalog.store.synchronized {
-      e.rows = if (replaceAll) rows else e.rows ++ rows
+      val next = if (replaceAll) rows else e.rows ++ rows
+      e.versions = e.versions :+ next
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -36,6 +36,22 @@ class MergeIntoSpec extends SparkTestBase {
     assert(out == Seq((1L, 1.0), (2L, 20.0), (4L, 4.0)), out)
   }
 
+  test("VERSION AS OF pins each commit's snapshot; live table moves on") {
+    spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.tv")
+    spark.sql("CREATE TABLE graftmem.tv (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("tv_seed")
+    spark.sql("INSERT INTO graftmem.tv SELECT * FROM tv_seed") // v1
+    spark.sql("DELETE FROM graftmem.tv WHERE id = 1")          // v2
+    assert(spark.sql("SELECT COUNT(*) FROM graftmem.tv VERSION AS OF 0")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT COUNT(*) FROM graftmem.tv VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) FROM graftmem.tv")
+      .head().getLong(0) == 1L)
+  }
+
   test("INSERT append accumulates; truncate-on-merge replaces atomically") {
     spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
     spark.sql("DROP TABLE IF EXISTS graftmem.t2")
