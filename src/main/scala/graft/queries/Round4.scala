@@ -295,6 +295,35 @@ object Round4 {
       cur AS (SELECT k,
           CASE WHEN k % 2 = 0 THEN v + 100 ELSE v END AS v FROM seed)
       SELECT c.k, s.v AS v_then, c.v AS v_now, c.v - s.v AS delta
-      FROM cur c JOIN seed s ON c.k = s.k ORDER BY c.k"""))
+      FROM cur c JOIN seed s ON c.k = s.k ORDER BY c.k""")),
+
+    // ---- native recursive CTE (Spark 4 WITH RECURSIVE) -----------------
+    // The same DIV-7 parent walk as q138, but expressed as a native
+    // recursive CTE on BOTH engines — Spark 4's UnionLoop executes the
+    // iteration inside the engine (one anchor + repeated step over the
+    // previous iteration's frontier) instead of q138's driver-side
+    // self-join loop. Both formulations of recursion stay in the
+    // catalog: the native form is the API surface, the driver loop
+    // (operators.Hierarchy) is the checkpoint-controlled variant for
+    // when step results need persistence policy.
+    "q158_sql_recursive_cte" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q158_customer")
+        s.sql("""WITH RECURSIVE walk AS (
+            SELECT c_custkey AS id, c_custkey DIV 7 AS cur,
+              CAST(1 AS BIGINT) AS d
+            FROM q158_customer
+            UNION ALL
+            SELECT id, cur DIV 7, d + 1 FROM walk WHERE cur > 0)
+          SELECT d AS depth, COUNT(*) AS n FROM walk WHERE cur = 0
+          GROUP BY d ORDER BY d""")
+      },
+      Some("""WITH RECURSIVE walk AS (
+        SELECT c_custkey AS id, c_custkey // 7 AS cur, CAST(1 AS BIGINT) AS d
+        FROM customer
+        UNION ALL
+        SELECT id, cur // 7, d + 1 FROM walk WHERE cur > 0)
+      SELECT d AS depth, COUNT(*) AS n FROM walk WHERE cur = 0
+      GROUP BY d ORDER BY d"""))
   )
 }
