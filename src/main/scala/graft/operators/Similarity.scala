@@ -63,6 +63,59 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Identical output to [[cosinePairs]], duplication-robust: group
+    * bit-identical vectors first, score one representative pair per
+    * UNIQUE vector pair, then expand matches through the duplicate
+    * groups. On a corpus where each vector appears d times, the
+    * expensive dot products drop from O((n·d)²) to O(n²) — the output
+    * (which enumerates all qualifying id pairs) is still produced, but
+    * as a cheap explode, not as d² recomputed cosines. Identical
+    * doubles by construction: every emitted cosine is computed from
+    * the same float values through the same expression, including the
+    * intra-group case (cos(e,e) goes through the full formula, not a
+    * literal 1.0 — a zero vector must yield NaN and drop, exactly as
+    * the all-pairs form does).
+    */
+  def cosinePairsDeduped(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    NativeExpressions.register(emb.sparkSession)
+    val g = emb.groupBy(col(blockCol).as("block"), col(vecCol).as("e"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+    val a = g.select(col("rep").as("ra"), col("e").as("ea"), col("block"))
+      .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+    val b = g.select(col("rep").as("rb"), col("e").as("eb"),
+        col("block").as("blockb"))
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    val repPairs = a
+      .join(b, col("block") === col("blockb") && col("ra") < col("rb"))
+      .select(col("ra"), col("rb"), col("block"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    val cross = repPairs
+      .join(g.select(col("rep").as("ra"), col("ids").as("idsa")), "ra")
+      .join(g.select(col("rep").as("rb"), col("ids").as("idsb")), "rb")
+      .select(explode(col("idsa")).as("x"), col("idsb"), col("block"), col("cos"))
+      .select(col("x"), explode(col("idsb")).as("y"), col("block"), col("cos"))
+      .select(least(col("x"), col("y")).as("va"),
+        greatest(col("x"), col("y")).as("vb"),
+        col("block").cast("long").as("label"), col("cos"))
+    val intra = g
+      .filter(size(col("ids")) > 1)
+      .withColumn("cos", round(expr("vec_dot(e, e)")
+        / (expr("sqrt(vec_dot(e, e))") * expr("sqrt(vec_dot(e, e))")), 6))
+      .filter(col("cos") >= threshold)
+      .select(explode(col("ids")).as("x"), col("ids"), col("block"), col("cos"))
+      .select(col("x"), explode(col("ids")).as("y"), col("block"), col("cos"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("va"), col("y").as("vb"),
+        col("block").cast("long").as("label"), col("cos"))
+    cross.unionByName(intra)
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer (here: the first
     * `nlist` corpus vectors as centroids — deterministic; a production
     * build would k-means them) assigns every vector to its nearest
