@@ -1281,15 +1281,45 @@ object Round3 {
           .select("da", "db", "dist")
           .orderBy("da", "db")
       },
-      Some("""WITH d AS (SELECT doc_id, lang, n_chars // 64 AS lb,
-          string_split(text, ' ')[1] AS ft,
-          substring(text, 1, 24) AS pfx FROM documents)
-      SELECT a.doc_id AS da, b.doc_id AS db,
-        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
-      FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.ft = b.ft
-        AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.pfx, b.pfx) <= 6
-      ORDER BY da, db""")),
+      Some(fuzzyMatchOracle)),
+
+    // Same semantics, duplication-robust plan (the q159 pattern applied
+    // to edit distance): the compared key is the 24-char prefix, so
+    // group identical (block, prefix) values, run ONE Levenshtein per
+    // unique prefix pair, expand matches through the duplicate groups
+    // (intra-group pairs are distance 0 by definition in both engines).
+    // Scored against the identical all-pairs oracle.
+    "q160_llm_fuzzy_match_dedup" -> QueryDef(
+      (s, dir) => {
+        val g = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") / lit(64)).cast("long").as("lb"),
+            element_at(split(col("text"), " "), 1).as("ft"),
+            substring(col("text"), 1, 24).as("pfx"))
+          .groupBy("lang", "lb", "ft", "pfx")
+          .agg(min(col("doc_id")).as("rep"),
+            collect_list(col("doc_id")).as("ids"))
+        val a = g.select(col("lang"), col("lb"), col("ft"),
+          col("pfx").as("pa"), col("rep").as("ra"), col("ids").as("idsa"))
+        val b = g.select(col("lang"), col("lb"), col("ft"),
+          col("pfx").as("pb"), col("rep").as("rb"), col("ids").as("idsb"))
+        val cross = a.join(b, Seq("lang", "lb", "ft"))
+          .filter(col("ra") < col("rb"))
+          .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+          .filter(col("dist") <= 6)
+          .select(explode(col("idsa")).as("x"), col("idsb"), col("dist"))
+          .select(col("x"), explode(col("idsb")).as("y"), col("dist"))
+          .select(least(col("x"), col("y")).as("da"),
+            greatest(col("x"), col("y")).as("db"), col("dist"))
+        val intra = g.filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("x"), col("ids"))
+          .select(col("x"), explode(col("ids")).as("y"))
+          .filter(col("x") < col("y"))
+          .select(col("x").as("da"), col("y").as("db"),
+            lit(0L).as("dist"))
+        cross.unionByName(intra).orderBy("da", "db")
+      },
+      Some(fuzzyMatchOracle)),
 
     // ---- discrete percentile (no interpolation) ------------------------
     // percentile_disc returns an actual data value (vs q17's
@@ -1488,6 +1518,21 @@ object Round3 {
           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
       FROM documents"""))
   )
+
+  /** All-pairs blocked-Levenshtein ground truth, shared by q143
+    * (all-pairs plan) and q160 (dedup-first plan) — one oracle, two
+    * physical strategies of one operator.
+    */
+  // lazy: declared after `defs`, which references it at object init
+  private lazy val fuzzyMatchOracle = """WITH d AS (SELECT doc_id, lang, n_chars // 64 AS lb,
+          string_split(text, ' ')[1] AS ft,
+          substring(text, 1, 24) AS pfx FROM documents)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.ft = b.ft
+        AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 6
+      ORDER BY da, db"""
 
   /** Oracle helper: byte `i` (0-based) of a lowercase hex string column
     * as integer arithmetic DuckDB evaluates exactly.
