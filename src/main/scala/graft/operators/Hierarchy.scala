@@ -28,8 +28,13 @@ object Hierarchy {
   def depths(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
     var frontier = edges.select(col("id"), col("parent").as("cur"),
       lit(1L).as("d"))
-    var done = frontier.filter(col("cur") === 0).select("id", "d")
-    frontier = frontier.filter(col("cur") =!= 0)
+    // NULL parent pointers go straight to the sentinel — with plain
+    // three-valued logic they would satisfy neither cur === 0 nor
+    // cur =!= 0 and silently vanish.
+    var done = frontier.filter(col("cur").isNull)
+      .select(col("id"), lit(Unresolved).as("d"))
+      .unionByName(frontier.filter(col("cur") === 0).select("id", "d"))
+    frontier = frontier.filter(col("cur").isNotNull && col("cur") =!= 0)
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       // left join: a frontier row whose cur matches no edge id is a
@@ -48,11 +53,13 @@ object Hierarchy {
       val stepped =
         if (round % 3 == 2) steppedRaw.localCheckpoint(true) else steppedRaw
       done = done
-        .unionByName(stepped.filter(col("dangling"))
+        .unionByName(stepped
+          .filter(col("dangling") || col("cur").isNull)
           .select(col("id"), lit(Unresolved).as("d")))
         .unionByName(stepped
           .filter(!col("dangling") && col("cur") === 0).select("id", "d"))
-      frontier = stepped.filter(!col("dangling") && col("cur") =!= 0)
+      frontier = stepped
+        .filter(!col("dangling") && col("cur").isNotNull && col("cur") =!= 0)
         .select("id", "cur", "d")
       round += 1
     }

@@ -83,7 +83,11 @@ object Similarity {
       blockCol: String,
       threshold: Double): DataFrame = {
     NativeExpressions.register(emb.sparkSession)
-    val g = emb.groupBy(col(blockCol).as("block"), col(vecCol).as("e"))
+    // NULL block keys produce no pairs in the all-pairs form (equi-join
+    // semantics); filter them here so the intra-group path cannot
+    // resurrect them (groupBy would bucket NULLs together).
+    val g = emb.filter(col(blockCol).isNotNull)
+      .groupBy(col(blockCol).as("block"), col(vecCol).as("e"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
     val a = g.select(col("rep").as("ra"), col("e").as("ea"), col("block"))
       .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))

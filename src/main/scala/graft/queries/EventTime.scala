@@ -27,7 +27,8 @@ object EventTime {
     */
   private[queries] def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val eff = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
-      .map(_.toInt).getOrElse(n)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(n)
     val old = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", eff)
     try body finally s.conf.set("spark.sql.shuffle.partitions", old)

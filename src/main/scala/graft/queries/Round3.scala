@@ -1291,11 +1291,16 @@ object Round3 {
     // Scored against the identical all-pairs oracle.
     "q160_llm_fuzzy_match_dedup" -> QueryDef(
       (s, dir) => {
+        // NULL blocking keys produce no pairs in the all-pairs form
+        // (equi-join drops them); filter before grouping so the
+        // intra-group path cannot resurrect NULL-keyed groups.
         val g = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / lit(64)).cast("long").as("lb"),
             element_at(split(col("text"), " "), 1).as("ft"),
             substring(col("text"), 1, 24).as("pfx"))
+          .filter(col("lang").isNotNull && col("lb").isNotNull &&
+            col("ft").isNotNull && col("pfx").isNotNull)
           .groupBy("lang", "lb", "ft", "pfx")
           .agg(min(col("doc_id")).as("rep"),
             collect_list(col("doc_id")).as("ids"))
@@ -1415,17 +1420,16 @@ object Round3 {
       }),
 
     // ---- stream-static enrichment, SCORED ------------------------------
-    // The unbounded event stream broadcast-joins a static cohort
-    // dimension per micro-batch (no stream state), aggregates, and
-    // lands in a memory sink — scored against the equivalent batch
-    // SQL. The lookup-enrichment shape every ingest pipeline runs.
+    // The unbounded event stream joins a static cohort dimension per
+    // micro-batch (no stream state), aggregates, and lands in a memory
+    // sink — scored against the equivalent batch SQL. The lookup-
+    // enrichment shape every ingest pipeline runs. The dim is keyed
+    // per-user (grows with the stream), so NO broadcast hint: the
+    // planner's per-batch size estimate decides (see
+    // EventStreams.enrichWithStatic's hintBroadcast contract).
     "q148_stream_enrich" -> QueryDef(
       (s, dir) => {
-        graft.sources.Events.load(s, dir)
-        val src = s.readStream
-          .schema(Tables.load(s, dir, "events").schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        val src = graft.streaming.EventStreams.eventFileStream(s, dir)
           .select(col("event_id"), col("user_id"))
         val dim = graft.sources.Events.load(s, dir)
           .select("user_id").distinct()

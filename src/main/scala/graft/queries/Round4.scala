@@ -17,27 +17,6 @@ object Round4 {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** See EventTime.withShufflePartitions — state stores instantiate one
-    * per shuffle partition per micro-batch.
-    */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
-    EventTime.withShufflePartitions(s, n)(body)
-
-  /** Streaming events source with a whole-second `tss` timestamp column
-    * (the only ts projection that is oracle-safe — SURVEY.md §1.2) and
-    * the same ns-vs-µs schema fallback as the batch Events loader.
-    */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    Events.load(s, dir) // ensure the ns-read conf fallback has run
-    val src = s.readStream.schema(Tables.load(s, dir, "events").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val sec = if (src.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      expr("ts DIV 1000000000")
-    else unix_timestamp(col("ts"))
-    src.withColumn("tss", timestamp_seconds(sec))
-  }
 
   val defs: Map[String, QueryDef] = Map(
     // ---- Avro source/sink roundtrip ------------------------------------
@@ -71,16 +50,17 @@ object Round4 {
     // the equivalent batch join.
     "q152_stream_interval_join" -> QueryDef(
       (s, dir) => {
-        val purchases = eventStream(s, dir)
+        import graft.streaming.EventStreams.eventFileStream
+        val purchases = eventFileStream(s, dir)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), col("tss").as("ts"), col("event_id"))
-        val clicks = eventStream(s, dir)
+        val clicks = eventFileStream(s, dir)
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("tss").as("ts"), col("event_id"))
         val joined = graft.streaming.EventStreams
           .intervalJoin(purchases, clicks, intervalSeconds = 300L)
         val qname = "q152_stream_interval_join_sink"
-        withShufflePartitions(s, 8) {
+        EventTime.withShufflePartitions(s, 8) {
           val q = joined
             .writeStream.outputMode("append").format("memory").queryName(qname)
             .trigger(Trigger.AvailableNow()).start()
@@ -225,7 +205,7 @@ object Round4 {
           .orderBy("source", "doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, source,
-          CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS idx
+          TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS idx
         FROM documents),
       r AS (SELECT doc_id, source,
           CASE WHEN idx < 5 THEN CAST(0.75 AS DOUBLE)
@@ -257,7 +237,7 @@ object Round4 {
           .orderBy("doc_id", "rep")
       },
       Some("""WITH d AS (SELECT doc_id, source,
-          CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS idx
+          TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS idx
         FROM documents),
       f AS (SELECT doc_id, source,
           CASE WHEN idx < 5 THEN 3 WHEN idx < 13 THEN 2 ELSE 1 END AS ep

@@ -51,10 +51,15 @@ class MemCatalog extends TableCatalog {
   private def key(ident: Identifier): String =
     (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    MemCatalog.store.keys
-      .filter(_.startsWith(catalogName + "."))
-      .map(k => Identifier.of(namespace, k.split('.').last)).toArray
+  // exact-namespace listing (names containing '.' are not supported —
+  // keys flatten the ident path)
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = (catalogName +: namespace).mkString(".") + "."
+    MemCatalog.store.keys.toArray.collect {
+      case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains('.') =>
+        Identifier.of(namespace, k.stripPrefix(prefix))
+    }
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)

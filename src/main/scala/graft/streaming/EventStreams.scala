@@ -116,6 +116,27 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** File-stream form of the events source: the same ns-vs-µs schema
+    * fallback as the batch `sources.Events` loader (Spark 4 refuses
+    * parquet timestamp[ns] unless the legacy conf is set), plus a
+    * whole-second `tss` column — the only ts projection that is
+    * oracle-safe (SURVEY.md §1.2). The single place the ns hazard is
+    * handled for streaming readers.
+    */
+  def eventFileStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    graft.sources.Events.load(s, dir) // ensure the ns-read conf fallback ran
+    val src = s.readStream
+      .schema(graft.sources.Tables.load(s, dir, "events").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val sec = if (src.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      expr("ts DIV 1000000000")
+    else unix_timestamp(col("ts"))
+    src.withColumn("tss", timestamp_seconds(sec))
+  }
+
   /** Stream-stream interval join: click-like events joined to view-like
     * events of the same user within a bounded event-time window. Both
     * sides carry watermarks and the join condition bounds the time

@@ -52,7 +52,7 @@ class MergeIntoSpec extends SparkTestBase {
       .head().getLong(0) == 1L)
   }
 
-  test("INSERT append accumulates; truncate-on-merge replaces atomically") {
+  test("INSERT append accumulates; row-level write replaces, not appends") {
     spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
     spark.sql("DROP TABLE IF EXISTS graftmem.t2")
     spark.sql("CREATE TABLE graftmem.t2 (id BIGINT, v DOUBLE)")
@@ -61,5 +61,11 @@ class MergeIntoSpec extends SparkTestBase {
     spark.sql("INSERT INTO graftmem.t2 SELECT * FROM ins_a")
     spark.sql("INSERT INTO graftmem.t2 SELECT * FROM ins_b")
     assert(spark.sql("SELECT COUNT(*) FROM graftmem.t2").head().getLong(0) == 2L)
+    // if the row-level write regressed from replace to append, the
+    // surviving row would be duplicated and the count would exceed 1
+    spark.sql("DELETE FROM graftmem.t2 WHERE id = 2")
+    val rows = spark.sql("SELECT id, v FROM graftmem.t2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.0)), rows)
   }
 }

@@ -207,15 +207,18 @@ class OperatorsSpec extends SparkTestBase {
 
   test("Hierarchy.depths: clean chains resolve; dangling and cyclic get sentinel") {
     // 1 -> 0 (root, d=1); 2 -> 1 (d=2); 3 -> 9 (dangling: 9 not an id);
-    // 4 -> 5, 5 -> 4 (cycle, never finishes)
-    val edges = Seq((1L, 0L), (2L, 1L), (3L, 9L), (4L, 5L), (5L, 4L))
+    // 4 -> 5, 5 -> 4 (cycle, never finishes); 6 -> NULL (null parent);
+    // 7 -> 6 (walks INTO a null-parent node mid-chain)
+    val edges = Seq(
+      (1L, Some(0L)), (2L, Some(1L)), (3L, Some(9L)),
+      (4L, Some(5L)), (5L, Some(4L)), (6L, None: Option[Long]),
+      (7L, Some(6L)))
       .toDF("id", "parent")
     val out = Hierarchy.depths(edges, maxRounds = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out.size == 5, s"no node may vanish: $out")
+    assert(out.size == 7, s"no node may vanish: $out")
     assert(out(1L) == 1L && out(2L) == 2L)
-    assert(out(3L) == Hierarchy.Unresolved)
-    assert(out(4L) == Hierarchy.Unresolved)
-    assert(out(5L) == Hierarchy.Unresolved)
+    Seq(3L, 4L, 5L, 6L, 7L).foreach(id =>
+      assert(out(id) == Hierarchy.Unresolved, s"node $id: $out"))
   }
 }
