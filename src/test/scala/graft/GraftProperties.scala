@@ -92,4 +92,37 @@ object GraftProperties extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       byProp == byStar
     }
+
+  // random corpora with DUPLICATE vectors and NULL labels: the two
+  // physical strategies of exact blocked-cosine pairs (all-pairs vs
+  // dedup-first-then-expand) must emit identical row sets
+  private val dupEmbeddings: Gen[List[(Long, Option[Long], Seq[Float])]] = {
+    val base = Gen.listOfN(4, Gen.listOfN(8, Gen.chooseNum(-3.0f, 3.0f)))
+      .suchThat(_.forall(_.exists(_ != 0.0f)))
+    for {
+      vecs <- base
+      n <- Gen.chooseNum(6, 14)
+      picks <- Gen.listOfN(n, for {
+        v <- Gen.chooseNum(0, vecs.size - 1)
+        l <- Gen.option(Gen.chooseNum(0L, 1L))
+      } yield (v, l))
+    } yield picks.zipWithIndex.map { case ((v, l), i) =>
+      (i.toLong, l, vecs(v).toSeq)
+    }
+  }
+
+  property("cosinePairsDeduped == cosinePairs on dup-heavy corpora") =
+    forAll(dupEmbeddings) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("vec_id", "label", "embedding")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val allPairs = operators.Similarity
+        .cosinePairs(df, "vec_id", "embedding", "label", 0.2)
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      val deduped = operators.Similarity
+        .cosinePairsDeduped(df, "vec_id", "embedding", "label", 0.2)
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      allPairs == deduped
+    }
 }
