@@ -26,6 +26,35 @@ final case class PipelineJob(
 
 final case class PipelineResult(ran: Seq[String], skipped: Seq[String])
 
+/** A templated job instantiated once per time bucket — builder's
+  * unexpanded Job + TimestampExpander pair (SURVEY.md §2.1 B2). `%dt`
+  * in `target` and `deps` is substituted with the concrete bucket, and
+  * the transformation receives the bucket it is building.
+  */
+final case class TimedJobTemplate(
+    name: String,
+    target: String, // contains "%dt"
+    deps: Seq[String], // each may contain "%dt"
+    cacheTimeMs: Long = 0L)(
+    val run: (SparkSession, Map[String, DataFrame], String) => DataFrame)
+
+/** Builder's expansion step: template × bucket list → concrete
+  * instantiated jobs (the reference encodes buckets in file names; here
+  * they land in target directory names the same way).
+  */
+object TimeExpansion {
+  def expand(t: TimedJobTemplate, buckets: Seq[String]): Seq[PipelineJob] =
+    buckets.map { dt =>
+      PipelineJob(s"${t.name}@$dt", t.target.replace("%dt", dt),
+        t.deps.map(_.replace("%dt", dt)), t.cacheTimeMs)(
+        (s, ins) => t.run(s, ins, dt))
+    }
+
+  def expandAll(ts: Seq[TimedJobTemplate],
+      buckets: Seq[String]): Seq[PipelineJob] =
+    ts.flatMap(expand(_, buckets))
+}
+
 /** Builder's `depends_one_or_more` (SURVEY.md §2.1 B4): a job that can
   * run when at least one of its expanded inputs exists consumes
   * whichever exist. Spark-native: filter to existing paths, read the
@@ -152,6 +181,31 @@ class PipelineRunner(spark: SparkSession, root: String) {
     } finally pool.shutdown()
     PipelineResult(ran.toSeq, skipped.toSeq)
   }
+
+  /** Builder's build request (SURVEY.md §2.1 B7): restrict the graph
+    * to the transitive producers of `target`, inclusive — asking for
+    * one target instantiates and runs only its ancestor chain, not the
+    * whole build graph.
+    */
+  def ancestorsOf(jobs: Seq[PipelineJob],
+      target: String): Seq[PipelineJob] = {
+    val byTarget = jobs.map(j => j.target -> j).toMap
+    val need = collection.mutable.Set[String]()
+    def visit(t: String): Unit = byTarget.get(t).foreach { j =>
+      if (need.add(t)) j.deps.foreach(visit)
+    }
+    visit(target)
+    jobs.filter(j => need(j.target))
+  }
+
+  /** Ask for one target (optionally a backfill: expand templates over
+    * the requested buckets first, then request each bucket's target):
+    * runs only the ancestor chain, topo-ordered, staleness rules as
+    * [[run]].
+    */
+  def buildRequest(jobs: Seq[PipelineJob],
+      target: String): PipelineResult =
+    run(ancestorsOf(jobs, target))
 
   /** Run the graph: topo order, skipping fresh jobs; inputs are handed
     * to each job as DataFrames read from dep targets.

@@ -42,6 +42,31 @@ class PipelineSpec extends SparkTestBase {
     assert(r3.ran == Seq("derived", "agg") && r3.skipped == Seq("src"))
   }
 
+  test("backfill: templates expand over buckets; buildRequest runs one ancestor chain") {
+    val root = Files.createTempDirectory("graft_backfill").toString
+    val runner = new PipelineRunner(spark, root)
+    val raw = TimedJobTemplate("raw", "raw/dt=%dt", Nil)(
+      (s, _, dt) => Seq((dt, 1L), (dt, 2L)).toDF("dt", "n"))
+    val agg = TimedJobTemplate("agg", "agg/dt=%dt", Seq("raw/dt=%dt"))(
+      (s, in, dt) => in(s"raw/dt=$dt").groupBy("dt")
+        .agg(sum("n").as("total")))
+    val jobs = TimeExpansion.expandAll(Seq(raw, agg),
+      Seq("2024-01-01", "2024-01-02"))
+    assert(jobs.size == 4)
+
+    // requesting one bucket's agg runs ONLY that bucket's chain
+    val r1 = runner.buildRequest(jobs, "agg/dt=2024-01-02")
+    assert(r1.ran == Seq("raw@2024-01-02", "agg@2024-01-02"), r1)
+    assert(spark.read.parquet(s"$root/agg/dt=2024-01-02")
+      .head().getLong(1) == 3L)
+
+    // the full build then backfills only the missing bucket
+    val r2 = runner.run(jobs)
+    assert(r2.ran.toSet == Set("raw@2024-01-01", "agg@2024-01-01"), r2)
+    assert(r2.skipped.toSet ==
+      Set("raw@2024-01-02", "agg@2024-01-02"), r2)
+  }
+
   test("time-bucketed output is partition-pruned on read") {
     val root = Files.createTempDirectory("graft_tp").toString
     val ev = graft.sources.Events.load(spark, sf)
