@@ -1473,7 +1473,9 @@ object Round3 {
             slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+        // c1 rolls up from c2 (c1(w1) = Σ_w2 c2) — a pass over the
+        // distinct-bigram table, not a second pass over the corpus
+        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
         bigrams
           .join(c2, Seq("w1", "w2"))
           .join(broadcast(c1), Seq("w1"))
