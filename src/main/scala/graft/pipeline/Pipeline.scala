@@ -43,12 +43,18 @@ final case class TimedJobTemplate(
   * they land in target directory names the same way).
   */
 object TimeExpansion {
-  def expand(t: TimedJobTemplate, buckets: Seq[String]): Seq[PipelineJob] =
+  def expand(t: TimedJobTemplate, buckets: Seq[String]): Seq[PipelineJob] = {
+    // a template without the placeholder would mint N jobs with ONE
+    // target — topo-sort would then collapse them and run a single
+    // bucket's lambda N times, silently. Refuse instead.
+    require(t.target.contains("%dt"),
+      s"template '${t.name}' target '${t.target}' has no %dt placeholder")
     buckets.map { dt =>
       PipelineJob(s"${t.name}@$dt", t.target.replace("%dt", dt),
         t.deps.map(_.replace("%dt", dt)), t.cacheTimeMs)(
         (s, ins) => t.run(s, ins, dt))
     }
+  }
 
   def expandAll(ts: Seq[TimedJobTemplate],
       buckets: Seq[String]): Seq[PipelineJob] =
@@ -82,9 +88,19 @@ class PipelineRunner(spark: SparkSession, root: String) {
     if (Files.exists(p)) Some(Files.getLastModifiedTime(p).toMillis) else None
   }
 
+  /** One job per target — duplicates would be silently collapsed by
+    * the target-keyed maps below (some jobs never running).
+    */
+  private def indexByTarget(
+      jobs: Seq[PipelineJob]): Map[String, PipelineJob] = {
+    val dup = jobs.groupBy(_.target).collect { case (t, js) if js.size > 1 => t }
+    require(dup.isEmpty, s"duplicate job targets: ${dup.mkString(", ")}")
+    jobs.map(j => j.target -> j).toMap
+  }
+
   /** Topological order via Kahn's algorithm; cycles are an error. */
   def topoSort(jobs: Seq[PipelineJob]): Seq[PipelineJob] = {
-    val byTarget = jobs.map(j => j.target -> j).toMap
+    val byTarget = indexByTarget(jobs)
     val indeg = collection.mutable.Map(jobs.map(j =>
       j.target -> j.deps.count(byTarget.contains)): _*)
     val ready = collection.mutable.Queue(
@@ -132,7 +148,7 @@ class PipelineRunner(spark: SparkSession, root: String) {
       maxRetries: Int = 0): PipelineResult = {
     topoSort(jobs) // validates the DAG up front
     val now = System.currentTimeMillis()
-    val byTarget = jobs.map(j => j.target -> j).toMap
+    val byTarget = indexByTarget(jobs)
     val indeg = collection.mutable.Map(jobs.map(j =>
       j.target -> j.deps.count(byTarget.contains)): _*)
     val ran = collection.mutable.ArrayBuffer[String]()
@@ -189,12 +205,21 @@ class PipelineRunner(spark: SparkSession, root: String) {
     */
   def ancestorsOf(jobs: Seq[PipelineJob],
       target: String): Seq[PipelineJob] = {
-    val byTarget = jobs.map(j => j.target -> j).toMap
+    val byTarget = indexByTarget(jobs)
+    // a missing target must be an error, not a successful empty build
+    // (a typo'd bucket would otherwise "backfill" nothing, silently)
+    require(byTarget.contains(target),
+      s"no job produces requested target '$target'")
+    // explicit worklist: recursion would overflow on long chained-
+    // bucket ancestries (hour-over-hour deps across a year of buckets)
     val need = collection.mutable.Set[String]()
-    def visit(t: String): Unit = byTarget.get(t).foreach { j =>
-      if (need.add(t)) j.deps.foreach(visit)
+    val work = collection.mutable.Stack(target)
+    while (work.nonEmpty) {
+      val t = work.pop()
+      byTarget.get(t).foreach { j =>
+        if (need.add(t)) j.deps.foreach(work.push)
+      }
     }
-    visit(target)
     jobs.filter(j => need(j.target))
   }
 

@@ -65,6 +65,21 @@ class PipelineSpec extends SparkTestBase {
     assert(r2.ran.toSet == Set("raw@2024-01-01", "agg@2024-01-01"), r2)
     assert(r2.skipped.toSet ==
       Set("raw@2024-01-02", "agg@2024-01-02"), r2)
+
+    // guardrails: a typo'd target errors (not a silent empty build);
+    // a template without %dt refuses to expand; duplicate targets
+    // are rejected instead of silently collapsed
+    intercept[IllegalArgumentException] {
+      runner.buildRequest(jobs, "agg/dt=2024-1-02")
+    }
+    intercept[IllegalArgumentException] {
+      TimeExpansion.expand(
+        TimedJobTemplate("static", "dim/users", Nil)((s, _, _) =>
+          Seq(1L).toDF("id")), Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      runner.topoSort(jobs :+ jobs.head)
+    }
   }
 
   test("time-bucketed output is partition-pruned on read") {
