@@ -304,6 +304,64 @@ object Round4 {
         UNION ALL
         SELECT id, cur // 7, d + 1 FROM walk WHERE cur > 0)
       SELECT d AS depth, COUNT(*) AS n FROM walk WHERE cur = 0
-      GROUP BY d ORDER BY d"""))
+      GROUP BY d ORDER BY d""")),
+
+    // ---- rolling-hash document fingerprints (winnowing) ----------------
+    // The MOSS/winnowing local-fingerprint scheme: an 8-char rolling
+    // polynomial hash (base 31, exact in int64 — max value ~7e13, so no
+    // modulus and no overflow in either engine) at every position, then
+    // the minimum hash of each 16-gram window; the distinct selected
+    // minima are the document's fingerprints. Guarantees any shared
+    // substring of length >= 23 chars yields a shared fingerprint —
+    // the plagiarism/near-dup primitive that, unlike shingle hashing,
+    // is position-robust. Shape: posexplode the char codes ONCE, build
+    // each gram hash from 8 window leads, then the window minimum —
+    // both windows share one (doc_id)-ordered exchange and every row
+    // costs O(1). Two rejected shapes, both O(n²): the all-HOF form
+    // (grams array + per-window slice) hits the CollapseProject trap —
+    // the array expression inlines into the window lambda and
+    // recomputes per window (26 s at sf0.1); per-position
+    // substring(t, i, 1) is O(i) on UTF8 strings, so even exploded
+    // rows go quadratic (14 s). This shape: ~2 s.
+    "q161_llm_winnow_fingerprint" -> QueryDef(
+      (s, dir) => {
+        // base-31 coefficients 31^7..31^0 — the 8-char polynomial fits
+        // int64 (max ~7e13) with no modulus, so values are exact in
+        // both engines
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+          29791L, 961L, 31L, 1L)
+        val chars = t(s, dir, "documents")
+          .filter(length(col("text")) >= 24)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .withColumn("n", length(col("t")))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr("transform(split(t, ''), c -> ascii(c))"))
+              .as(Seq("i0", "code")))
+        val wl = Window.partitionBy("doc_id").orderBy("i0")
+        val gram = pows.zipWithIndex.map { case (c, j) =>
+          (if (j == 0) col("code") else lead(col("code"), j).over(wl))
+            .cast("long") * lit(c)
+        }.reduce(_ + _)
+        val wm = Window.partitionBy("doc_id").orderBy("i0")
+          .rowsBetween(Window.currentRow, 15)
+        chars.withColumn("gram", gram)
+          .filter(col("i0") <= col("n") - 8)
+          .withColumn("fp", min(col("gram")).over(wm))
+          .filter(col("i0") <= col("n") - 8 - 15)
+          .select(col("doc_id"), col("fp")).distinct()
+          .orderBy("doc_id", "fp")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(text) >= 24),
+      g AS (SELECT doc_id, list_transform(range(1, length(t) - 7 + 1), i ->
+          list_sum(list_transform(range(0, 8), j ->
+            ascii(t[i+j:i+j])
+              * [27512614111,887503681,28629151,923521,29791,961,31,1][j+1])))
+          AS gr
+        FROM d),
+      w AS (SELECT doc_id, unnest(list_transform(range(1, len(gr) - 15 + 1),
+          p -> list_min(gr[p:p+15]))) AS fp FROM g)
+      SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM w
+      ORDER BY doc_id, fp"""))
   )
 }
