@@ -306,6 +306,65 @@ object Round4 {
       SELECT d AS depth, COUNT(*) AS n FROM walk WHERE cur = 0
       GROUP BY d ORDER BY d""")),
 
+    // ---- SQL MERGE INTO, delta-based (merge-on-read) path --------------
+    // The same native MERGE surface as q153 but over MemDeltaCatalog,
+    // whose row-level operations implement SupportsDelta: Spark plans
+    // WriteDelta instead of ReplaceData — per-row DELETE/UPDATE/INSERT
+    // instructions keyed by row identity, so only touched rows are
+    // rewritten (a 0.1%-churn MERGE at 100 TB writes 0.1% of the data,
+    // not every scanned group). Also exercises the fourth WHEN branch —
+    // NOT MATCHED BY SOURCE — absent from q153.
+    "q162_sql_merge_delta" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftdelta",
+          "graft.sources.MemDeltaCatalog")
+        s.sql("DROP TABLE IF EXISTS graftdelta.pt")
+        s.sql("CREATE TABLE graftdelta.pt (pk BIGINT NOT NULL, rp DOUBLE, brand STRING)")
+        t(s, dir, "part")
+          .filter(pmod(col("p_partkey"), lit(3)) =!= 1)
+          .select(col("p_partkey").cast("long").as("pk"),
+            col("p_retailprice").cast("double").as("rp"),
+            col("p_brand").as("brand"))
+          .createOrReplaceTempView("q162_seed")
+        s.sql("INSERT INTO graftdelta.pt SELECT * FROM q162_seed")
+        t(s, dir, "part")
+          .filter(pmod(col("p_partkey"), lit(2)) === 0)
+          .select(col("p_partkey").cast("long").as("pk"),
+            when(pmod(col("p_partkey"), lit(10)) === 4, lit("D"))
+              .otherwise(lit("U")).as("op"),
+            (col("p_retailprice").cast("double") + lit(50.0)).as("rp"),
+            lower(col("p_brand")).as("brand"))
+          .createOrReplaceTempView("q162_changes")
+        s.sql("""MERGE INTO graftdelta.pt t USING q162_changes c
+          ON t.pk = c.pk
+          WHEN MATCHED AND c.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET rp = c.rp, brand = c.brand
+          WHEN NOT MATCHED AND c.op != 'D' THEN
+            INSERT (pk, rp, brand) VALUES (c.pk, c.rp, c.brand)
+          WHEN NOT MATCHED BY SOURCE AND t.pk % 7 = 0 THEN DELETE""")
+        s.sql("SELECT pk, rp, brand FROM graftdelta.pt ORDER BY pk")
+      },
+      Some("""WITH tgt AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+          CAST(p_retailprice AS DOUBLE) AS rp, p_brand AS brand
+        FROM part WHERE p_partkey % 3 != 1),
+      ch AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+          CASE WHEN p_partkey % 10 = 4 THEN 'D' ELSE 'U' END AS op,
+          CAST(p_retailprice AS DOUBLE) + 50 AS rp,
+          lower(p_brand) AS brand
+        FROM part WHERE p_partkey % 2 = 0)
+      SELECT pk, rp, brand FROM (
+        SELECT t.pk, t.rp, t.brand FROM tgt t
+          LEFT JOIN ch c ON t.pk = c.pk
+          WHERE c.pk IS NULL AND t.pk % 7 != 0
+        UNION ALL
+        SELECT t.pk, c.rp, c.brand FROM tgt t
+          JOIN ch c ON t.pk = c.pk WHERE c.op = 'U'
+        UNION ALL
+        SELECT c.pk, c.rp, c.brand FROM ch c
+          LEFT JOIN tgt t ON t.pk = c.pk
+          WHERE t.pk IS NULL AND c.op != 'D')
+      ORDER BY pk""")),
+
     // ---- rolling-hash document fingerprints (winnowing) ----------------
     // The MOSS/winnowing local-fingerprint scheme: an 8-char rolling
     // polynomial hash (base 31, exact in int64 — max value ~7e13, so no

@@ -7,9 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -44,6 +44,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class MemCatalog extends TableCatalog {
   private var catalogName: String = _
 
+  /** Row-level-operation protocol this catalog's tables speak: the base
+    * catalog is copy-on-write (group-based ReplaceData); [[MemDeltaCatalog]]
+    * overrides to the delta (merge-on-read style WriteDelta) path.
+    */
+  protected def mkTable(key: String, pinnedVersion: Option[Int] = None): Table =
+    new MemTable(key, pinnedVersion)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
@@ -64,7 +71,7 @@ class MemCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
     if (!MemCatalog.store.contains(k)) throw new NoSuchTableException(ident)
-    new MemTable(k)
+    mkTable(k)
   }
 
   // SELECT ... FROM t VERSION AS OF n — pin the scan to snapshot n.
@@ -74,7 +81,7 @@ class MemCatalog extends TableCatalog {
     val v = version.toInt
     require(v >= 0 && v < e.versions.length,
       s"version $v out of range [0, ${e.versions.length})")
-    new MemTable(k, pinnedVersion = Some(v))
+    mkTable(k, pinnedVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -83,7 +90,7 @@ class MemCatalog extends TableCatalog {
     if (MemCatalog.store.putIfAbsent(k,
         MemCatalog.Entry(schema, Vector(Vector.empty))).isDefined)
       throw new TableAlreadyExistsException(ident)
-    new MemTable(k)
+    mkTable(k)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -108,7 +115,8 @@ object MemCatalog {
   private[sources] val store = TrieMap.empty[String, Entry]
 }
 
-private class MemTable(key: String, pinnedVersion: Option[Int] = None)
+private class MemTable(key: String, pinnedVersion: Option[Int] = None,
+    delta: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
   private def entry = MemCatalog.store(key)
@@ -126,7 +134,8 @@ private class MemTable(key: String, pinnedVersion: Option[Int] = None)
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new MemRowLevelOperation(key, info.command())
+        if (delta) new MemDeltaRowLevelOperation(key, info.command())
+        else new MemRowLevelOperation(key, info.command())
     }
 }
 
@@ -241,3 +250,120 @@ private class MemWriterFactory(schema: StructType)
     }
 }
 
+
+/** The delta-based (merge-on-read style) variant of [[MemCatalog]]:
+  * its tables' row-level operations implement `SupportsDelta`, so
+  * MERGE / UPDATE / DELETE plan to `WriteDelta` — Spark streams per-row
+  * DELETE / UPDATE / INSERT instructions keyed by the table's row
+  * identity to the writer, and only TOUCHED rows are rewritten, instead
+  * of the group-based path's wholesale replacement of every scanned
+  * group. This is the high-churn-table protocol (Iceberg's
+  * merge-on-read mode has this shape): at 100 TB a MERGE that updates
+  * 0.1% of rows writes 0.1% of the data, not 100%. Row identity is the
+  * table's first column (the key column in every graft table), which
+  * must be declared NOT NULL — Spark rejects nullable row-id attributes.
+  */
+class MemDeltaCatalog extends MemCatalog {
+  override protected def mkTable(key: String,
+      pinnedVersion: Option[Int] = None): Table =
+    new MemTable(key, pinnedVersion, delta = true)
+}
+
+private class MemDeltaRowLevelOperation(key: String,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  private def schema = MemCatalog.store(key).schema
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(key, schema)
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(schema.fields.head.name))
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new MemDeltaBatchWrite(key, MemCatalog.store(key).schema)
+      }
+    }
+}
+
+/** One buffered row-level instruction. op: 0 = delete, 1 = update,
+  * 2 = insert; `id` / `row` are UnsafeRow copies (null when the op
+  * doesn't carry that side).
+  */
+private final case class MemDeltaOp(op: Int, id: InternalRow, row: InternalRow)
+
+private case class MemDeltaCommit(ops: Array[MemDeltaOp])
+    extends WriterCommitMessage
+
+private class MemDeltaBatchWrite(key: String, schema: StructType)
+    extends DeltaBatchWrite {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new MemDeltaWriterFactory(schema)
+
+  // Apply the delta to the latest snapshot: kept rows stay in place (and
+  // keep their order), updated rows are replaced in place by row id,
+  // deleted ids vanish, inserts append in commit-message (partition id)
+  // order — a deterministic merge-on-read compaction.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ops = messages.iterator
+      .flatMap(_.asInstanceOf[MemDeltaCommit].ops).toVector
+    val deleted = scala.collection.mutable.HashSet.empty[InternalRow]
+    val updated = scala.collection.mutable.HashMap.empty[InternalRow, InternalRow]
+    val inserts = Vector.newBuilder[InternalRow]
+    ops.foreach {
+      case MemDeltaOp(0, id, _)   => deleted += id
+      case MemDeltaOp(1, id, row) => updated(id) = row
+      case MemDeltaOp(_, _, row)  => inserts += row
+    }
+    val f = schema.fields.head
+    // project the stored row's key column to the same single-field
+    // UnsafeRow layout the writer used, so byte-equality lookups work
+    val idProj = UnsafeProjection.create(
+      Array[Expression](BoundReference(0, f.dataType, f.nullable)))
+    val e = MemCatalog.store(key)
+    MemCatalog.store.synchronized {
+      val next = e.rows.flatMap { r =>
+        val k = idProj(r) // transient lookup key (reused buffer is fine)
+        if (deleted.contains(k)) None else Some(updated.getOrElse(k, r))
+      } ++ inserts.result()
+      e.versions = e.versions :+ next
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class MemDeltaWriterFactory(schema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+      // Spark hands the callbacks ProjectingInternalRow views (mutable,
+      // and .copy() would capture the UNPROJECTED backing row — the same
+      // hazard as the group-based writer), so materialize through
+      // schema-typed UnsafeProjections before buffering.
+      private val idField = schema.fields.head
+      private val idProj = UnsafeProjection.create(Array[Expression](
+        BoundReference(0, idField.dataType, idField.nullable)))
+      private val rowProj = UnsafeProjection.create(
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable): Expression
+        })
+      private val buf =
+        scala.collection.mutable.ArrayBuffer.empty[MemDeltaOp]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        buf += MemDeltaOp(0, idProj(id).copy(), null)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        buf += MemDeltaOp(1, idProj(id).copy(), rowProj(row).copy())
+      override def insert(row: InternalRow): Unit =
+        buf += MemDeltaOp(2, null, rowProj(row).copy())
+      override def commit(): WriterCommitMessage = MemDeltaCommit(buf.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

@@ -52,6 +52,43 @@ class MergeIntoSpec extends SparkTestBase {
       .head().getLong(0) == 1L)
   }
 
+  test("delta catalog: MERGE plans to WriteDelta and only touches delta rows") {
+    spark.conf.set("spark.sql.catalog.graftdel", "graft.sources.MemDeltaCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftdel.t")
+    spark.sql("CREATE TABLE graftdel.t (id BIGINT NOT NULL, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (7L, 7.0)).toDF("id", "v")
+      .createOrReplaceTempView("del_seed")
+    spark.sql("INSERT INTO graftdel.t SELECT * FROM del_seed")
+
+    Seq((2L, "U", 20.0), (3L, "D", 0.0), (4L, "I", 4.0))
+      .toDF("id", "op", "v").createOrReplaceTempView("del_chg")
+    val merge = """MERGE INTO graftdel.t t USING del_chg c ON t.id = c.id
+      WHEN MATCHED AND c.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = c.v
+      WHEN NOT MATCHED AND c.op != 'D' THEN INSERT (id, v) VALUES (c.id, c.v)
+      WHEN NOT MATCHED BY SOURCE AND t.id = 7 THEN DELETE"""
+
+    // the SupportsDelta operation must route MERGE to the delta write
+    // plan (WriteDelta), not the group-based ReplaceData rewrite
+    val plan = spark.sql("EXPLAIN EXTENDED " + merge)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("WriteDelta"), plan)
+    assert(!plan.contains("ReplaceData"), plan)
+
+    spark.sql(merge)
+    val out = spark.sql("SELECT id, v FROM graftdel.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 1.0), (2L, 20.0), (4L, 4.0)), out)
+
+    // untouched rows keep identity across the delta commit: row 1 was
+    // never shipped to the writer, yet survives with its value intact,
+    // and the commit produced exactly one new snapshot
+    spark.sql("UPDATE graftdel.t SET v = v + 0.5 WHERE id = 4")
+    val out2 = spark.sql("SELECT id, v FROM graftdel.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out2 == Seq((1L, 1.0), (2L, 20.0), (4L, 4.5)), out2)
+  }
+
   test("INSERT append accumulates; row-level write replaces, not appends") {
     spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
     spark.sql("DROP TABLE IF EXISTS graftmem.t2")
