@@ -365,6 +365,99 @@ object Round4 {
           WHERE t.pk IS NULL AND c.op != 'D')
       ORDER BY pk""")),
 
+    // ---- storage-partitioned join (zero-shuffle v2 co-partitioning) ----
+    // Two v2 tables PARTITIONED BY the same key: their scans report
+    // KeyGroupedPartitioning (one input split per key value, each
+    // declaring its key), and with spark.sql.sources.v2.bucketing.enabled
+    // the join runs with NO exchange on either side — the DSv2 form of
+    // the co-located join (StoragePartitionedJoinSpec pins the plan).
+    // At 100 TB this is THE fact⋈fact strategy when data is already
+    // laid out by key: both sides stay in place, only local sorts run.
+    // Per-nation customer and supplier rollups land in co-partitioned
+    // tables, then join storage-partitioned.
+    "q163_join_storage_partitioned" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.sql("DROP TABLE IF EXISTS graftmem.cnat")
+        s.sql("DROP TABLE IF EXISTS graftmem.snat")
+        s.sql("""CREATE TABLE graftmem.cnat (nkey BIGINT, ncust BIGINT,
+          cbal DOUBLE) PARTITIONED BY (nkey)""")
+        s.sql("""CREATE TABLE graftmem.snat (nkey BIGINT, nsupp BIGINT,
+          sbal DOUBLE) PARTITIONED BY (nkey)""")
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey").cast("long").as("nkey"))
+          .agg(count(lit(1)).as("ncust"),
+            graft.util.Det.dsum(col("c_acctbal").cast("double")).as("cbal"))
+          .createOrReplaceTempView("q163_c")
+        s.sql("INSERT INTO graftmem.cnat SELECT * FROM q163_c")
+        t(s, dir, "supplier")
+          .groupBy(col("s_nationkey").cast("long").as("nkey"))
+          .agg(count(lit(1)).as("nsupp"),
+            graft.util.Det.dsum(col("s_acctbal").cast("double")).as("sbal"))
+          .createOrReplaceTempView("q163_s")
+        s.sql("INSERT INTO graftmem.snat SELECT * FROM q163_s")
+        s.sql("""SELECT c.nkey, c.ncust, c.cbal, s.nsupp, s.sbal
+          FROM graftmem.cnat c JOIN graftmem.snat s ON c.nkey = s.nkey
+          ORDER BY c.nkey""")
+      },
+      Some(s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nkey,
+          COUNT(*) AS ncust,
+          ${graft.util.Det.dsumSql("CAST(c_acctbal AS DOUBLE)")} AS cbal
+        FROM customer GROUP BY 1),
+      s AS (SELECT CAST(s_nationkey AS BIGINT) AS nkey,
+          COUNT(*) AS nsupp,
+          ${graft.util.Det.dsumSql("CAST(s_acctbal AS DOUBLE)")} AS sbal
+        FROM supplier GROUP BY 1)
+      SELECT c.nkey, c.ncust, c.cbal, s.nsupp, s.sbal
+      FROM c JOIN s ON c.nkey = s.nkey ORDER BY c.nkey""")),
+
+    // ---- DSv2 aggregate pushdown (closed-form source statistics) -------
+    // Global COUNT/MIN/MAX/SUM over the generated v2 source collapse
+    // INSIDE the scan: each slice returns one closed-form partial row
+    // (SeqSource.AggSpec), so the aggregate reads `slices` rows instead
+    // of 100k — the parquet-footer-statistics pattern generalized to a
+    // custom connector. The id-range filter is fully pushed (slice
+    // clamping applies it exactly), which is what lets Spark's
+    // V2ScanRelationPushDown move the aggregate into the source.
+    // SeqSourceSpec pins that the scan's read schema IS the partial-agg
+    // schema and that group-by/avg correctly decline pushdown.
+    "q164_src_agg_pushdown" -> QueryDef(
+      (s, dir) => {
+        s.read.format("graft.sources.SeqSource")
+          .option("rows", "100000").option("slices", "32")
+          .load()
+          .filter(col("id") >= 250 && col("id") < 99750)
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+            sum(col("id")).as("sum_id"),
+            sum(col("bucket")).as("sum_bucket"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        MIN(i) AS min_id, MAX(i) AS max_id,
+        CAST(SUM(i) AS BIGINT) AS sum_id,
+        CAST(SUM(i % 10) AS BIGINT) AS sum_bucket
+      FROM range(0, 100000) t(i) WHERE i >= 250 AND i < 99750""")),
+
+    // ---- DSv2 top-k pushdown ------------------------------------------
+    // ORDER BY id DESC LIMIT k over the v2 source: the pushed top-k
+    // bounds every slice to its k id-extreme rows (O(slices x k) read,
+    // not O(rows)); Spark still applies the exact final bound above the
+    // scan (isPartiallyPushed), so pushdown is never a correctness
+    // dependency.
+    "q165_src_topn_pushdown" -> QueryDef(
+      (s, dir) => {
+        s.read.format("graft.sources.SeqSource")
+          .option("rows", "100000").option("slices", "32")
+          .load()
+          .orderBy(col("id").desc)
+          .limit(10)
+      },
+      Some("""SELECT i AS id, i % 10 AS bucket,
+        'doc_' || CAST(i AS VARCHAR) AS payload
+      FROM range(0, 100000) t(i) ORDER BY id DESC LIMIT 10""")),
+
     // ---- rolling-hash document fingerprints (winnowing) ----------------
     // The MOSS/winnowing local-fingerprint scheme: an 8-char rolling
     // polynomial hash (base 31, exact in int64 — max value ~7e13, so no

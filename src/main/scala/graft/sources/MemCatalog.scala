@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,8 +89,20 @@ class MemCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val k = key(ident)
+    // identity-transform partitioning only: PARTITIONED BY (col, ...).
+    // Scans of a partitioned table report KeyGroupedPartitioning, so
+    // joins between tables co-partitioned on their join key run
+    // storage-partitioned (no shuffle on either side).
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val c = t.references.head.fieldNames.mkString(".")
+        require(schema.fieldNames.contains(c), s"unknown partition column $c")
+        c
+      case t => throw new UnsupportedOperationException(
+        s"MemCatalog: only identity partition transforms supported, got $t")
+    }
     if (MemCatalog.store.putIfAbsent(k,
-        MemCatalog.Entry(schema, Vector(Vector.empty))).isDefined)
+        MemCatalog.Entry(schema, Vector(Vector.empty), partCols)).isDefined)
       throw new TableAlreadyExistsException(ident)
     mkTable(k)
   }
@@ -109,7 +123,8 @@ object MemCatalog {
     * (immutable vectors), so versioning costs O(delta), not O(table).
     */
   private[sources] final case class Entry(schema: StructType,
-      @volatile var versions: Vector[Vector[InternalRow]]) {
+      @volatile var versions: Vector[Vector[InternalRow]],
+      partCols: Seq[String] = Nil) {
     def rows: Vector[InternalRow] = versions.last
   }
   private[sources] val store = TrieMap.empty[String, Entry]
@@ -123,6 +138,8 @@ private class MemTable(key: String, pinnedVersion: Option[Int] = None,
   override def name(): String =
     pinnedVersion.fold(key)(v => s"$key@v$v")
   override def schema(): StructType = entry.schema
+  override def partitioning(): Array[Transform] =
+    entry.partCols.map(Expressions.identity).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
@@ -152,7 +169,10 @@ private class MemRowLevelOperation(key: String,
 
 private class MemScanBuilder(key: String, schema: StructType,
     pinnedVersion: Option[Int] = None) extends ScanBuilder {
-  override def build(): Scan = new MemScan(key, schema, pinnedVersion)
+  override def build(): Scan =
+    if (MemCatalog.store(key).partCols.nonEmpty)
+      new MemKeyGroupedScan(key, schema, pinnedVersion)
+    else new MemScan(key, schema, pinnedVersion)
 }
 
 private class MemScan(key: String, schema: StructType,
@@ -172,13 +192,61 @@ private class MemScan(key: String, schema: StructType,
     new MemReaderFactory
 }
 
+/** A key-grouped scan of a partitioned table: one input partition per
+  * distinct partition-key value, each exposing its key via
+  * [[HasPartitionKey]], and the scan reporting
+  * [[KeyGroupedPartitioning]] over the identity transforms. With
+  * `spark.sql.sources.v2.bucketing.enabled`, a join of two tables
+  * co-partitioned on the join key keeps both sides in place — the
+  * storage-partitioned join that makes 100 TB fact-to-fact joins
+  * shuffle-free.
+  */
+private class MemKeyGroupedScan(key: String, schema: StructType,
+    pinnedVersion: Option[Int]) extends Scan with Batch
+    with SupportsReportPartitioning {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+  private def entry = MemCatalog.store(key)
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_mem $key keyGrouped=[${entry.partCols.mkString(",")}]"
+  private def groups: Seq[(InternalRow, Array[InternalRow])] = {
+    val e = entry
+    val rows = pinnedVersion.fold(e.rows)(e.versions(_))
+    val keyProj = UnsafeProjection.create(e.partCols.map { c =>
+      val i = e.schema.fieldIndex(c)
+      val f = e.schema.fields(i)
+      BoundReference(i, f.dataType, f.nullable): Expression
+    }.toArray)
+    rows.groupBy(r => keyProj(r).copy().asInstanceOf[InternalRow])
+      .view.mapValues(_.toArray).toSeq
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.map { case (k, rs) => MemKeyedPartition(k, rs) }.toArray
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      entry.partCols.map(Expressions.identity(_): expressions.Expression).toArray,
+      groups.size)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory
+}
+
 private case class MemPartition(rows: Array[InternalRow])
     extends InputPartition
+
+private case class MemKeyedPartition(key: InternalRow,
+    rows: Array[InternalRow]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 private class MemReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[MemPartition].rows
+    val rows = partition match {
+      case MemPartition(rs) => rs
+      case MemKeyedPartition(_, rs) => rs
+      case p => throw new IllegalArgumentException(p.toString)
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }

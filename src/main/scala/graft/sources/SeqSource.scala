@@ -5,8 +5,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -18,18 +19,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * a production engine needs for non-file inputs (internal services,
   * generated fixtures, external stores).
   *
-  * Demonstrates the full connector contract, scale-relevantly:
+  * Demonstrates the full connector pushdown contract, scale-relevantly:
   *  - splits into `slices` independent InputPartitions (parallel read,
   *    no driver materialization — each executor generates its range);
   *  - SupportsPushDownFilters: id-range predicates prune partitions at
   *    planning time (the DSv2 analog of parquet row-group pruning) —
   *    pruned work never reaches an executor;
   *  - SupportsPushDownRequiredColumns: only requested columns are
-  *    generated (column pruning through a non-columnar source).
+  *    generated (column pruning through a non-columnar source);
+  *  - SupportsPushDownAggregates: global COUNT(*) / MIN / MAX / SUM over
+  *    id or bucket collapse to ONE closed-form partial row per slice —
+  *    the scan ships `slices` rows to the final aggregate instead of
+  *    `rows` (a metadata-only aggregate, like parquet footer statistics);
+  *  - SupportsPushDownLimit / SupportsPushDownTopN: each slice emits at
+  *    most `limit` rows (for top-k, the k id-extreme rows of the slice),
+  *    so a LIMIT/ORDER-BY-LIMIT over a huge source reads O(slices × k),
+  *    not O(rows).
   *
-  * Filters are also left in the residual, so Spark re-evaluates them —
-  * pushdown here is a pruning optimization, never a correctness
-  * dependency.
+  * id-range filters are fully pushed (the slice clamping applies them
+  * exactly — and a residual Filter node would block aggregate pushdown);
+  * any other predicate stays residual for Spark to re-evaluate. Limit /
+  * top-k remain partial (`isPartiallyPushed`), so Spark still applies
+  * the final bound, and aggregate pushdown is partial too: Spark's
+  * final aggregate merges the per-slice partials.
   *
   * Usage: `spark.read.format("graft.sources.SeqSource")
   *   .option("rows", n).option("slices", p).load()`
@@ -52,6 +64,11 @@ object SeqSource {
     .add("id", LongType, nullable = false)
     .add("bucket", LongType, nullable = false)
     .add("payload", StringType, nullable = false)
+
+  /** One pushed-down aggregate, computed in closed form per slice.
+    * kind: 0 = count(*), 1 = min, 2 = max, 3 = sum; col: "id"/"bucket".
+    */
+  private[sources] final case class AggSpec(kind: Int, col: String)
 }
 
 private class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
@@ -66,12 +83,19 @@ private class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead 
 private class SeqScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
+  import SeqSource.AggSpec
 
   private var required: StructType = SeqSource.fullSchema
   private var lo: Long = 0L
   private var hi: Long = rows - 1 // inclusive
   private var accepted: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[AggSpec]] = None
+  private var limit: Option[Int] = None
+  private var topNDesc: Option[Boolean] = None // with `limit`: top-k on id
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.collect {
@@ -86,30 +110,91 @@ private class SeqScanBuilder(rows: Long, slices: Int)
       case f @ LessThanOrEqual("id", v: Number) =>
         hi = math.min(hi, v.longValue); f
     }
-    filters // everything stays residual: pushdown only prunes
+    // id-range comparisons are applied EXACTLY by the slice clamping, so
+    // they are fully pushed (no residual) — a residual Filter node would
+    // otherwise block Spark's aggregate pushdown above this scan. All
+    // other predicates stay residual for Spark to re-evaluate.
+    filters.filterNot(accepted.contains)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(rows, lo, hi, slices, required)
+  private def col1(e: Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 &&
+      Seq("id", "bucket").contains(nr.fieldNames.head) =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  // Partial pushdown of GLOBAL aggregates whose per-slice value has a
+  // closed form. Anything else (group-by, other functions, distinct)
+  // is declined and runs as a normal scan + aggregate.
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => AggSpec(0, "id")
+      case m: Min => col1(m.column).map(AggSpec(1, _)).orNull
+      case m: Max => col1(m.column).map(AggSpec(2, _)).orNull
+      case s: Sum if !s.isDistinct => col1(s.column).map(AggSpec(3, _)).orNull
+      case _: AggregateFunc => null
+    }
+    if (specs.contains(null) || specs.isEmpty) return false
+    aggs = Some(specs)
+    true
+  }
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // both parent defaults return true; Scala requires an explicit tiebreak
+  override def isPartiallyPushed(): Boolean = true
+  // Spark re-applies the bound above us either way (isPartiallyPushed
+  // defaults to true), so only id-ordered top-k needs slice support.
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean =
+    orders.toSeq match {
+      case Seq(o) if col1(o.expression).contains("id") =>
+        limit = Some(l)
+        topNDesc = Some(o.direction == SortDirection.DESCENDING)
+        true
+      case _ => false
+    }
+
+  override def build(): Scan =
+    new SeqScan(rows, lo, hi, slices, required, aggs, limit, topNDesc)
 }
 
 private class SeqScan(rows: Long, lo: Long, hi: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
+    required: StructType, aggs: Option[Seq[SeqSource.AggSpec]],
+    limit: Option[Int], topNDesc: Option[Boolean]) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggs match {
+    // partial-aggregate rows: one Long column per pushed aggregate
+    // (min/max/sum are null on an empty range, so nullable)
+    case Some(specs) => StructType(specs.zipWithIndex.map { case (a, i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", LongType,
+        nullable = a.kind != 0)
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft_seq range=[$lo,$hi] cols=${required.fieldNames.mkString(",")}"
+  override def description(): String = {
+    val push = aggs.map(a => s" aggs=${a.mkString(",")}").getOrElse("") +
+      limit.map(l => s" limit=$l").getOrElse("") +
+      topNDesc.map(d => s" topNDesc=$d").getOrElse("")
+    s"graft_seq range=[$lo,$hi] cols=${required.fieldNames.mkString(",")}$push"
+  }
 
   /** Fixed slices of the FULL [0, rows) sequence (the "row groups"),
     * each clamped against the pushed id bounds; slices entirely outside
     * the bounds are dropped at planning time and never reach an
-    * executor.
+    * executor. With pushed aggregates an empty range still yields one
+    * identity partition (count 0 / null extrema) so the final global
+    * aggregate has a partial row to merge.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    if (hi < lo) return Array.empty
+    if (hi < lo) {
+      return if (aggs.isDefined) Array(SeqPartition(0L, -1L)) else Array.empty
+    }
     val per = math.max(1L, (rows + slices - 1) / slices)
     (0L until rows by per).flatMap { start =>
       val end = math.min(start + per - 1, rows - 1)
@@ -120,24 +205,75 @@ private class SeqScan(rows: Long, lo: Long, hi: Long, slices: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(required.fieldNames.toSeq)
+    new SeqReaderFactory(required.fieldNames.toSeq, aggs, limit, topNDesc)
 }
 
 private case class SeqPartition(start: Long, end: Long) extends InputPartition
 
-private class SeqReaderFactory(fields: Seq[String])
+private class SeqReaderFactory(fields: Seq[String],
+    aggs: Option[Seq[SeqSource.AggSpec]], limit: Option[Int],
+    topNDesc: Option[Boolean])
     extends PartitionReaderFactory {
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqPartition]
+    aggs match {
+      case Some(specs) => aggReader(p, specs)
+      case None =>
+        // top-k on id: only the k id-extreme rows of the slice can make
+        // the global top-k; plain limit: any `limit` rows suffice (Spark
+        // re-applies the exact bound above the scan either way)
+        val (s, e) = (limit, topNDesc) match {
+          case (Some(l), Some(true))  => (math.max(p.start, p.end - l + 1), p.end)
+          case (Some(l), _)           => (p.start, math.min(p.end, p.start + l - 1))
+          case _                      => (p.start, p.end)
+        }
+        rowReader(s, e)
+    }
+  }
+
+  private def rowReader(start: Long, end: Long): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur <= p.end }
+      private var cur = start - 1
+      override def next(): Boolean = { cur += 1; cur <= end }
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.map {
           case "id" => cur
           case "bucket" => cur % 10
           case "payload" => UTF8String.fromString(s"doc_$cur")
         })
+      override def close(): Unit = ()
+    }
+
+  /** One closed-form partial row for the slice [start, end] — O(1) per
+    * slice (bucket extrema/sums loop over at most one 10-cycle).
+    */
+  private def aggReader(p: SeqPartition,
+      specs: Seq[SeqSource.AggSpec]): PartitionReader[InternalRow] = {
+    val len = p.end - p.start + 1 // 0 for the identity partition
+    def bucketVals: Seq[Long] =
+      (0L until math.min(len, 10L)).map(i => (p.start + i) % 10)
+    def value(a: SeqSource.AggSpec): Any = a match {
+      case _ if len <= 0 && a.kind == 0 => 0L
+      case _ if len <= 0 => null
+      case SeqSource.AggSpec(0, _) => len
+      case SeqSource.AggSpec(1, "id") => p.start
+      case SeqSource.AggSpec(2, "id") => p.end
+      case SeqSource.AggSpec(3, "id") => (p.start + p.end) * len / 2
+      case SeqSource.AggSpec(1, _) => bucketVals.min
+      case SeqSource.AggSpec(2, _) => bucketVals.max
+      case SeqSource.AggSpec(3, _) =>
+        // full 10-cycles sum to 45; the remainder starts at the phase
+        // after the last full cycle
+        val cycles = len / 10; val rem = len % 10
+        val phase = (p.start + len - rem) % 10
+        cycles * 45L + (0L until rem).map(i => (phase + i) % 10).sum
+      case other => throw new IllegalStateException(other.toString)
+    }
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(specs.map(value))
       override def close(): Unit = ()
     }
   }
