@@ -458,6 +458,82 @@ object Round4 {
         'doc_' || CAST(i AS VARCHAR) AS payload
       FROM range(0, 100000) t(i) ORDER BY id DESC LIMIT 10""")),
 
+    // ---- DSv2 runtime filtering (dynamic partition pruning) ------------
+    // The v2 source implements SupportsRuntimeFiltering on id: when it
+    // feeds a join whose dim side carries a selective predicate, Spark
+    // broadcasts the dim FIRST and hands the surviving join-key values
+    // to the scan at EXECUTION time — slices with no candidate id are
+    // never read (SeqSourceSpec pins 10 slices -> 1). Pruning-only:
+    // surviving slices emit their full range and the join re-filters,
+    // so the runtime filter is never a correctness dependency. This is
+    // DPP generalized to a custom connector — at 100 TB it's the
+    // difference between scanning the whole fact table and scanning
+    // the handful of partitions the dim filter actually selects.
+    "q166_src_runtime_filter" -> QueryDef(
+      (s, dir) => {
+        val dim = t(s, dir, "nation")
+          .filter(col("n_name").isin(
+            "NATION_3", "NATION_7", "NATION_11", "NATION_19", "NATION_23"))
+          .select(col("n_nationkey").cast("long").as("id"), col("n_name"))
+        s.read.format("graft.sources.SeqSource")
+          .option("rows", "100000").option("slices", "32")
+          .load()
+          .join(dim, "id")
+          .select(col("id"), col("bucket"), col("payload"), col("n_name"))
+          .orderBy("id")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id,
+        CAST(n_nationkey % 10 AS BIGINT) AS bucket,
+        'doc_' || CAST(n_nationkey AS VARCHAR) AS payload, n_name
+      FROM nation
+      WHERE n_name IN ('NATION_3','NATION_7','NATION_11','NATION_19',
+        'NATION_23') AND n_nationkey < 100000
+      ORDER BY id""")),
+
+    // ---- v2 catalog functions: magic-method scalar ---------------------
+    // SQL-addressable functions resolved through the catalog (the
+    // engine-native shared function library — no session UDF
+    // registration): hash_bucket's MAGIC_METHOD `invoke(long, int)` is
+    // called via codegen with primitive args, no boxing or row
+    // wrapping. Same multiplicative hash as the sampling queries, so
+    // the oracle reproduces it arithmetically.
+    "q167_fn_catalog_scalar" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        t(s, dir, "customer").createOrReplaceTempView("q167_customer")
+        s.sql("""SELECT b AS bucket, COUNT(*) AS n, MIN(k) AS min_key
+          FROM (SELECT CAST(c_custkey AS BIGINT) AS k,
+            graftmem.hash_bucket(CAST(c_custkey AS BIGINT), 8) AS b
+            FROM q167_customer)
+          GROUP BY b ORDER BY b""")
+      },
+      Some("""WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+          (CAST(c_custkey AS BIGINT) * 2654435761) % 8 AS b
+        FROM customer)
+      SELECT b AS bucket, COUNT(*) AS n, MIN(k) AS min_key
+      FROM k GROUP BY b ORDER BY b""")),
+
+    // ---- v2 catalog functions: mergeable aggregate ---------------------
+    // util.Det.dsum as a catalog AGGREGATE function: state is one int64
+    // unscaled DECIMAL(18,6) sum, update/merge are exact integer adds,
+    // so partial aggregation composes and the result is bit-identical
+    // on ANY partitioning (FunctionCatalogSpec pins 1-partition ==
+    // 13-partition == Det.dsum). The determinism contract the whole
+    // oracle harness depends on, packaged as a reusable engine function.
+    "q168_fn_catalog_agg" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem",
+          "graft.sources.MemCatalog")
+        t(s, dir, "customer").createOrReplaceTempView("q168_customer")
+        s.sql("""SELECT c_mktsegment AS seg,
+            graftmem.dsum(CAST(c_acctbal AS DOUBLE)) AS bal
+          FROM q168_customer GROUP BY c_mktsegment ORDER BY seg""")
+      },
+      Some(s"""SELECT c_mktsegment AS seg,
+        ${graft.util.Det.dsumSql("CAST(c_acctbal AS DOUBLE)")} AS bal
+      FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // ---- rolling-hash document fingerprints (winnowing) ----------------
     // The MOSS/winnowing local-fingerprint scheme: an 8-char rolling
     // polynomial hash (base 31, exact in int64 — max value ~7e13, so no

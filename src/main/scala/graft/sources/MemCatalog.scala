@@ -5,8 +5,9 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
@@ -43,8 +44,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * distributed store — the *planning* surface (what the judge's MERGE
   * queries exercise) is identical.
   */
-class MemCatalog extends TableCatalog {
+class MemCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
+
+  // FunctionCatalog: SQL-addressable scalar + aggregate functions
+  // (graft.sources.CatalogFunctions) — `SELECT <catalog>.hash_bucket(k, 8)`.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      CatalogFunctions.all.keys.map(Identifier.of(Array.empty[String], _)).toArray
+    else Array.empty
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty)
+      CatalogFunctions.all.getOrElse(ident.name,
+        throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
 
   /** Row-level-operation protocol this catalog's tables speak: the base
     * catalog is copy-on-write (group-based ReplaceData); [[MemDeltaCatalog]]

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -165,7 +165,40 @@ private class SeqScanBuilder(rows: Long, slices: Int)
 
 private class SeqScan(rows: Long, lo: Long, hi: Long, slices: Int,
     required: StructType, aggs: Option[Seq[SeqSource.AggSpec]],
-    limit: Option[Int], topNDesc: Option[Boolean]) extends Scan with Batch {
+    limit: Option[Int], topNDesc: Option[Boolean]) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+
+  // Runtime (join-driven) filtering — the DSv2 analogue of dynamic
+  // partition pruning: when this scan feeds a join whose other side is
+  // small and selective, Spark hands the dim side's id values here at
+  // EXECUTION time and partitions are re-planned against them. Pruning
+  // only: slices with no candidate id are dropped, surviving slices
+  // still emit their full range (the join re-filters), so the runtime
+  // filter is never a correctness dependency.
+  private var runtimeIds: Option[Array[Long]] = None // sorted
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case org.apache.spark.sql.sources.In("id", vs) =>
+        vs.collect { case n: Number => n.longValue }
+      case EqualTo("id", v: Number) => Array(v.longValue)
+    }
+    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _).sorted)
+  }
+
+  private def sliceHasCandidate(s: Long, e: Long): Boolean =
+    runtimeIds.forall { ids =>
+      // first id >= s (binary search on the sorted candidates)
+      var lo0 = 0; var hi0 = ids.length
+      while (lo0 < hi0) {
+        val m = (lo0 + hi0) >>> 1
+        if (ids(m) < s) lo0 = m + 1 else hi0 = m
+      }
+      lo0 < ids.length && ids(lo0) <= e
+    }
 
   override def readSchema(): StructType = aggs match {
     // partial-aggregate rows: one Long column per pushed aggregate
@@ -200,7 +233,9 @@ private class SeqScan(rows: Long, lo: Long, hi: Long, slices: Int,
       val end = math.min(start + per - 1, rows - 1)
       val s = math.max(start, lo)
       val e = math.min(end, hi)
-      if (s <= e) Some(SeqPartition(s, e): InputPartition) else None
+      if (s <= e && sliceHasCandidate(s, e))
+        Some(SeqPartition(s, e): InputPartition)
+      else None
     }.toArray
   }
 

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
 /** The custom DSv2 connector: correctness, partition pruning via filter
@@ -13,14 +14,16 @@ class SeqSourceSpec extends SparkTestBase {
     spark.read.format("graft.sources.SeqSource")
       .option("rows", rows.toString).option("slices", slices.toString).load()
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
-    // aggregate/sort plans are AQE-wrapped; unwrap to the physical tree
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collectFirst { case b: BatchScanExec => b }.get
-  }
+  // aggregate/sort/join plans are AQE-wrapped and executed stages are
+  // leaf QueryStageExec nodes; recurse through both to find the scan
+  private def allScans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+    case b: BatchScanExec => Seq(b)
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: QueryStageExec => allScans(q.plan)
+  }.flatten
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    allScans(df.queryExecution.executedPlan).head
 
   test("generates the full deterministic sequence") {
     val df = seq(100, 4)
@@ -110,6 +113,27 @@ class SeqSourceSpec extends SparkTestBase {
     val asc = seq(100000, 8).orderBy(col("id")).limit(3)
     assert(df.sparkSession != null && asc.collect().map(_.getLong(0)).toSeq ==
       Seq(0L, 1L, 2L))
+  }
+
+  test("join-driven runtime filter prunes slices at execution time") {
+    // selective dim side: a parquet-backed scan with a pushed EqualTo
+    // (a driver-side Seq would constant-fold to a bare LocalRelation,
+    // which DPP ignores — no selective Filter node). The dim broadcast
+    // hands the surviving ids to SeqScan.filter at execution time.
+    val dim = sources.Tables.load(spark, sf, "nation")
+      .filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey").cast("long").as("id"))
+    val dimIds = dim.collect().map(_.getLong(0)).toSeq
+    assert(dimIds.size == 1)
+    val df = seq(1000, 10).join(dim, "id").select(col("id"), col("bucket"))
+    val rows = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == dimIds.sorted)
+    val scan = allScans(df.queryExecution.executedPlan)
+      .find(_.scan.description().startsWith("graft_seq")).get
+    // 10 slices of 100 ids; only the slice containing the surviving id
+    // may run — runtime-pruned partitions never reach an executor
+    val parts = scan.inputRDD.getNumPartitions
+    assert(parts <= 1, s"expected runtime pruning to <=1 partition, got $parts")
   }
 
   test("plain limit pushes down and is re-applied exactly by Spark") {
