@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Composite, EventTime, Extra, Funcs, LlmOps, Relational, Round2, Round3, Round4}
+import graft.queries.{Composite, EventTime, Extra, Funcs, LlmOps, Relational, Round2, Round3, Round4, Round4b}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,7 @@ object SparkEntry {
   private lazy val catalog: Map[String, QueryDef] =
     Relational.defs ++ Funcs.defs ++ EventTime.defs ++ LlmOps.defs ++
       Extra.defs ++ Composite.defs ++ Round2.defs ++ Round3.defs ++
-      Round4.defs ++ Map(
+      Round4.defs ++ Round4b.defs ++ Map(
       // multimodal plumbing (stubbed codec — see graft.multimodal):
       // deterministic features over synthetic binary payloads; rows-only.
       "q51_mm_features" -> QueryDef(

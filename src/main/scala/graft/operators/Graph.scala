@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph kernels over edge-list DataFrames: exact triangle
+  * counting and fixed-iteration PageRank. Near-dup group resolution
+  * (connected components) lives in [[Dedup.components]] /
+  * [[Dedup.componentsStar]]; these are the other two graph primitives a
+  * data-pipeline catalog needs (community density / influence ranking
+  * over the co-occurrence or near-dup graphs the dedup stages already
+  * produce).
+  *
+  * Scale notes (100 TB): triangle counting uses the degree-orientation
+  * trick (Schank–Wagner / Suri–Vassilvitskii "Counting triangles and the
+  * curse of the last reducer"): orient every undirected edge from the
+  * (degree, id)-smaller endpoint to the larger, so each node's out-degree
+  * is O(sqrt(m)) on any graph — the wedge join below is then bounded by
+  * sum(outdeg²) = O(m^1.5) instead of the O(sum(deg²)) a naive
+  * neighbor-join pays on skewed graphs (a celebrity node with 10M
+  * followers contributes 0 wedges instead of 10M²). All joins are plain
+  * equi-joins on node ids — hash-shuffled, no driver state.
+  *
+  * PageRank is the classic message-passing formulation: contributions
+  * shuffle on dst, ranks join back on src, one round per iteration. Rank
+  * mass is kept in integer micro-units with floor division so results are
+  * bit-exact regardless of partitioning or summation order (doubles would
+  * diverge between engines and between cluster layouts).
+  */
+object Graph {
+
+  /** Per-node triangle participation counts.
+    *
+    * @param edges undirected edges, one row per unordered pair (u < v),
+    *              no self-loops, no duplicates
+    * @return (node, n_tri) — nodes in no triangle are absent
+    */
+  def triangleCounts(edges: DataFrame, u: String, v: String): DataFrame = {
+    // The edge list is referenced by degree-count, orientation, and the
+    // three-way wedge join — six lineage paths. Persist it (and the
+    // oriented copy below) so an expensive upstream edge derivation runs
+    // once, not once per path; on a cluster this is the same persist
+    // you'd use for any iterative/multi-pass graph kernel.
+    val e = edges.select(col(u).as("u"), col(v).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient from (deg, id)-smaller to larger: out-degree <= O(sqrt(m))
+    val o = e.join(deg.as("du"), col("u") === col("du.n"))
+      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .select(
+        when(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du.d"), col("u")) < struct(col("dv.d"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges (s -> b, s -> c) closed by the oriented edge b -> c: each
+    // triangle has exactly one apex with two out-edges, and exactly one
+    // of the (b,c)/(c,b) wedge orderings matches the bc orientation, so
+    // every triangle is counted exactly once.
+    val o1 = o.as("o1"); val o2 = o.as("o2"); val o3 = o.as("o3")
+    val tri = o1.join(o2, col("o1.s") === col("o2.s") && col("o1.t") =!= col("o2.t"))
+      .join(o3, col("o3.s") === col("o1.t") && col("o3.t") === col("o2.t"))
+      .select(col("o1.s").as("a"), col("o1.t").as("b"), col("o2.t").as("c"))
+    tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Weighted PageRank, `iters` fixed iterations, exact integer
+    * arithmetic: ranks are maintained in micro-units (1.0 == 1e12) and
+    * every division is floor division, so the result is deterministic
+    * to the last bit on any partitioning. Damping 0.85; dangling mass
+    * is dropped (documented variant — at pipeline scale the ranking,
+    * not the exact stationary distribution, is what downstream uses).
+    *
+    * @param edges directed weighted edges (src, dst, w), w > 0
+    * @return (n, r) — every node that appears as a src or dst
+    */
+  def pageRankInt(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      w: String,
+      iters: Int): DataFrame = {
+    val unit = 1000000000000L
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+      col(w).cast("long").as("w"))
+    val outw = e.groupBy("src").agg(sum("w").as("tw"))
+    // flow edges annotated with the total out-weight of their source —
+    // reused every iteration, and each rank frontier is referenced twice
+    // per round (contribution join + next-rank rebuild), so persist both
+    // or lineage recomputation doubles per iteration (2^iters blowup).
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val f = e.join(outw, "src").persist(mem)
+    val nodes = e.select(col("src").as("n"))
+      .unionAll(e.select(col("dst").as("n"))).distinct().persist(mem)
+    var r = nodes.select(col("n"), lit(unit).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = f.join(r.withColumnRenamed("n", "src"), "src")
+        .groupBy(col("dst").as("n"))
+        .agg(sum(expr("r * w div tw")).as("m"))
+      r = nodes.join(contrib, Seq("n"), "left")
+        .select(col("n"),
+          (lit(unit * 15 / 100) +
+            expr("85 * coalesce(m, 0L) div 100")).as("r"))
+        .persist(mem)
+    }
+    r
+  }
+}

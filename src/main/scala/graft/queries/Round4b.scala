@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Round-4 catalog widening: graph kernels (triangle counting, PageRank)
+  * over pipeline-derived co-occurrence graphs, plus training-data text
+  * ops (BPE pair-merge induction, oracled SimHash near-dup,
+  * sorted-neighborhood entity resolution, Z-order clustering, EWMA).
+  */
+object Round4b {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Supplier co-occurrence graph, kNN-sparsified: suppliers filling the
+    * same order, each node keeping only its 10 strongest neighbors (by
+    * co-occurrence count, deterministic tie-break). Per-order pair
+    * fan-out is O(k²) with k = suppliers per order — bounded by order
+    * size, not corpus size — and the top-10 cut bounds node degree, so
+    * downstream graph kernels never meet the dense-graph wedge blowup
+    * (an un-sparsified co-occurrence graph approaches a clique as the
+    * corpus grows: at sf0.1 it already carried avg degree ~400 and made
+    * triangle counting 19 s; the kNN graph holds degree <= ~20 at any
+    * scale). This is the standard construction for similarity graphs at
+    * 100 TB for exactly this reason.
+    */
+  private def supplierCoEdges(s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pc = co.as("a").join(co.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val sym = pc.select(col("u").as("s"), col("v").as("d"), col("w"))
+      .unionAll(pc.select(col("v").as("s"), col("u").as("d"), col("w")))
+    val wTop = Window.partitionBy("s").orderBy(col("w").desc, col("d"))
+    sym.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .distinct()
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- triangle counting (degree-oriented) ---------------------------
+    // Community-density kernel over the supplier co-occurrence graph.
+    // Graph.triangleCounts orients edges by (degree, id) so per-node
+    // wedge work is O(sqrt(m)) — the shape that survives skewed graphs
+    // at 100 TB (see operators/Graph.scala scale notes).
+    "q169_graph_triangles" -> QueryDef(
+      (s, dir) => Graph.triangleCounts(supplierCoEdges(s, dir), "u", "v")
+        .select(col("n").cast("long").as("supp"),
+          col("n_tri").cast("long").as("n_tri"))
+        .orderBy("supp"),
+      Some("""WITH co AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      pc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+        FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
+          AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+      sym AS (SELECT u AS s, v AS d, w FROM pc
+        UNION ALL SELECT v, u, w FROM pc),
+      top AS (SELECT s, d FROM (SELECT s, d,
+          row_number() OVER (PARTITION BY s ORDER BY w DESC, d) AS rn
+        FROM sym) WHERE rn <= 10),
+      e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM top),
+      deg AS (SELECT n, COUNT(*) AS d FROM
+        (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+                   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+            FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+      tri AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t <> o2.t
+        JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t)
+      SELECT CAST(n AS BIGINT) AS supp, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY n ORDER BY supp""")),
+
+    // ---- PageRank (fixed iterations, exact integer arithmetic) ---------
+    // Influence ranking over the nation->nation trade-flow graph
+    // (customer nation buys from supplier nation, weighted by lineitem
+    // count). Ranks live in integer micro-units with floor division —
+    // bit-exact under any partitioning, which doubles cannot promise
+    // (see operators/Graph.scala).
+    "q170_graph_pagerank" -> QueryDef(
+      (s, dir) => {
+        val flow = t(s, dir, "lineitem").as("l")
+          .join(t(s, dir, "orders").as("o"),
+            col("l.l_orderkey") === col("o.o_orderkey"))
+          .join(t(s, dir, "customer").as("c"),
+            col("o.o_custkey") === col("c.c_custkey"))
+          .join(t(s, dir, "supplier").as("sp"),
+            col("l.l_suppkey") === col("sp.s_suppkey"))
+          .filter(col("c.c_nationkey") =!= col("sp.s_nationkey"))
+          .groupBy(col("c.c_nationkey").as("src"),
+            col("sp.s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        Graph.pageRankInt(flow, "src", "dst", "w", iters = 3)
+          .select(col("n").cast("long").as("nationkey"),
+            col("r").cast("long").as("rank_scaled"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH flow AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2),
+      outw AS (SELECT src, SUM(w) AS tw FROM flow GROUP BY src),
+      nodes AS (SELECT DISTINCT n FROM
+        (SELECT src AS n FROM flow UNION ALL SELECT dst FROM flow)),
+      r0 AS (SELECT n, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+      c1 AS (SELECT f.dst AS n, SUM((r.r * f.w) // o.tw) AS m
+             FROM flow f JOIN r0 r ON f.src = r.n
+             JOIN outw o ON f.src = o.src GROUP BY 1),
+      r1 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c1.m, 0)) // 100 AS r
+             FROM nodes LEFT JOIN c1 ON nodes.n = c1.n),
+      c2 AS (SELECT f.dst AS n, SUM((r.r * f.w) // o.tw) AS m
+             FROM flow f JOIN r1 r ON f.src = r.n
+             JOIN outw o ON f.src = o.src GROUP BY 1),
+      r2 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c2.m, 0)) // 100 AS r
+             FROM nodes LEFT JOIN c2 ON nodes.n = c2.n),
+      c3 AS (SELECT f.dst AS n, SUM((r.r * f.w) // o.tw) AS m
+             FROM flow f JOIN r2 r ON f.src = r.n
+             JOIN outw o ON f.src = o.src GROUP BY 1),
+      r3 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c3.m, 0)) // 100 AS r
+             FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
+      SELECT CAST(n AS BIGINT) AS nationkey, CAST(r AS BIGINT) AS rank_scaled
+      FROM r3 ORDER BY nationkey"""))
+  )
+}
