@@ -132,6 +132,61 @@ object Round4b {
       r3 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c3.m, 0)) // 100 AS r
              FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
       SELECT CAST(n AS BIGINT) AS nationkey, CAST(r AS BIGINT) AS rank_scaled
-      FROM r3 ORDER BY nationkey"""))
+      FROM r3 ORDER BY nationkey""")),
+
+    // ---- BPE pair-merge induction (tokenizer-training kernel) ----------
+    // One round of byte-pair-encoding vocabulary induction: count
+    // adjacent character pairs over the corpus, merge the most frequent
+    // pair everywhere, and report the post-merge top pairs. The scale
+    // move is classic BPE: operate on the DISTINCT-WORD table weighted
+    // by frequency — all per-word work is bounded by vocabulary size
+    // (~100k entries at any corpus size), not corpus size, so the only
+    // corpus-scale operation is the initial word count (one shuffle).
+    // Per-word pair fan-out is bounded by word length (<= 30).
+    "q171_llm_bpe_merge" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val vocab = t(s, dir, "documents")
+          .select(explode(split(norm, " ")).as("w"))
+          .filter(length(col("w")).between(2, 30))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .withColumn("chars", expr("filter(split(w, ''), x -> x != '')"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def adjPairs(df: DataFrame, sy: String): DataFrame = df
+          .select(col("f"), explode(expr(
+            s"transform(sequence(0, size($sy) - 2), i -> struct($sy[i] AS a, $sy[i+1] AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("f").as("cnt"))
+        val best = adjPairs(vocab, "chars")
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a").as("ba"), col("b").as("bb"))
+        val merged = vocab.crossJoin(broadcast(best))
+          .select(col("f"), split(expr(
+            "replace(array_join(chars, ' '), ba || ' ' || bb, ba || bb)"),
+            " ").as("sy"))
+        adjPairs(merged, "sy")
+          .select(col("a"), col("b"), col("cnt").cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(10)
+      },
+      Some("""WITH w0 AS (SELECT unnest(string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, COUNT(*) AS f FROM w0
+        WHERE length(w) BETWEEN 2 AND 30 GROUP BY w),
+      p1 AS (SELECT w[i.i:i.i] AS a, w[i.i+1:i.i+1] AS b, SUM(f) AS cnt
+        FROM vocab, (SELECT unnest(range(1, 31)) AS i) i
+        WHERE i.i + 1 <= length(w) GROUP BY 1, 2),
+      best AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      m AS (SELECT replace(array_to_string(string_split_regex(w, ''), ' '),
+               (SELECT a || ' ' || b FROM best), (SELECT a || b FROM best)) AS seq, f
+            FROM vocab),
+      syms AS (SELECT string_split(seq, ' ') AS sy, f FROM m),
+      p2 AS (SELECT sy[i.i] AS a, sy[i.i+1] AS b, SUM(f) AS cnt
+        FROM syms, (SELECT unnest(range(1, 31)) AS i) i
+        WHERE i.i + 1 <= len(sy) GROUP BY 1, 2)
+      SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p2
+      ORDER BY cnt DESC, a, b LIMIT 10"""))
   )
 }
