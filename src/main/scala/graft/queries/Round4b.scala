@@ -187,6 +187,81 @@ object Round4b {
         FROM syms, (SELECT unnest(range(1, 31)) AS i) i
         WHERE i.i + 1 <= len(sy) GROUP BY 1, 2)
       SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p2
-      ORDER BY cnt DESC, a, b LIMIT 10"""))
+      ORDER BY cnt DESC, a, b LIMIT 10""")),
+
+    // ---- SimHash near-dup, exactly scored (pigeonhole Hamming join) ----
+    // The oracled twin of rows-only q45: a 60-bit SimHash built from a
+    // PORTABLE token hash (8-char base-31 polynomial, Lehmer-mixed mod a
+    // prime < 2^60 — exact int64 arithmetic in both engines, unlike
+    // xxhash64), then all pairs within Hamming distance 3 found by the
+    // Charikar pigeonhole trick: split the 60 bits into 4 blocks of 15;
+    // any pair at distance <= 3 agrees exactly on >= 1 block, so the
+    // candidate join is an equi-join on (block idx, block value) — no
+    // all-pairs scan anywhere. Bucket population ~ n/2^15 per block
+    // value; residual skew in a bucket IS the near-dup cluster being
+    // discovered. The 60x bit fan-out before the vote aggregation is a
+    // bounded constant and partial-aggregates map-side.
+    "q172_llm_simhash_hamming" -> QueryDef(
+      (s, dir) => {
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+          29791L, 961L, 31L, 1L)
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+          .filter(length(col("w")) >= 2).distinct()
+        val poly = pows.zipWithIndex.map { case (c, j) =>
+          ascii(substring(col("w"), j + 1, 1)).cast("long") * lit(c)
+        }.reduce(_ + _)
+        val th = tok.select(col("doc_id"),
+          (poly * lit(48271L) % lit(1152921504606846883L)).as("hm"))
+        val sh = th
+          .select(col("doc_id"), col("hm"), explode(sequence(lit(0), lit(59))).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(sum(expr("2 * (shiftright(hm, j) % 2) - 1")).as("v"))
+          .groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).as("s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val blocks = sh
+          .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("b"))
+          .select(col("doc_id"), col("b"),
+            expr("shiftright(s, b * 15) & 32767").as("bv"))
+        val cand = blocks.as("x").join(blocks.as("y"),
+            col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        cand.join(sh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da"), col("db"),
+            expr("bit_count(sa.s ^ sb.s)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy("da", "db")
+      },
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      th AS (SELECT doc_id,
+          (list_sum(list_transform(range(1, 9), j ->
+             CASE WHEN j <= length(w) THEN ascii(w[j:j]) ELSE 0 END
+             * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
+           * 48271) % 1152921504606846883 AS hm
+        FROM tok WHERE length(w) >= 2),
+      votes AS (SELECT doc_id, j.j AS j,
+          SUM(2 * ((hm // (1 << j.j)) % 2) - 1) AS v
+        FROM th, (SELECT unnest(range(0, 60)) AS j) j GROUP BY 1, 2),
+      sh AS (SELECT doc_id,
+          SUM(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id),
+      blocks AS (SELECT doc_id, b.b AS b, (s // (1 << (b.b * 15))) % 32768 AS bv
+        FROM sh, (SELECT unnest(range(0, 4)) AS b) b),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM blocks a JOIN blocks b ON a.b = b.b AND a.bv = b.bv
+          AND a.doc_id < b.doc_id),
+      ham AS (SELECT da, db, bit_count(xor(x.s, y.s)) AS h
+        FROM cand JOIN sh x ON cand.da = x.doc_id
+        JOIN sh y ON cand.db = y.doc_id)
+      SELECT da, db, CAST(h AS BIGINT) AS hamming FROM ham
+      WHERE h <= 3 ORDER BY da, db"""))
   )
 }
