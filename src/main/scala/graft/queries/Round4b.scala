@@ -262,6 +262,50 @@ object Round4b {
         FROM cand JOIN sh x ON cand.da = x.doc_id
         JOIN sh y ON cand.db = y.doc_id)
       SELECT da, db, CAST(h AS BIGINT) AS hamming FROM ham
-      WHERE h <= 3 ORDER BY da, db"""))
+      WHERE h <= 3 ORDER BY da, db""")),
+
+    // ---- sorted-neighborhood entity resolution -------------------------
+    // The Hernández–Stolfo sorted-neighborhood method: sort records by a
+    // blocking key (lang + 20-char normalized prefix), then compare each
+    // record only to its w=5 successors in sort order. Candidate count is
+    // exactly n*w — linear in corpus size by construction, versus the
+    // O(block²) of equality blocking on skewed keys. On a cluster the
+    // sort is one range-partitioned exchange and the neighbor join
+    // shuffles on the same key, so pairs co-locate. Emits every window
+    // pair with its edit distance (downstream thresholds as needed);
+    // distances on the 60-char prefix keep the per-pair cost constant.
+    // The neighbor join equi-joins on (lang, rn div w) with the probe
+    // side exploded into its own and the next band — any pair at rank
+    // distance <= w shares one of those buckets — so the join never
+    // degenerates to per-lang all-pairs (lang alone has a handful of
+    // values; at corpus scale that equi-key would put the whole corpus
+    // in a few build partitions).
+    "q173_llm_sorted_neighborhood" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val k = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), norm.as("t"))
+          .withColumn("rn", row_number().over(Window.partitionBy("lang")
+            .orderBy(substring(col("t"), 1, 20), col("doc_id"))))
+          .withColumn("g", expr("rn div 5"))
+        val a = k.withColumn("jg", explode(array(col("g"), col("g") + 1)))
+        a.as("a").join(k.as("b"),
+            col("a.lang") === col("b.lang") && col("a.jg") === col("b.g") &&
+              (col("b.rn") - col("a.rn")).between(1, 5))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            levenshtein(substring(col("a.t"), 1, 60),
+              substring(col("b.t"), 1, 60)).cast("long").as("lev"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH n AS (SELECT doc_id, lang, trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        FROM documents),
+      k AS (SELECT doc_id, lang, t, row_number() OVER (
+          PARTITION BY lang ORDER BY t[1:20], doc_id) AS rn FROM n),
+      pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+          levenshtein(a.t[1:60], b.t[1:60]) AS lev
+        FROM k a JOIN k b ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 5)
+      SELECT da, db, CAST(lev AS BIGINT) AS lev FROM pr ORDER BY da, db"""))
   )
 }
