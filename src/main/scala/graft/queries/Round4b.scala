@@ -306,6 +306,52 @@ object Round4b {
       pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
           levenshtein(a.t[1:60], b.t[1:60]) AS lev
         FROM k a JOIN k b ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 5)
-      SELECT da, db, CAST(lev AS BIGINT) AS lev FROM pr ORDER BY da, db"""))
+      SELECT da, db, CAST(lev AS BIGINT) AS lev FROM pr ORDER BY da, db""")),
+
+    // ---- Z-order (Morton) clustering for multi-dimension skipping ------
+    // Interleave the bits of two query dimensions (ship-date day, supplier
+    // key) into one Morton code; sorting/range-partitioning by that code
+    // clusters rows so EVERY file's min/max envelope is tight in BOTH
+    // dimensions — the layout trick (Delta OPTIMIZE ZORDER, Iceberg
+    // sort orders) that makes parquet row-group skipping work for 2-D
+    // predicates where a lexicographic sort only prunes the leading
+    // column. The z-value is a pure row-local bit expression (codegen'd,
+    // no shuffle); the query reports per-tile row counts and min/max
+    // envelopes — the skipping statistics a reader would prune with.
+    "q174_zorder_cluster" -> QueryDef(
+      (s, dir) => {
+        val zExpr = (0 until 12).map { i =>
+          s"((x div ${1L << i}) % 2) * ${1L << (2 * i)}" +
+            s" + ((y div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        t(s, dir, "lineitem")
+          .select(
+            (datediff(col("l_shipdate"), lit("1970-01-01")) % 4096)
+              .cast("long").as("x"),
+            (col("l_suppkey") % 4096).cast("long").as("y"))
+          .withColumn("z", expr(zExpr))
+          .groupBy(expr("z div 262144").cast("long").as("tile"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .orderBy("tile")
+      },
+      Some {
+        val zExpr = (0 until 12).map { i =>
+          s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+            s" + ((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""WITH d AS (SELECT
+          -- epoch(TIMESTAMP) is DOUBLE and DuckDB's // is NOT floor
+          -- division on doubles — cast to BIGINT before the bit math
+          CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 % 4096 AS x,
+          l_suppkey % 4096 AS y FROM lineitem),
+        zv AS (SELECT x, y, $zExpr AS z FROM d)
+        SELECT CAST(z // 262144 AS BIGINT) AS tile,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+          CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+        FROM zv GROUP BY 1 ORDER BY tile"""
+      })
   )
 }
