@@ -352,6 +352,37 @@ object Round4b {
           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
         FROM zv GROUP BY 1 ORDER BY tile"""
-      })
+      }),
+
+    // ---- EWMA (exponentially weighted moving average), exact -----------
+    // Per-user exponential smoothing of event values, the streaming-
+    // telemetry primitive (anomaly baselines, rate smoothing). alpha=1/2
+    // truncated at 8 taps, computed entirely in scaled int64: cents
+    // weighted by powers of two and summed — bit-exact on any
+    // partitioning (a float EWMA would drift between engines and between
+    // cluster layouts). One window per user; lag taps share the single
+    // (user_id)-ordered exchange.
+    "q175_ts_ewma" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("sec"),
+            floor(col("value") * 100).cast("long").as("v"))
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val ewma = (0 to 7).map { k =>
+          coalesce(lag(col("v"), k).over(w), lit(0L)) * lit(1L << (7 - k))
+        }.reduce(_ + _)
+        ev.withColumn("ewma_c256", ewma)
+          .select("event_id", "user_id", "sec", "ewma_c256")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id,
+          ${graft.util.Det.epochSecSql("ts")} AS sec,
+          CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      w AS (SELECT event_id, user_id, sec,
+          ${(0 to 7).map(k =>
+            s"COALESCE(lag(v, $k) OVER (PARTITION BY user_id ORDER BY sec, event_id), 0) * ${1L << (7 - k)}")
+            .mkString(" + ")} AS ewma_c256
+        FROM e)
+      SELECT event_id, user_id, sec, ewma_c256 FROM w ORDER BY event_id"""))
   )
 }
