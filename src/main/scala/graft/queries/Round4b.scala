@@ -383,6 +383,43 @@ object Round4b {
             s"COALESCE(lag(v, $k) OVER (PARTITION BY user_id ORDER BY sec, event_id), 0) * ${1L << (7 - k)}")
             .mkString(" + ")} AS ewma_c256
         FROM e)
-      SELECT event_id, user_id, sec, ewma_c256 FROM w ORDER BY event_id"""))
+      SELECT event_id, user_id, sec, ewma_c256 FROM w ORDER BY event_id""")),
+
+    // ---- vocabulary coverage / OOV rate (tokenizer evaluation) ---------
+    // Against the corpus's own top-1000 token vocabulary, score each
+    // document's out-of-vocabulary token rate — the tokenizer-coverage
+    // eval run before committing a vocab. The vocab is top-k BY
+    // CONSTRUCTION (bounded), so the membership join is a broadcast —
+    // the per-token side never shuffles. Rate = one exact int/int
+    // division (identical IEEE double both engines).
+    "q176_llm_oov_rate" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(1000)
+          .select(col("w"), lit(1).as("iv"))
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      tk AS (SELECT doc_id, w FROM tok WHERE length(w) >= 1),
+      vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w
+        ORDER BY cnt DESC, w LIMIT 1000)),
+      j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tk t LEFT JOIN vocab v ON t.w = v.w)
+      SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+        CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
