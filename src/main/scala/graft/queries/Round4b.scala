@@ -420,6 +420,112 @@ object Round4b {
         FROM tk t LEFT JOIN vocab v ON t.w = v.w)
       SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
         CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
-      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+      FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- MinHash-LSH near-dup, exactly scored end-to-end ---------------
+    // The oracled twin of rows-only q44: the full LSH dedup pipeline —
+    // shingle, minhash, band, bucket-join, exact-verify — built ONLY
+    // from portable exact-int64 hashes (8-char base-31 word polynomial;
+    // shingle = three 20-bit word digests packed into 60 bits; 16
+    // universal-hash permutations (a*u+b) mod 1048573; 4 bands of 4
+    // rows packed into 60-bit keys), so DuckDB reproduces every stage
+    // bit-for-bit and the finding is scored exactly, not rows-only.
+    // Scale shape is the real one: candidates come ONLY from equal
+    // (band, key) buckets — one bounded shuffle — and the exact-Jaccard
+    // verify joins only candidate pairs back to their shingle sets.
+    // The 16 min-aggregates ride ONE shuffle of the (doc, shingle)
+    // relation with map-side partial mins (no 16x explode).
+    "q177_llm_minhash_verified" -> QueryDef(
+      (s, dir) => {
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+          29791L, 961L, 31L, 1L)
+        val M = 1048576L // 2^20 word-digest domain
+        val P = 1048573L // prime permutation modulus
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+        val poly = pows.zipWithIndex.map { case (c, j) =>
+          ascii(substring(col("w"), j + 1, 1)).cast("long") * lit(c)
+        }.reduce(_ + _)
+        val wh = docs
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "w")))
+          .withColumn("h", poly % lit(M))
+        val wl = Window.partitionBy("doc_id").orderBy("i")
+        val sh = wh
+          .withColumn("x",
+            col("h") * lit(1099511627776L) +
+              lead(col("h"), 1).over(wl) * lit(M) +
+              lead(col("h"), 2).over(wl))
+          .filter(col("x").isNotNull)
+          .select(col("doc_id"), col("x")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val us = sh.withColumn("u", col("x") % lit(P))
+        val sig = us.groupBy("doc_id").agg(
+          min((col("u") * lit(37L + 101L * 0) + lit(17L + 97L * 0)) % lit(P)).as("s0"),
+          (1 until 16).map(j =>
+            min((col("u") * lit(37L + 101L * j) + lit(17L + 97L * j)) % lit(P))
+              .as(s"s$j")): _*)
+        val bandKey = (b: Int) =>
+          (col(s"s${4 * b}") % 32768) * lit(35184372088832L) +
+            (col(s"s${4 * b + 1}") % 32768) * lit(1073741824L) +
+            (col(s"s${4 * b + 2}") % 32768) * lit(32768L) +
+            col(s"s${4 * b + 3}") % 32768
+        val bk = sig.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"), bandKey(b).as("k"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+        val cand = bk.as("p").join(bk.as("q"),
+            col("p.b") === col("q.b") && col("p.k") === col("q.k") &&
+              col("p.doc_id") < col("q.doc_id"))
+          .select(col("p.doc_id").as("da"), col("q.doc_id").as("db"))
+          .distinct()
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("db") === col("sb.doc_id") && col("sa.x") === col("sb.x"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.as("za"), col("da") === col("za.doc_id"))
+          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
+          .withColumn("jac",
+            col("i").cast("double") / (col("za.n") + col("zb.n") - col("i")))
+          .filter(col("jac") >= 0.5)
+          .select(col("da"), col("db"), round(col("jac"), 6).as("jaccard"))
+          .orderBy("da", "db")
+      },
+      Some {
+        val POWS = "[27512614111,887503681,28629151,923521,29791,961,31,1]"
+        val wh = s"""list_sum(list_transform(range(1, 9), j ->
+           CASE WHEN j <= length(W) THEN ascii(W[j:j]) ELSE 0 END * $POWS[j])) % 1048576"""
+        val perms = (0 until 16).map(j =>
+          s"MIN((${37 + 101 * j} * u + ${17 + 97 * j}) % 1048573) AS s$j").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"(s${4 * b} % 32768) * 35184372088832 + (s${4 * b + 1} % 32768) * 1073741824" +
+            s" + (s${4 * b + 2} % 32768) * 32768 + (s${4 * b + 3} % 32768) AS k$b").mkString(", ")
+        val bsel = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, k$b AS k FROM bnd").mkString(" UNION ALL ")
+        s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        whs AS (SELECT doc_id, list_transform(w, W -> $wh) AS h FROM sp),
+        sh0 AS (SELECT doc_id, h[i.i] * 1099511627776 + h[i.i+1] * 1048576 + h[i.i+2] AS x
+          FROM whs, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(h)),
+        sh AS (SELECT DISTINCT doc_id, x FROM sh0),
+        us AS (SELECT doc_id, x % 1048573 AS u FROM sh),
+        sig AS (SELECT doc_id, $perms FROM us GROUP BY doc_id),
+        bnd AS (SELECT doc_id, $bands FROM sig),
+        bk AS ($bsel),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+          FROM bk a JOIN bk b2 ON a.b = b2.b AND a.k = b2.k
+            AND a.doc_id < b2.doc_id),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.da, c.db, COUNT(*) AS i
+          FROM cand c JOIN sh p ON c.da = p.doc_id
+          JOIN sh q2 ON c.db = q2.doc_id AND p.x = q2.x
+          GROUP BY 1, 2)
+        SELECT da, db, round(i / (x.n + y.n - i), 6) AS jaccard
+        FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        WHERE i / (x.n + y.n - i) >= 0.5 ORDER BY da, db"""
+      })
   )
 }
