@@ -526,6 +526,124 @@ object Round4b {
         SELECT da, db, round(i / (x.n + y.n - i), 6) AS jaccard
         FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         WHERE i / (x.n + y.n - i) >= 0.5 ORDER BY da, db"""
-      })
+      }),
+
+    // ---- incremental rollup: merge stored daily partials ----------------
+    // The incremental-view-maintenance pattern: per-day partial
+    // aggregate STATE (count / sum / min / max — all mergeable) is what
+    // a daily pipeline materializes; months are then rebuilt by merging
+    // partials without rescanning the fact table, and avg is derived at
+    // read time from (sum, count). The query computes the monthly
+    // result THROUGH the daily-state detour and is scored against the
+    // direct monthly aggregation — proving the state merge is lossless.
+    // Quantities are integral, so partials stay in exact int64.
+    "q178_agg_incremental_rollup" -> QueryDef(
+      (s, dir) => {
+        val daily = t(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").cast("date").as("day"),
+            col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("long")).as("sq"),
+            min(col("l_quantity")).as("mn"),
+            max(col("l_quantity")).as("mx"))
+        daily
+          .groupBy(trunc(col("day"), "month").as("month"), col("flag"))
+          .agg(sum("cnt").cast("long").as("n"),
+            sum("sq").cast("long").as("sum_qty"),
+            min("mn").as("min_qty"), max("mx").as("max_qty"))
+          .withColumn("avg_qty",
+            col("sum_qty").cast("double") / col("n"))
+          .orderBy("month", "flag")
+      },
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        l_returnflag AS flag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1, 2 ORDER BY month, flag""")),
+
+    // ---- Kendall tau-b rank correlation (contingency-table form) -------
+    // Exact rank correlation the way it scales: when both variables
+    // have bounded domains (quantity: 50 values, discount: 11), the
+    // n² pair counting collapses onto the 550-cell contingency table —
+    // one corpus shuffle to build the cells, then concordant/discordant
+    // pair products over cells × cells (a bounded broadcast nested
+    // loop, ~300k cell pairs REGARDLESS of corpus size). All subtotals
+    // are exact int64 through n ~ 2^31 rows (pair counts < 2^62); the
+    // single final division/sqrt is IEEE-identical in both engines.
+    // A rank-window Spearman would need a per-group total sort and its
+    // squared-rank sums overflow int64 by sf~40 — this formulation is
+    // the one that survives 100 TB.
+    "q179_stat_kendall_tau" -> QueryDef(
+      (s, dir) => {
+        val cell = t(s, dir, "lineitem")
+          .groupBy(col("l_quantity").as("q"), col("l_discount").as("d"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = cell.agg(sum("c").as("n"))
+        val conc = cell.as("a").join(broadcast(cell.as("b")),
+            col("a.q") < col("b.q") && col("a.d") < col("b.d"))
+          .agg(sum(col("a.c") * col("b.c")).as("cv"))
+        val disc = cell.as("a").join(broadcast(cell.as("b")),
+            col("a.q") < col("b.q") && col("a.d") > col("b.d"))
+          .agg(sum(col("a.c") * col("b.c")).as("dv"))
+        val tq = cell.groupBy("q").agg(sum("c").as("c2"))
+          .agg(sum(expr("c2 * (c2 - 1) div 2")).as("tq"))
+        val td = cell.groupBy("d").agg(sum("c").as("c2"))
+          .agg(sum(expr("c2 * (c2 - 1) div 2")).as("td"))
+        n.crossJoin(conc).crossJoin(disc).crossJoin(tq).crossJoin(td)
+          .select(col("n").cast("long").as("n"),
+            col("cv").cast("long").as("concordant"),
+            col("dv").cast("long").as("discordant"),
+            ((col("cv") - col("dv")).cast("double") /
+              (sqrt(expr("CAST(n * (n - 1) div 2 - tq AS DOUBLE)")) *
+                sqrt(expr("CAST(n * (n - 1) div 2 - td AS DOUBLE)"))))
+              .as("tau_b"))
+      },
+      Some("""WITH cell AS (SELECT l_quantity AS q, l_discount AS d, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      n AS (SELECT SUM(c) AS n FROM cell),
+      conc AS (SELECT SUM(a.c * b.c) AS v FROM cell a
+        JOIN cell b ON a.q < b.q AND a.d < b.d),
+      disc AS (SELECT SUM(a.c * b.c) AS v FROM cell a
+        JOIN cell b ON a.q < b.q AND a.d > b.d),
+      tq AS (SELECT SUM(c2 * (c2 - 1) // 2) AS t FROM
+        (SELECT SUM(c) AS c2 FROM cell GROUP BY q)),
+      td AS (SELECT SUM(c2 * (c2 - 1) // 2) AS t FROM
+        (SELECT SUM(c) AS c2 FROM cell GROUP BY d))
+      SELECT CAST(n.n AS BIGINT) AS n, CAST(conc.v AS BIGINT) AS concordant,
+        CAST(disc.v AS BIGINT) AS discordant,
+        CAST(conc.v - disc.v AS DOUBLE) /
+          (sqrt(CAST(n.n * (n.n - 1) // 2 - tq.t AS DOUBLE)) *
+           sqrt(CAST(n.n * (n.n - 1) // 2 - td.t AS DOUBLE))) AS tau_b
+      FROM n, conc, disc, tq, td""")),
+
+    // ---- null-aware anti join (NOT IN with nullable sides) -------------
+    // `x NOT IN (subquery)` under SQL three-valued logic: if the
+    // subquery produces ANY null the result is empty-or-unknown for
+    // non-members, and a null probe never qualifies — semantics a plain
+    // LeftAnti join gets wrong. Spark plans the single-column form as
+    // BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true. Here
+    // the probe side is made nullable (NULLIF) while the subquery side
+    // is kept null-free (IS NOT NULL guard), so the result is the
+    // non-degenerate branch: all non-null probes absent from the set.
+    "q180_join_not_in" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("q180_supplier")
+        t(s, dir, "lineitem").createOrReplaceTempView("q180_lineitem")
+        s.sql("""SELECT s_suppkey, s_name FROM q180_supplier
+          WHERE nullif(s_suppkey, 7) NOT IN
+            (SELECT l_suppkey FROM q180_lineitem
+             WHERE l_returnflag = 'R' AND l_quantity >= 50
+               AND l_extendedprice > 90000 AND l_suppkey IS NOT NULL)
+          ORDER BY s_suppkey""")
+          .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+      },
+      Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name FROM supplier
+      WHERE nullif(s_suppkey, 7) NOT IN
+        (SELECT l_suppkey FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity >= 50
+           AND l_extendedprice > 90000 AND l_suppkey IS NOT NULL)
+      ORDER BY s_suppkey"""))
   )
 }
