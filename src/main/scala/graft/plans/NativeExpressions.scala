@@ -71,6 +71,8 @@ object NativeExpressions {
       "word_ngram_hashes",
       exprs => WordNGramHashes(exprs(0), NativeExpressions.literalInt(exprs(1))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "morton2", exprs => MortonInterleave(exprs(0), exprs(1)), "built-in")
   }
 
   private def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

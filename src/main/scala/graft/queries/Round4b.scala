@@ -320,16 +320,18 @@ object Round4b {
     // envelopes — the skipping statistics a reader would prune with.
     "q174_zorder_cluster" -> QueryDef(
       (s, dir) => {
-        val zExpr = (0 until 12).map { i =>
-          s"((x div ${1L << i}) % 2) * ${1L << (2 * i)}" +
-            s" + ((y div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
-        }.mkString(" + ")
+        // z via the codegen'd native expression (plans.MortonInterleave:
+        // two 4-round parallel-prefix bit spreads, branch-free in
+        // whole-stage codegen); the oracle recomputes the identical
+        // interleave as composed arithmetic, cross-validating the
+        // expression bit-for-bit on every row.
+        graft.plans.NativeExpressions.register(s)
         t(s, dir, "lineitem")
           .select(
             (datediff(col("l_shipdate"), lit("1970-01-01")) % 4096)
               .cast("long").as("x"),
             (col("l_suppkey") % 4096).cast("long").as("y"))
-          .withColumn("z", expr(zExpr))
+          .withColumn("z", expr("morton2(x, y)"))
           .groupBy(expr("z div 262144").cast("long").as("tile"))
           .agg(count(lit(1)).as("n"),
             min("x").as("min_x"), max("x").as("max_x"),

@@ -64,4 +64,26 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("wordngramhashes") || plan.toLowerCase.contains("word_ngram_hashes"))
     assert(!plan.contains("Exchange"))
   }
+
+  test("morton2 matches the composed-arithmetic interleave and handles nulls") {
+    NativeExpressions.register(spark)
+    val zExpr = (0 until 16).map { i =>
+      s"((x div ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((y div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val df = spark.range(0, 2000)
+      .selectExpr("(id * 2654435761) % 65536 AS x", "(id * 40503) % 65536 AS y")
+    val bad = df.selectExpr("x", "y", s"morton2(x, y) AS m", s"$zExpr AS a")
+      .filter(col("m") =!= col("a")).count()
+    assert(bad == 0)
+    // corners + null propagation
+    val c = Seq[(java.lang.Long, java.lang.Long)]((0L, 0L), (65535L, 0L),
+      (0L, 65535L), (65535L, 65535L), (null, 1L))
+      .toDF("x", "y").selectExpr("morton2(x, y) AS m").collect()
+    assert(c(0).getLong(0) == 0L)
+    assert(c(1).getLong(0) == 0x55555555L)
+    assert(c(2).getLong(0) == 0xaaaaaaaaL)
+    assert(c(3).getLong(0) == 0xffffffffL)
+    assert(c(4).isNullAt(0))
+  }
 }
