@@ -620,6 +620,71 @@ object Round4b {
            sqrt(CAST(n.n * (n.n - 1) // 2 - td.t AS DOUBLE))) AS tau_b
       FROM n, conc, disc, tq, td""")),
 
+    // ---- stream-stream LEFT OUTER interval join (scored) ---------------
+    // The outer completion of q152: purchases with NO click within 5
+    // minutes must still emit (with nulls) — which in a stream-stream
+    // join only happens when the watermark passes the row's match
+    // window (state eviction), unlike inner matches which emit on
+    // arrival. Under Trigger.AvailableNow the final no-data micro-batch
+    // advances the watermark to min(max event time of each side) - delay
+    // and flushes evicted state (verified empirically: nulls emit up to
+    // exactly that boundary). The eviction boundary itself is an engine
+    // internal, so the scored region applies a 900 s safety margin
+    // below the computable final watermark — identically in the oracle —
+    // and matched rows are scored unconditionally.
+    "q181_stream_interval_left_outer" -> QueryDef(
+      (s, dir) => {
+        import graft.streaming.EventStreams.eventFileStream
+        val mk = (tpe: String) => eventFileStream(s, dir)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${tpe(0)}_user"),
+            col("tss").as(s"${tpe(0)}_ts"), col("event_id").as(s"${tpe(0)}_id"))
+        val l = mk("purchase").withWatermark("p_ts", "1 hour")
+        val r = mk("click").withWatermark("c_ts", "1 hour")
+        val joined = l.join(r,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") &&
+            col("c_ts") <= col("p_ts") + expr("INTERVAL 300 SECONDS"),
+          "left_outer")
+        val qname = "q181_stream_interval_left_outer_sink"
+        EventTime.withShufflePartitions(s, 8) {
+          val q = joined
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        // final watermark = min(per-side max event time) - 1 h; score
+        // unmatched rows only when their whole match window sits >= 900 s
+        // below it (Spark provably evicted + emitted them by then)
+        val ev = graft.sources.Events.load(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy("event_type").agg(max("sec").as("m"))
+          .agg((min("m") - 3600L).as("wm"))
+        s.table(qname)
+          .groupBy(col("p_id").as("event_id"))
+          .agg(min(unix_timestamp(col("p_ts"))).as("p_sec"),
+            count(col("c_id")).as("n_clicks"),
+            min(col("c_id")).as("first_click"))
+          .crossJoin(broadcast(ev))
+          .filter(col("n_clicks") > 0 || col("p_sec") + 300L <= col("wm") - 900L)
+          .select(col("event_id"), col("n_clicks"), col("first_click"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+          ${graft.util.Det.epochSecSql("ts")} AS sec FROM events),
+      p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+      wm AS (SELECT MIN(m) - 3600 AS wm FROM (
+        SELECT MAX(sec) AS m FROM p UNION ALL SELECT MAX(sec) FROM c)),
+      j AS (SELECT p.event_id, p.sec AS p_sec, COUNT(c.event_id) AS n_clicks,
+          MIN(c.event_id) AS first_click
+        FROM p LEFT JOIN c ON p.user_id = c.user_id
+          AND c.sec BETWEEN p.sec AND p.sec + 300
+        GROUP BY 1, 2)
+      SELECT event_id, n_clicks, first_click FROM j, wm
+      WHERE n_clicks > 0 OR p_sec + 300 <= wm.wm - 900
+      ORDER BY event_id""")),
+
     // ---- null-aware anti join (NOT IN with nullable sides) -------------
     // `x NOT IN (subquery)` under SQL three-valued logic: if the
     // subquery produces ANY null the result is empty-or-unknown for
