@@ -94,6 +94,62 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard near-dup pairs (SSJoin/PPJoin family:
+    * Chaudhuri et al. 2006, Xiao et al. 2008). Same contract and same
+    * results as [[jaccardPairs]], different physical strategy: instead
+    * of inverting EVERY shingle, docs are joined only on their PREFIX —
+    * the floor((1-t)·n)+1 globally-rarest shingles — after a size
+    * filter (min size >= t·max size, necessary for J >= t). Under a
+    * global shingle order, any pair with J >= t provably shares a
+    * prefix shingle (the globally-smallest shared shingle sits inside
+    * both prefixes), so the filter loses nothing; candidates then
+    * verify by exact intersection of the full sets.
+    *
+    * At scale this is the difference between inverting the whole corpus
+    * (candidate lists per COMMON shingle — huge and skewed) and
+    * inverting only rare shingles: common shingles never generate
+    * candidates, which is exactly where the inverted-index join's skew
+    * lives.
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n, blockCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global document frequency defines the rarest-first total order
+    val freq = sh.groupBy("gh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("df"), col("gh"))
+    val pre = sh.join(freq, "gh")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        floor(lit(1.0 - threshold) * col("__n")).cast("long") + 1L)
+    val a = pre.select(col(idCol).as("da"), col("gh"),
+      struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
+    val b = pre.select(col(idCol).as("db"), col("gh"),
+      struct(blockCols.map(col): _*).as("__bb"), col("__n").as("nb"))
+    val cand = a.join(b,
+        a("gh") === b("gh") && a("__ba") === b("__bb") && a("da") < b("db") &&
+          least(a("na"), b("nb")) >= lit(threshold) * greatest(a("na"), b("nb")))
+      .select(col("da"), col("db")).distinct()
+    val fa = sh.select(col(idCol).as("da"), col("gh").as("gha"),
+      struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
+    val fb = sh.select(col(idCol).as("fb_db"), col("gh").as("ghb"),
+      struct(blockCols.map(col): _*).as("__bb"), col("__n").as("nb"))
+    cand.join(fa, "da")
+      .join(fb,
+        col("db") === col("fb_db") && col("gha") === col("ghb") &&
+          col("__ba") === col("__bb"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Connected components over near-dup pairs: assigns every doc that
     * appears in a pair the minimum doc id reachable through pairs — the
     * group-resolution step that turns pairwise near-dups into dedup

@@ -685,6 +685,22 @@ object Round4b {
       WHERE n_clicks > 0 OR p_sec + 300 <= wm.wm - 900
       ORDER BY event_id""")),
 
+    // ---- prefix-filtered set-similarity join (PPJoin family) -----------
+    // Same operator and SAME ORACLE as q43's inverted-index Jaccard
+    // pairs, different physical strategy: docs join only on their
+    // floor(n/2)+1 globally-rarest shingles after a size-ratio filter
+    // (provably lossless for J >= 0.5 under a global shingle order —
+    // see Dedup.jaccardPairsPrefix). At corpus scale the full inverted
+    // index is dominated by COMMON shingles — huge, skewed candidate
+    // lists; the prefix index never materializes them. Two strategies,
+    // one ground truth (the q63/q159 and q143/q160 pattern).
+    "q182_llm_neardup_prefix" -> QueryDef(
+      (s, dir) => graft.operators.Dedup.jaccardPairsPrefix(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        .orderBy("da", "db"),
+      LlmOps.defs("q43_llm_neardup_jaccard").oracle),
+
     // ---- null-aware anti join (NOT IN with nullable sides) -------------
     // `x NOT IN (subquery)` under SQL three-valued logic: if the
     // subquery produces ANY null the result is empty-or-unknown for

@@ -125,4 +125,35 @@ object GraftProperties extends Properties("graft") {
         .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
       allPairs == deduped
     }
+
+  // random word corpora with planted near-duplicates: the prefix-filtered
+  // set-similarity join (PPJoin family) must emit exactly the pairs the
+  // full inverted-index join emits — the prefix filter is lossless
+  private val dupDocs: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val sent = Gen.listOfN(8, word).map(_.mkString(" "))
+    for {
+      bases <- Gen.listOfN(3, sent)
+      n <- Gen.chooseNum(6, 12)
+      picks <- Gen.listOfN(n, for {
+        b <- Gen.chooseNum(0, bases.size - 1)
+        tweak <- Gen.option(word)
+      } yield (b, tweak))
+    } yield picks.zipWithIndex.map { case ((b, tw), i) =>
+      (i.toLong, tw.map(w => bases(b) + " " + w).getOrElse(bases(b)))
+    }
+  }
+
+  property("jaccardPairsPrefix == jaccardPairs on dup-heavy corpora") =
+    forAll(dupDocs) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val full = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      val pref = Dedup.jaccardPairsPrefix(df, "doc_id", "text", 3, 0.5)
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      full == pref
+    }
 }
