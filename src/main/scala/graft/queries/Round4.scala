@@ -552,34 +552,48 @@ object Round4 {
     // substring(t, i, 1) is O(i) on UTF8 strings, so even exploded
     // rows go quadratic (14 s). This shape: ~2 s.
     "q161_llm_winnow_fingerprint" -> QueryDef(
-      (s, dir) => {
-        // base-31 coefficients 31^7..31^0 — the 8-char polynomial fits
-        // int64 (max ~7e13) with no modulus, so values are exact in
-        // both engines
-        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
-          29791L, 961L, 31L, 1L)
-        val chars = t(s, dir, "documents")
-          .filter(length(col("text")) >= 24)
-          .select(col("doc_id"), lower(col("text")).as("t"))
-          .withColumn("n", length(col("t")))
-          .select(col("doc_id"), col("n"),
-            posexplode(expr("transform(split(t, ''), c -> ascii(c))"))
-              .as(Seq("i0", "code")))
-        val wl = Window.partitionBy("doc_id").orderBy("i0")
-        val gram = pows.zipWithIndex.map { case (c, j) =>
-          (if (j == 0) col("code") else lead(col("code"), j).over(wl))
-            .cast("long") * lit(c)
-        }.reduce(_ + _)
-        val wm = Window.partitionBy("doc_id").orderBy("i0")
-          .rowsBetween(Window.currentRow, 15)
-        chars.withColumn("gram", gram)
-          .filter(col("i0") <= col("n") - 8)
-          .withColumn("fp", min(col("gram")).over(wm))
-          .filter(col("i0") <= col("n") - 8 - 15)
-          .select(col("doc_id"), col("fp")).distinct()
-          .orderBy("doc_id", "fp")
-      },
-      Some("""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+      (s, dir) => winnowFingerprints(s, dir).orderBy("doc_id", "fp"),
+      Some(winnowCte + """
+      SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM w
+      ORDER BY doc_id, fp"""))
+  )
+
+  /** Distinct winnowing fingerprints per doc (the q161 pipeline, shared
+    * with q184's duplicated-fingerprint rate).
+    */
+  private[queries] def winnowFingerprints(
+      s: SparkSession, dir: String): DataFrame = {
+    // base-31 coefficients 31^7..31^0 — the 8-char polynomial fits
+    // int64 (max ~7e13) with no modulus, so values are exact in
+    // both engines
+    val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+      29791L, 961L, 31L, 1L)
+    val chars = t(s, dir, "documents")
+      .filter(length(col("text")) >= 24)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("n", length(col("t")))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr("transform(split(t, ''), c -> ascii(c))"))
+          .as(Seq("i0", "code")))
+    val wl = Window.partitionBy("doc_id").orderBy("i0")
+    val gram = pows.zipWithIndex.map { case (c, j) =>
+      (if (j == 0) col("code") else lead(col("code"), j).over(wl))
+        .cast("long") * lit(c)
+    }.reduce(_ + _)
+    val wm = Window.partitionBy("doc_id").orderBy("i0")
+      .rowsBetween(Window.currentRow, 15)
+    chars.withColumn("gram", gram)
+      .filter(col("i0") <= col("n") - 8)
+      .withColumn("fp", min(col("gram")).over(wm))
+      .filter(col("i0") <= col("n") - 8 - 15)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Shared winnowing-fingerprint CTE prefix (ends at `w` = one row per
+    * selected window minimum); q161 and q184 append their own tails.
+    */
+  private[queries] lazy val winnowCte =
+    """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
         WHERE length(text) >= 24),
       g AS (SELECT doc_id, list_transform(range(1, length(t) - 7 + 1), i ->
           list_sum(list_transform(range(0, 8), j ->
@@ -588,8 +602,5 @@ object Round4 {
           AS gr
         FROM d),
       w AS (SELECT doc_id, unnest(list_transform(range(1, len(gr) - 15 + 1),
-          p -> list_min(gr[p:p+15]))) AS fp FROM g)
-      SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM w
-      ORDER BY doc_id, fp"""))
-  )
+          p -> list_min(gr[p:p+15]))) AS fp FROM g)"""
 }

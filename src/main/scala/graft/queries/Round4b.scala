@@ -701,6 +701,82 @@ object Round4b {
         .orderBy("da", "db"),
       LlmOps.defs("q43_llm_neardup_jaccard").oracle),
 
+    // ---- cascade delete audit (GDPR erasure propagation) ---------------
+    // Right-to-erasure over a normalized star: deleting a customer set
+    // (here: BUILDING-segment customers with negative balance) must
+    // cascade through orders to lineitems. The audit emits per-table
+    // survivor/deleted counts plus a referential-integrity check that
+    // no surviving child row points at a deleted parent — all computed
+    // with anti/semi joins (the deletion set stays a predicate; nothing
+    // rewrites until the counts are approved). Joins shuffle on the
+    // natural FK keys; the deletion set is NOT broadcast-hinted because
+    // it grows with the data.
+    "q183_cascade_delete_audit" -> QueryDef(
+      (s, dir) => {
+        val del = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0)
+          .select(col("c_custkey"))
+        val delOrders = t(s, dir, "orders")
+          .join(del, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"))
+        val delLines = t(s, dir, "lineitem")
+          .join(delOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        def audit(tbl: String, all: DataFrame, deleted: DataFrame): DataFrame =
+          all.agg(count(lit(1)).as("total")).crossJoin(
+            deleted.agg(count(lit(1)).as("deleted")))
+            .select(lit(tbl).as("tbl"), col("total"), col("deleted"))
+        audit("customer", t(s, dir, "customer"), del)
+          .unionAll(audit("lineitem", t(s, dir, "lineitem"), delLines))
+          .unionAll(audit("orders", t(s, dir, "orders"), delOrders))
+          .withColumn("surviving", col("total") - col("deleted"))
+          .orderBy("tbl")
+      },
+      Some("""WITH del AS (SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0),
+      delo AS (SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      dell AS (SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+      c AS (SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM customer) AS total,
+              (SELECT COUNT(*) FROM del) AS deleted
+        UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+              (SELECT COUNT(*) FROM dell)
+        UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders),
+              (SELECT COUNT(*) FROM delo))
+      SELECT tbl, total, deleted, total - deleted AS surviving
+      FROM c ORDER BY tbl""")),
+
+    // ---- duplicated-fingerprint rate (memorization-risk metric) --------
+    // For each document: what fraction of its winnowing fingerprints
+    // (q161 pipeline, shared implementation AND shared oracle CTE)
+    // also occurs in at least one other document? High rates flag
+    // boilerplate/templated content and cross-document duplication that
+    // inflates memorization risk in training data. One shuffle on fp to
+    // count sharers, one join back, one per-doc aggregate — fp is
+    // content-derived, so the work parallelizes by fingerprint.
+    "q184_llm_dup_fingerprint_rate" -> QueryDef(
+      (s, dir) => {
+        val fps = Round4.winnowFingerprints(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sharers = fps.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+        fps.join(sharers, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("dup_rate",
+            col("n_shared").cast("double") / col("n_fp"))
+          .orderBy("doc_id")
+      },
+      Some(Round4.winnowCte + """,
+      fps AS (SELECT DISTINCT doc_id, fp FROM w),
+      sharers AS (SELECT fp, COUNT(*) AS ndocs FROM fps GROUP BY fp)
+      SELECT f.doc_id, COUNT(*) AS n_fp,
+        CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS dup_rate
+      FROM fps f JOIN sharers s ON f.fp = s.fp
+      GROUP BY f.doc_id ORDER BY f.doc_id""")),
+
     // ---- null-aware anti join (NOT IN with nullable sides) -------------
     // `x NOT IN (subquery)` under SQL three-valued logic: if the
     // subquery produces ANY null the result is empty-or-unknown for
