@@ -123,10 +123,13 @@ object Dedup {
     // global document frequency defines the rarest-first total order
     val freq = sh.groupBy("gh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("df"), col("gh"))
+    // both candidate sides derive from the ranked prefix — persist it,
+    // or the df-join + per-doc rank window runs once per side
     val pre = sh.join(freq, "gh")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <=
         floor(lit(1.0 - threshold) * col("__n")).cast("long") + 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pre.select(col(idCol).as("da"), col("gh"),
       struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
     val b = pre.select(col(idCol).as("db"), col("gh"),
