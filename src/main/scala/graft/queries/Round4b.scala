@@ -777,6 +777,39 @@ object Round4b {
       FROM fps f JOIN sharers s ON f.fp = s.fp
       GROUP BY f.doc_id ORDER BY f.doc_id""")),
 
+    // ---- moving median (exact, fixed frame) ----------------------------
+    // Robust per-user smoothing: the median of the last 5 event values,
+    // exact in integer cents — sort the 5-element frame and take the
+    // middle, emitted once the frame is full. The frame rides the same
+    // per-user ordered exchange as any lag window; per-row cost is a
+    // constant 5-element sort (no percentile state). Medians resist the
+    // outliers that pull q175's EWMA — the pairing telemetry pipelines
+    // actually deploy.
+    "q185_ts_moving_median" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("sec"),
+            floor(col("value") * 100).cast("long").as("v"))
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        ev.withColumn("rn", row_number().over(w))
+          .withColumn("arr", array((4 to 0 by -1).map(k =>
+            lag(col("v"), k).over(w)): _*))
+          .filter(col("rn") >= 5)
+          .select(col("event_id"), col("user_id"), col("sec"),
+            element_at(array_sort(col("arr")), 3).as("med_c"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id,
+          ${graft.util.Det.epochSecSql("ts")} AS sec,
+          CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      m AS (SELECT event_id, user_id, sec,
+          row_number() OVER w AS rn,
+          [lag(v, 4) OVER w, lag(v, 3) OVER w, lag(v, 2) OVER w,
+           lag(v, 1) OVER w, v] AS arr
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      SELECT event_id, user_id, sec, list_sort(arr)[3] AS med_c
+      FROM m WHERE rn >= 5 ORDER BY event_id"""))  ,
+
     // ---- null-aware anti join (NOT IN with nullable sides) -------------
     // `x NOT IN (subquery)` under SQL three-valued logic: if the
     // subquery produces ANY null the result is empty-or-unknown for
