@@ -59,6 +59,21 @@ object TimeExpansion {
   def expandAll(ts: Seq[TimedJobTemplate],
       buckets: Seq[String]): Seq[PipelineJob] =
     ts.flatMap(expand(_, buckets))
+
+  /** Builder's curfew rule: a time bucket is only buildable once its
+    * window has CLOSED and a grace lag has passed (building the
+    * in-flight hour would materialize a partial, forever-stale
+    * artifact). `bucketEndMs` maps a bucket label to its end-of-window
+    * epoch; buckets with end + curfew > now are excluded from
+    * expansion entirely — they don't exist in the build graph yet.
+    */
+  def expandClosed(
+      t: TimedJobTemplate,
+      buckets: Seq[String],
+      bucketEndMs: String => Long,
+      curfewMs: Long,
+      nowMs: Long): Seq[PipelineJob] =
+    expand(t, buckets.filter(b => bucketEndMs(b) + curfewMs <= nowMs))
 }
 
 /** Builder's `depends_one_or_more` (SURVEY.md §2.1 B4): a job that can
@@ -231,6 +246,52 @@ class PipelineRunner(spark: SparkSession, root: String) {
   def buildRequest(jobs: Seq[PipelineJob],
       target: String): PipelineResult =
     run(ancestorsOf(jobs, target))
+
+  /** Transitive CONSUMERS of any of `targets`, inclusive — the dual of
+    * [[ancestorsOf]], used by forced invalidation.
+    */
+  def descendantsOf(jobs: Seq[PipelineJob],
+      targets: Set[String]): Set[String] = {
+    targets.foreach(t => require(indexByTarget(jobs).contains(t),
+      s"no job produces invalidated target '$t'"))
+    val dirty = collection.mutable.Set[String]() ++ targets
+    var grew = true
+    while (grew) {
+      grew = false
+      jobs.foreach { j =>
+        if (!dirty(j.target) && j.deps.exists(dirty)) {
+          dirty += j.target; grew = true
+        }
+      }
+    }
+    dirty.toSet
+  }
+
+  /** Builder's force/--invalidate semantics: the named targets and
+    * every transitive consumer rebuild REGARDLESS of mtime freshness
+    * (cache_time included); everything else keeps normal staleness
+    * rules. The dirty set is computed up front on the rule graph, not
+    * discovered during the walk, so a fresh-but-dirty job in the middle
+    * of the chain cannot short-circuit propagation.
+    */
+  def runForced(jobs: Seq[PipelineJob],
+      force: Set[String]): PipelineResult = {
+    val dirty = descendantsOf(jobs, force)
+    val now = System.currentTimeMillis()
+    val ran = collection.mutable.ArrayBuffer[String]()
+    val ranTargets = collection.mutable.Set[String]()
+    val skipped = collection.mutable.ArrayBuffer[String]()
+    topoSort(jobs).foreach { job =>
+      if (dirty(job.target) || isStale(job, now) ||
+          job.deps.exists(ranTargets.contains)) {
+        val inputs = job.deps.map(d => d -> spark.read.parquet(s"$root/$d")).toMap
+        job.run(spark, inputs).write.mode("overwrite").parquet(targetPath(job))
+        ran += job.name
+        ranTargets += job.target
+      } else skipped += job.name
+    }
+    PipelineResult(ran.toSeq, skipped.toSeq)
+  }
 
   /** Run the graph: topo order, skipping fresh jobs; inputs are handed
     * to each job as DataFrames read from dep targets.

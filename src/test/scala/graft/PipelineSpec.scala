@@ -232,4 +232,30 @@ class PipelineSpec extends SparkTestBase {
     val runner = new PipelineRunner(spark, "/tmp/unused")
     intercept[IllegalArgumentException](runner.topoSort(Seq(a, b)))
   }
+
+  test("runForced: invalidation cascades to all transitive consumers") {
+    val root = Files.createTempDirectory("graft_force").toString
+    val runner = new PipelineRunner(spark, root)
+    val jobs = mkJobs(root)
+    runner.run(jobs)
+    // everything fresh: a plain run skips all three
+    assert(runner.run(jobs).ran.isEmpty)
+    // forcing the middle target rebuilds it AND its consumer, not the root
+    val f = runner.runForced(jobs, Set("derived.parquet"))
+    assert(f.ran == Seq("derived", "agg") && f.skipped == Seq("src"))
+    // unknown target is an error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      runner.runForced(jobs, Set("nope.parquet"))
+    }
+  }
+
+  test("expandClosed: in-flight buckets are excluded by the curfew") {
+    val tpl = TimedJobTemplate("hourly", "out-%dt.parquet", Nil)(
+      (s, _, dt) => Seq((dt, 1L)).toDF("dt", "n"))
+    val endOf = Map("h1" -> 1000L, "h2" -> 2000L, "h3" -> 3000L)
+    val jobs = TimeExpansion.expandClosed(
+      tpl, Seq("h1", "h2", "h3"), endOf, curfewMs = 500L, nowMs = 2600L)
+    // h1 (1000+500<=2600) and h2 (2500<=2600) build; h3 is still open
+    assert(jobs.map(_.name) == Seq("hourly@h1", "hourly@h2"))
+  }
 }
