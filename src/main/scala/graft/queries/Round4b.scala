@@ -810,6 +810,82 @@ object Round4b {
       SELECT event_id, user_id, sec, list_sort(arr)[3] AS med_c
       FROM m WHERE rn >= 5 ORDER BY event_id"""))  ,
 
+    // ---- hard-negative mining (contrastive-training pairs) -------------
+    // For each anchor in a bounded minibatch (vec_id < 100 — mining
+    // always runs per anchor batch at scale), the single most-similar
+    // vector with a DIFFERENT label: the hard negative that makes
+    // contrastive losses learn. The anchor batch broadcasts (bounded by
+    // construction); the corpus side never shuffles until the per-
+    // anchor top-1 window, which WindowGroupLimit prunes map-side
+    // before the exchange. Cosines ride the codegen'd vec_dot and rank
+    // on the rounded value with an id tie-break (the q46 recipe).
+    "q186_emb_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        graft.plans.NativeExpressions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val anchors = emb.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qe"))
+        val pairs = emb.join(broadcast(anchors), col("label") =!= col("qlabel"))
+          .withColumn("cos", round(
+            expr("vec_dot(qe, embedding)") /
+              (sqrt(expr("vec_dot(qe, qe)")) *
+                sqrt(expr("vec_dot(embedding, embedding)"))), 6))
+        pairs
+          .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") === 1)
+          .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+            col("vec_id").as("neg_id"),
+            col("label").cast("long").as("neg_label"), col("cos"))
+          .orderBy("qid")
+      },
+      Some("""WITH a AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        FROM embeddings WHERE vec_id < 100),
+      pairs AS (SELECT a.qid, a.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+          round(SUM(CAST(a.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
+            (sqrt(SUM(CAST(a.qe[i.i] AS DOUBLE) * CAST(a.qe[i.i] AS DOUBLE))) *
+             sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
+        FROM a, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE e.label <> a.qlabel
+        GROUP BY 1, 2, 3, 4),
+      r AS (SELECT qid, qlabel, neg_id, neg_label, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neg_id) AS rnk
+        FROM pairs)
+      SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, neg_id,
+        CAST(neg_label AS BIGINT) AS neg_label, cos
+      FROM r WHERE rnk = 1 ORDER BY qid""")),
+
+    // ---- per-dimension embedding statistics (embedding QC) -------------
+    // Distribution health per embedding dimension — dead dims (zero
+    // variance), scale drift, and outliers are the standard pre-train
+    // checks on an embedding column. One posexplode (corpus × 64 rows,
+    // bounded constant fan-out) then one partial+final aggregate per
+    // dim; float values are cast to double once and means go through
+    // the exact-decimal Det path so results are partitioning-stable.
+    "q187_emb_dim_stats" -> QueryDef(
+      (s, dir) => {
+        import graft.util.Det
+        t(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("p", "vf")))
+          .select((col("p") + 1).cast("long").as("dim"),
+            col("vf").cast("double").as("v"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            Det.davg(col("v")).as("mean"),
+            (Det.dsum(col("v") * col("v")) / count(lit(1))).as("mean_sq"),
+            min("v").as("min_v"), max("v").as("max_v"))
+          .orderBy("dim")
+      },
+      Some(s"""WITH x AS (SELECT i.i AS dim,
+          CAST(embedding[i.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i)
+      SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        ${graft.util.Det.davgSql("v")} AS mean,
+        ${graft.util.Det.dsumSql("v * v")} / COUNT(*) AS mean_sq,
+        MIN(v) AS min_v, MAX(v) AS max_v
+      FROM x GROUP BY dim ORDER BY dim""")),
+
     // ---- null-aware anti join (NOT IN with nullable sides) -------------
     // `x NOT IN (subquery)` under SQL three-valued logic: if the
     // subquery produces ANY null the result is empty-or-unknown for

@@ -37,7 +37,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q13_join_cross",              // the cross-join operator itself (bounded dims)
     "q46_llm_cosine_topk",         // 5-row query side broadcast (bounded by construction)
     "q77_llm_ann_ivf",             // broadcast coarse centroids (fixed k)
-    "q81_llm_tfidf"                // 1-row corpus-size scalar
+    "q81_llm_tfidf",               // 1-row corpus-size scalar
+    "q186_emb_hard_negatives"      // bounded anchor-minibatch broadcast
   )
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
