@@ -153,6 +153,44 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplication-robust exact Jaccard pairs: identical (blockCols, text)
+    * rows are grouped first, [[jaccardPairs]] runs over one
+    * representative per unique text, and matches expand through the
+    * duplicate groups (intra-group pairs are Jaccard 1.0 whenever the
+    * text yields at least one shingle — identical sets). Same results
+    * as [[jaccardPairs]]; on duplication-heavy corpora the quadratic
+    * cost moves from recomputed shingle joins into the final explode of
+    * the (inherently quadratic) answer — the q159/q160 strategy.
+    */
+  def jaccardPairsDeduped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val gcols = blockCols :+ textCol
+    val g = docs.groupBy(gcols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), collect_list(col(idCol)).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = jaccardPairs(g, idCol, textCol, n, threshold, blockCols)
+    val ga = g.select(col(idCol).as("da"), col("__ids").as("__idsa"))
+    val gb = g.select(col(idCol).as("db"), col("__ids").as("__idsb"))
+    val cross = repPairs.join(ga, "da").join(gb, "db")
+      .select(explode(col("__idsa")).as("x"), col("__idsb"), col("jaccard"))
+      .select(col("x"), explode(col("__idsb")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("da"),
+        greatest(col("x"), col("y")).as("db"), col("jaccard"))
+    val intra = g
+      .filter(size(col("__ids")) > 1 &&
+        size(split(col(textCol), " ")) >= n) // no shingles -> no pair
+      .select(explode(col("__ids")).as("x"), col("__ids"))
+      .select(col("x"), explode(col("__ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("da"), col("y").as("db"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
   /** Connected components over near-dup pairs: assigns every doc that
     * appears in a pair the minimum doc id reachable through pairs — the
     * group-resolution step that turns pairwise near-dups into dedup

@@ -46,6 +46,80 @@ object Round4b {
       .distinct()
   }
 
+  /** 60-bit SimHash signatures from a (doc_id, text) relation — the
+    * q172 pipeline (portable Lehmer-mixed polynomial token hash, bit
+    * votes, one shuffle per aggregation). Shared by q172 (all docs) and
+    * q188 (unique-text representatives only).
+    */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+      29791L, 961L, 31L, 1L)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+    val tok = docs
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .filter(length(col("w")) >= 2).distinct()
+    val poly = pows.zipWithIndex.map { case (c, j) =>
+      ascii(substring(col("w"), j + 1, 1)).cast("long") * lit(c)
+    }.reduce(_ + _)
+    tok.select(col("doc_id"),
+        (poly * lit(48271L) % lit(1152921504606846883L)).as("hm"))
+      .select(col("doc_id"), col("hm"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("2 * (shiftright(hm, j) % 2) - 1")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** All (da < db, Hamming <= maxDist) pairs over (doc_id, s) simhash
+    * signatures via the 4x15-bit pigeonhole equi-join (q172 notes).
+    */
+  private def hammingPairs(sh: DataFrame, maxDist: Int = 3): DataFrame = {
+    val blocks = sh
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("doc_id"), col("b"),
+        expr("shiftright(s, b * 15) & 32767").as("bv"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    cand.join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        expr("bit_count(sa.s ^ sb.s)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  private lazy val simhashOracle: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      th AS (SELECT doc_id,
+          (list_sum(list_transform(range(1, 9), j ->
+             CASE WHEN j <= length(w) THEN ascii(w[j:j]) ELSE 0 END
+             * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
+           * 48271) % 1152921504606846883 AS hm
+        FROM tok WHERE length(w) >= 2),
+      votes AS (SELECT doc_id, j.j AS j,
+          SUM(2 * ((hm // (1 << j.j)) % 2) - 1) AS v
+        FROM th, (SELECT unnest(range(0, 60)) AS j) j GROUP BY 1, 2),
+      sh AS (SELECT doc_id,
+          SUM(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id),
+      blocks AS (SELECT doc_id, b.b AS b, (s // (1 << (b.b * 15))) % 32768 AS bv
+        FROM sh, (SELECT unnest(range(0, 4)) AS b) b),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM blocks a JOIN blocks b ON a.b = b.b AND a.bv = b.bv
+          AND a.doc_id < b.doc_id),
+      ham AS (SELECT da, db, bit_count(xor(x.s, y.s)) AS h
+        FROM cand JOIN sh x ON cand.da = x.doc_id
+        JOIN sh y ON cand.db = y.doc_id)
+      SELECT da, db, CAST(h AS BIGINT) AS hamming FROM ham
+      WHERE h <= 3 ORDER BY da, db"""
+
   val defs: Map[String, QueryDef] = Map(
     // ---- triangle counting (degree-oriented) ---------------------------
     // Community-density kernel over the supplier co-occurrence graph.
@@ -202,67 +276,10 @@ object Round4b {
     // discovered. The 60x bit fan-out before the vote aggregation is a
     // bounded constant and partial-aggregates map-side.
     "q172_llm_simhash_hamming" -> QueryDef(
-      (s, dir) => {
-        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
-          29791L, 961L, 31L, 1L)
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
-        val tok = t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(norm, " ")).as("w"))
-          .filter(length(col("w")) >= 2).distinct()
-        val poly = pows.zipWithIndex.map { case (c, j) =>
-          ascii(substring(col("w"), j + 1, 1)).cast("long") * lit(c)
-        }.reduce(_ + _)
-        val th = tok.select(col("doc_id"),
-          (poly * lit(48271L) % lit(1152921504606846883L)).as("hm"))
-        val sh = th
-          .select(col("doc_id"), col("hm"), explode(sequence(lit(0), lit(59))).as("j"))
-          .groupBy("doc_id", "j")
-          .agg(sum(expr("2 * (shiftright(hm, j) % 2) - 1")).as("v"))
-          .groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).as("s"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val blocks = sh
-          .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("b"))
-          .select(col("doc_id"), col("b"),
-            expr("shiftright(s, b * 15) & 32767").as("bv"))
-        val cand = blocks.as("x").join(blocks.as("y"),
-            col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-          .distinct()
-        cand.join(sh.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("db") === col("sb.doc_id"))
-          .select(col("da"), col("db"),
-            expr("bit_count(sa.s ^ sb.s)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .orderBy("da", "db")
-      },
-      Some("""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(
-          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
-        FROM documents),
-      th AS (SELECT doc_id,
-          (list_sum(list_transform(range(1, 9), j ->
-             CASE WHEN j <= length(w) THEN ascii(w[j:j]) ELSE 0 END
-             * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
-           * 48271) % 1152921504606846883 AS hm
-        FROM tok WHERE length(w) >= 2),
-      votes AS (SELECT doc_id, j.j AS j,
-          SUM(2 * ((hm // (1 << j.j)) % 2) - 1) AS v
-        FROM th, (SELECT unnest(range(0, 60)) AS j) j GROUP BY 1, 2),
-      sh AS (SELECT doc_id,
-          SUM(CASE WHEN v > 0 THEN (1 << j) ELSE 0 END) AS s
-        FROM votes GROUP BY doc_id),
-      blocks AS (SELECT doc_id, b.b AS b, (s // (1 << (b.b * 15))) % 32768 AS bv
-        FROM sh, (SELECT unnest(range(0, 4)) AS b) b),
-      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        FROM blocks a JOIN blocks b ON a.b = b.b AND a.bv = b.bv
-          AND a.doc_id < b.doc_id),
-      ham AS (SELECT da, db, bit_count(xor(x.s, y.s)) AS h
-        FROM cand JOIN sh x ON cand.da = x.doc_id
-        JOIN sh y ON cand.db = y.doc_id)
-      SELECT da, db, CAST(h AS BIGINT) AS hamming FROM ham
-      WHERE h <= 3 ORDER BY da, db""")),
+      (s, dir) => hammingPairs(simhashSigs(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("da", "db"),
+      Some(simhashOracle)),
 
     // ---- sorted-neighborhood entity resolution -------------------------
     // The Hernández–Stolfo sorted-neighborhood method: sort records by a
@@ -855,6 +872,56 @@ object Round4b {
       SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, neg_id,
         CAST(neg_label AS BIGINT) AS neg_label, cos
       FROM r WHERE rnk = 1 ORDER BY qid""")),
+
+    // ---- dedup-first SimHash (duplication-robust strategy) -------------
+    // Same operator and SAME ORACLE as q172, the strategy that survives
+    // duplication-heavy corpora (the q159/q160 pattern): group
+    // bit-identical TEXTS first, run the signature pipeline and the
+    // pigeonhole join over unique-text representatives only, then
+    // expand matches through the duplicate groups (cross-group pairs
+    // inherit the rep pair's distance; intra-group pairs are Hamming 0
+    // by construction). On the 10x-replicated probe corpus q172
+    // recomputes every stage over 10 copies and enumerates candidate
+    // pairs quadratically in cluster size; here the quadratic part is
+    // only the final explode of the (inherently quadratic) answer.
+    "q188_llm_simhash_dedup" -> QueryDef(
+      (s, dir) => {
+        val g = t(s, dir, "documents")
+          .groupBy("text")
+          .agg(min(col("doc_id")).as("doc_id"),
+            collect_list(col("doc_id")).as("ids"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val repPairs = hammingPairs(
+          simhashSigs(g.select(col("doc_id"), col("text"))))
+        val ga = g.select(col("doc_id").as("da"), col("ids").as("idsa"))
+        val gb = g.select(col("doc_id").as("db"), col("ids").as("idsb"))
+        val cross = repPairs.join(ga, "da").join(gb, "db")
+          .select(explode(col("idsa")).as("x"), col("idsb"), col("hamming"))
+          .select(col("x"), explode(col("idsb")).as("y"), col("hamming"))
+          .select(least(col("x"), col("y")).as("da"),
+            greatest(col("x"), col("y")).as("db"), col("hamming"))
+        val intra = g.filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("x"), col("ids"))
+          .select(col("x"), explode(col("ids")).as("y"))
+          .filter(col("x") < col("y"))
+          .select(col("x").as("da"), col("y").as("db"),
+            lit(0L).as("hamming"))
+        cross.unionByName(intra).orderBy("da", "db")
+      },
+      Some(simhashOracle)),
+
+    // ---- dedup-first Jaccard pairs (duplication-robust strategy) -------
+    // Completes the dedup-first family (q159 cosine, q160 fuzzy, q188
+    // simhash): q43's exact near-dup pairs computed over unique
+    // (lang, text) representatives and expanded through duplicate
+    // groups — intra-group pairs are Jaccard 1.0 by construction
+    // whenever the text shingles at all. Same oracle as q43.
+    "q189_llm_neardup_dedup" -> QueryDef(
+      (s, dir) => graft.operators.Dedup.jaccardPairsDeduped(
+          t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        .orderBy("da", "db"),
+      LlmOps.defs("q43_llm_neardup_jaccard").oracle),
 
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero

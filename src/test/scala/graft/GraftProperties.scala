@@ -156,4 +156,17 @@ object GraftProperties extends Properties("graft") {
         .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
       full == pref
     }
+
+  property("jaccardPairsDeduped == jaccardPairs on dup-heavy corpora") =
+    forAll(dupDocs) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val full = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      val dd = Dedup.jaccardPairsDeduped(df, "doc_id", "text", 3, 0.5)
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      full == dd
+    }
 }
