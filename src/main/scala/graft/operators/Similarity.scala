@@ -140,8 +140,12 @@ object Similarity {
         .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
 
     def assign(df: DataFrame, vec: String): DataFrame = {
+      // assignment ranks on the ROUNDED dot product (the q46 recipe):
+      // raw doubles rank identically in practice, but rounding makes
+      // the near-tie boundary engine-portable, which is what lets q77
+      // carry an exact oracle
       val scored = df.crossJoin(centroids)
-        .withColumn("__d", expr(s"vec_dot($vec, centroid)"))
+        .withColumn("__d", round(expr(s"vec_dot($vec, centroid)"), 6))
       val w = Window.partitionBy(df.columns.head)
         .orderBy(col("__d").desc, col("centroid_id"))
       scored.withColumn("__r", row_number().over(w))

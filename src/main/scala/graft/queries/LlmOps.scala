@@ -181,7 +181,12 @@ object LlmOps {
       SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     // LSH-bucketed ANN — the 100 TB scale path (bounded per-bucket work
-    // instead of a cross join). Approximate: rows-only check.
+    // instead of a cross join). "Approximate" only in recall: the
+    // fixed-seed hyperplanes are embedded in the oracle as exact double
+    // literals (Java's toString round-trips through DuckDB's parser)
+    // and the per-plane dot is a list_reduce left fold, the same
+    // summation order as Spark's HOF aggregate — so bucketing, join,
+    // and per-bucket top-k are reproduced exactly.
     "q47_llm_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -193,10 +198,40 @@ object LlmOps {
           .select(col("qid"), col("cid"), col("cos"), col("rnk"))
           .orderBy("qid", "rnk")
       },
-      None),
+      Some {
+        val planes = graft.operators.Similarity.hyperplanes(6, 64)
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          val lst = p.map(_.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+             d -> $lst[d] * CAST(e[d] AS DOUBLE)), (a, b) -> a + b) >= 0
+             THEN 1 ELSE 0 END) * ${1 << i}"""
+        }.mkString(" + ")
+        s"""WITH qs AS (SELECT vec_id AS id, embedding AS e FROM embeddings
+          WHERE vec_id < 50),
+        cs AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        qb AS (SELECT id, $bucket AS bucket FROM qs),
+        cb AS (SELECT id, $bucket AS bucket FROM cs),
+        scored AS (SELECT qb.id AS qid, cb.id AS cid,
+            round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+              (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
+               sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
+          FROM qb JOIN cb ON qb.bucket = cb.bucket AND qb.id <> cb.id
+          JOIN embeddings q ON qb.id = q.vec_id
+          JOIN embeddings c ON cb.id = c.vec_id,
+          (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY 1, 2),
+        r AS (SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM scored)
+        SELECT qid, cid, cos, CAST(rnk AS BIGINT) AS rnk FROM r
+        WHERE rnk <= 5 ORDER BY qid, rnk"""
+      }),
 
-    // IVF-bucketed ANN (coarse-quantizer buckets) — approximate,
-    // deterministic centroids; rows-only check like the LSH variant.
+    // IVF-bucketed ANN (coarse-quantizer buckets). "Approximate" only
+    // in RECALL — every stage is deterministic (first-16 centroids,
+    // rounded-dot assignment, rounded-cosine rank), so unlike a seeded
+    // sketch this one carries an exact oracle reproducing the
+    // quantizer, the bucket join, and the per-bucket top-k.
     "q77_llm_ann_ivf" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -208,7 +243,36 @@ object LlmOps {
           .select(col("qid"), col("cid"), col("cos"), col("rnk"))
           .orderBy("qid", "rnk")
       },
-      None),
+      Some("""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      qs AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
+      cs AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+      qa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM qs q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      qa AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM qa0) WHERE r = 1),
+      ca0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM cs q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      ca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM ca0) WHERE r = 1),
+      scored AS (SELECT qa.id AS qid, ca.id AS cid,
+          round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+            (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
+             sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id AND qa.id <> ca.id
+        JOIN embeddings q ON qa.id = q.vec_id
+        JOIN embeddings c ON ca.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      r AS (SELECT qid, cid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored)
+      SELECT qid, cid, cos, CAST(rnk AS BIGINT) AS rnk FROM r
+      WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     // decontamination: corpus docs sharing >= 3 word-trigrams with the
     // "benchmark" slice (source src0). At 100 TB the benchmark index
@@ -297,6 +361,21 @@ object LlmOps {
         .select(col("doc_id"), col("lang"),
           TextFunctions.langId(TextFunctions.tokens(col("text"))).as("pred_lang"))
         .orderBy("doc_id"),
-      None)
+      // the heuristic is a pure deterministic column expression
+      // (stopword-hit argmax, ties by list order, 'und' on zero), so
+      // unlike a model-based langid it carries an exact oracle: the
+      // same stopword lists inlined, same tokenizer (split on ' ').
+      Some {
+        val scores = TextFunctions.langStopwords.map { case (lang, stops) =>
+          val inList = stops.map(w => s"'$w'").mkString("[", ", ", "]")
+          lang -> s"len(list_filter(string_split(text, ' '), w -> list_contains($inList, w)))"
+        }
+        val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+        val pick = scores.foldRight("'und'") { case ((lang, sc), acc) =>
+          s"CASE WHEN $best > 0 AND $sc = $best THEN '$lang' ELSE $acc END"
+        }
+        s"""SELECT doc_id, lang, $pick AS pred_lang
+        FROM documents ORDER BY doc_id"""
+      })
   )
 }
