@@ -923,6 +923,37 @@ object Round4b {
         .orderBy("da", "db"),
       LlmOps.defs("q43_llm_neardup_jaccard").oracle),
 
+    // ---- token-budget mixture packing ----------------------------------
+    // Build a training mixture under a PER-SOURCE TOKEN BUDGET (the
+    // constraint real pretraining mixes are specified in): docs are
+    // ordered by the deterministic hash priority (q155's recipe —
+    // unbiased, reproducible), and each source keeps its prefix while
+    // the running token total stays within budget. One window cumsum
+    // per source; token counts are whitespace words (exact int64).
+    "q190_llm_token_budget" -> QueryDef(
+      (s, dir) => {
+        val nTok = size(split(col("text"), " ")).cast("long")
+        val w = Window.partitionBy("source").orderBy(
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L)), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), nTok.as("n_tok"))
+          .withColumn("cum_tok", sum("n_tok").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum_tok") <= 1000L)
+          .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM d)
+      SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+      FROM c WHERE cum_tok <= 1000 ORDER BY source, doc_id""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
