@@ -954,6 +954,35 @@ object Round4b {
       SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
       FROM c WHERE cum_tok <= 1000 ORDER BY source, doc_id""")),
 
+    // ---- session path mining (top event-type trigrams) -----------------
+    // Product-analytics kernel: the most common 3-step event sequences
+    // across user journeys. Window leads build each user's path
+    // trigrams on one (user)-ordered exchange (the q161 lead shape —
+    // no per-user collect_list materialization), then one count
+    // aggregate; top-20 with a lexical tie-break.
+    "q191_evt_path_trigrams" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        ev.withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+            .as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+          ${graft.util.Det.epochSecSql("ts")} AS sec FROM events),
+      p AS (SELECT event_type AS t1,
+          lead(event_type, 1) OVER w AS t2,
+          lead(event_type, 2) OVER w AS t3
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+      SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      FROM p WHERE t3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
