@@ -983,6 +983,65 @@ object Round4b {
       FROM p WHERE t3 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
 
+    // ---- cross-split contamination check -------------------------------
+    // After a hash split (q79's recipe), does any TEST document share a
+    // winnowing fingerprint (>= 23-char substring, q161 pipeline) with
+    // any TRAIN document? That's eval contamination the split itself
+    // can't prevent (near-dups land on both sides of a random split).
+    // One fingerprint shuffle joins the two sides; output is the
+    // contaminated test docs with their evidence counts.
+    "q192_llm_split_contamination" -> QueryDef(
+      (s, dir) => {
+        val fps = Round4.winnowFingerprints(s, dir)
+          .withColumn("is_train",
+            pmod(col("doc_id") * lit(2654435761L), lit(10L)) < 8)
+        val train = fps.filter(col("is_train")).select(col("fp")).distinct()
+        fps.filter(!col("is_train"))
+          .join(train, Seq("fp"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_fp"))
+          .orderBy("doc_id")
+      },
+      Some(Round4.winnowCte + """,
+      fps AS (SELECT DISTINCT doc_id, fp FROM w),
+      t AS (SELECT doc_id, fp, (doc_id * 2654435761) % 10 < 8 AS is_train
+        FROM fps),
+      train AS (SELECT DISTINCT fp FROM t WHERE is_train)
+      SELECT doc_id, COUNT(*) AS n_shared_fp
+      FROM t WHERE NOT is_train AND fp IN (SELECT fp FROM train)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- padding-waste profile (batch packing efficiency) --------------
+    // For fixed-length training batches, how many pad tokens does each
+    // source waste? Bucket every doc's token count up to the next
+    // multiple of 64 (the max-len granularity) and aggregate real vs
+    // padded tokens per source — the metric that says whether sequence
+    // packing (q103) is worth running. Stateless per-row math + one
+    // aggregate.
+    "q193_llm_padding_waste" -> QueryDef(
+      (s, dir) => {
+        val nTok = size(split(col("text"), " ")).cast("long")
+        t(s, dir, "documents")
+          .select(col("source"), nTok.as("n_tok"))
+          .withColumn("padded", expr("((n_tok + 63L) div 64L) * 64L"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("real_tok"),
+            sum("padded").cast("long").as("padded_tok"))
+          .withColumn("waste_rate",
+            (col("padded_tok") - col("real_tok")).cast("double") /
+              col("padded_tok"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      p AS (SELECT source, n_tok, ((n_tok + 63) // 64) * 64 AS padded FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS real_tok,
+        CAST(SUM(padded) AS BIGINT) AS padded_tok,
+        CAST(SUM(padded) - SUM(n_tok) AS DOUBLE) / SUM(padded) AS waste_rate
+      FROM p GROUP BY source ORDER BY source""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
