@@ -1042,6 +1042,49 @@ object Round4b {
         CAST(SUM(padded) - SUM(n_tok) AS DOUBLE) / SUM(padded) AS waste_rate
       FROM p GROUP BY source ORDER BY source""")),
 
+    // ---- content-checksum integrity manifest ---------------------------
+    // Replication/migration verification primitive: per table, a row
+    // count plus an ORDER-INDEPENDENT content checksum (sum of each
+    // row's 24-bit md5 prefix — commutative, so any partitioning or
+    // scan order yields the same value, and a single flipped row
+    // changes it). Row fingerprints use only int/string/date columns
+    // rendered identically in both engines. At 100 TB this is one scan
+    // per table with a map-side partial sum — the cheapest possible
+    // "did the copy arrive intact" check.
+    "q194_integrity_manifest" -> QueryDef(
+      (s, dir) => {
+        def manifest(tbl: String, fp: org.apache.spark.sql.Column) = {
+          t(s, dir, tbl).select(
+            lit(tbl).as("tbl"),
+            conv(substring(md5(fp), 1, 6), 16, 10).cast("long").as("h"))
+            .groupBy("tbl")
+            .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+        }
+        manifest("customer", concat_ws("|",
+            col("c_custkey"), col("c_name"), col("c_mktsegment")))
+          .unionAll(manifest("orders", concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("date"))))
+          .unionAll(manifest("supplier", concat_ws("|",
+            col("s_suppkey"), col("s_name"), col("s_nationkey"))))
+          .orderBy("tbl")
+      },
+      Some {
+        def b(i: Int) = Round3.hexByteSql("hx", i)
+        def q(tbl: String, fp: String) =
+          s"""SELECT '$tbl' AS tbl, COUNT(*) AS n_rows,
+            CAST(SUM(${b(0)} * 65536 + ${b(1)} * 256 + ${b(2)}) AS BIGINT)
+              AS checksum
+          FROM (SELECT md5($fp) AS hx FROM $tbl)"""
+        q("customer", "c_custkey || '|' || c_name || '|' || c_mktsegment") +
+          " UNION ALL " +
+          q("orders", "o_orderkey || '|' || o_custkey || '|' || o_orderstatus" +
+            " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)") +
+          " UNION ALL " +
+          q("supplier", "s_suppkey || '|' || s_name || '|' || s_nationkey") +
+          " ORDER BY tbl"
+      }),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
