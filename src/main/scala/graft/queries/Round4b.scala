@@ -7,10 +7,22 @@ import graft.QueryDef
 import graft.operators.Graph
 import graft.sources.Tables
 
-/** Round-4 catalog widening: graph kernels (triangle counting, PageRank)
-  * over pipeline-derived co-occurrence graphs, plus training-data text
-  * ops (BPE pair-merge induction, oracled SimHash near-dup,
-  * sorted-neighborhood entity resolution, Z-order clustering, EWMA).
+/** Round-4 catalog widening.
+  *
+  * Graph kernels over pipeline-derived co-occurrence graphs (q169
+  * degree-oriented triangles, q170 integer-exact PageRank); tokenizer /
+  * training-data ops (q171 BPE pair-merge, q176 OOV rate, q190
+  * token-budget mixture, q192 cross-split contamination, q193 padding
+  * waste); exactly-scored near-dup from portable hashes (q172 SimHash
+  * pigeonhole, q177 MinHash-LSH verified, q182 PPJoin prefix filter,
+  * q173 sorted-neighborhood, and the dup-robust dedup-first twins q188/
+  * q189); embedding ops (q186 hard-negative mining, q187 dim stats);
+  * time series (q175 exact EWMA, q185 moving median, q191 path
+  * trigrams); relational/ops surface (q174 Z-order via the codegen'd
+  * morton2 expression, q178 incremental rollup, q179 Kendall tau-b,
+  * q180 null-aware NOT IN, q181 scored stream-stream LEFT OUTER
+  * interval join, q183 cascade-delete audit, q184 duplicated-
+  * fingerprint rate, q194 content-checksum manifest).
   */
 object Round4b {
 
