@@ -1097,6 +1097,45 @@ object Round4b {
           " ORDER BY tbl"
       }),
 
+    // ---- robust outlier flagging (median/MAD z-score) ------------------
+    // Outlier detection that survives the outliers themselves: per
+    // event type, flag values whose modified z-score
+    // |v - median| / (1.4826 * MAD) exceeds 3.5 (the Iglewicz–Hoaglin
+    // rule). Mean/stddev z-scores (q131) move with the outliers;
+    // median and MAD don't. Two median aggregates over integer cents
+    // (exact in both engines) + joins back on the bounded type key —
+    // the per-group constants broadcast by size estimate.
+    "q195_ts_robust_outliers" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("v"))
+        val med = ev.groupBy("event_type").agg(median(col("v")).as("med"))
+        val dev = ev.join(med, "event_type")
+          .withColumn("adev", abs(col("v") - col("med")))
+        val mad = dev.groupBy("event_type").agg(median(col("adev")).as("mad"))
+        dev.join(mad, "event_type")
+          .filter(col("mad") > 0)
+          .withColumn("z", (col("v") - col("med")) / (lit(1.4826) * col("mad")))
+          .filter(abs(col("z")) > 3.5)
+          .select(col("event_id"), col("event_type"), col("v"),
+            round(col("z"), 6).as("z"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, event_type,
+          CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      med AS (SELECT event_type, median(v) AS med FROM e GROUP BY 1),
+      dev AS (SELECT e.event_id, e.event_type, e.v, med.med,
+          abs(e.v - med.med) AS adev
+        FROM e JOIN med ON e.event_type = med.event_type),
+      mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1),
+      z AS (SELECT dev.event_id, dev.event_type, dev.v,
+          (dev.v - dev.med) / (1.4826 * mad.mad) AS z
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        WHERE mad.mad > 0)
+      SELECT event_id, event_type, v, round(z, 6) AS z
+      FROM z WHERE abs(z) > 3.5 ORDER BY event_id""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
