@@ -105,7 +105,11 @@ object Round4b {
       .filter(col("hamming") <= maxDist)
   }
 
-  private lazy val simhashOracle: String =
+  /** Shared simhash CTE prefix (ends at `ham` = candidate pairs with
+    * their Hamming distance); q172/q188 append the pair select, q197
+    * appends the precision/recall evaluation.
+    */
+  private lazy val simhashCte: String =
     """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(
           regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
         FROM documents),
@@ -128,7 +132,9 @@ object Round4b {
           AND a.doc_id < b.doc_id),
       ham AS (SELECT da, db, bit_count(xor(x.s, y.s)) AS h
         FROM cand JOIN sh x ON cand.da = x.doc_id
-        JOIN sh y ON cand.db = y.doc_id)
+        JOIN sh y ON cand.db = y.doc_id)"""
+
+  private lazy val simhashOracle: String = simhashCte + """
       SELECT da, db, CAST(h AS BIGINT) AS hamming FROM ham
       WHERE h <= 3 ORDER BY da, db"""
 
@@ -1135,6 +1141,90 @@ object Round4b {
         WHERE mad.mad > 0)
       SELECT event_id, event_type, v, round(z, 6) AS z
       FROM z WHERE abs(z) > 3.5 ORDER BY event_id""")),
+
+    // ---- inter-arrival time distribution (per event type) --------------
+    // Traffic-shape profiling: the distribution of per-user gaps
+    // between consecutive events of each type — p50/p95 inter-arrival
+    // plus burst share (gaps <= 1 s). One per-user window builds the
+    // gaps; one aggregate per type summarizes. Gaps are whole-second
+    // ints; percentiles interpolate identically in both engines (the
+    // q17 recipe).
+    "q196_evt_interarrival" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("event_type"), col("sec"), col("event_id"))
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("sec", "event_id")
+        ev.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(expr("percentile(gap, 0.5)"), 6).as("p50_gap"),
+            round(expr("percentile(gap, 0.95)"), 6).as("p95_gap"),
+            sum(when(col("gap") <= 1L, 1L).otherwise(0L)).as("n_burst"))
+          .withColumn("burst_rate",
+            col("n_burst").cast("double") / col("n_gaps"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, event_id,
+          ${graft.util.Det.epochSecSql("ts")} AS sec FROM events),
+      g AS (SELECT event_type,
+          sec - lag(sec) OVER (PARTITION BY user_id, event_type
+            ORDER BY sec, event_id) AS gap
+        FROM e)
+      SELECT event_type, COUNT(*) AS n_gaps,
+        round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+        round(quantile_cont(gap, 0.95), 6) AS p95_gap,
+        CAST(SUM(CASE WHEN gap <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst,
+        CAST(SUM(CASE WHEN gap <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS burst_rate
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- near-dup pipeline evaluation (precision/recall) ---------------
+    // Tuning meta-query: how well do the SimHash Hamming<=3 candidates
+    // (q172 pipeline) recover the exact >= 0.5 Jaccard ground truth
+    // (q43 pipeline)? Joins the two pair sets and reports
+    // precision/recall — the measurement loop a pipeline owner runs
+    // before trading exactness for scale. Both inputs are the already-
+    // verified deterministic pipelines; the eval is two semi-join
+    // counts and exact int/int divisions.
+    "q197_llm_neardup_eval" -> QueryDef(
+      (s, dir) => {
+        val truth = LlmOps.jaccardPairsShared(s, dir).select("da", "db")
+        val cand = hammingPairs(simhashSigs(
+            t(s, dir, "documents").select(col("doc_id"), col("text"))))
+          .select("da", "db")
+        val hit = truth.join(cand, Seq("da", "db"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+            cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_cand")).as("precision"),
+            (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      },
+      Some(simhashCte + """,
+      cd AS (SELECT da, db FROM ham WHERE h <= 3),
+      s2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      tr0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM s2, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      trs AS (SELECT DISTINCT doc_id, lang, g FROM tr0),
+      trz AS (SELECT doc_id, COUNT(*) AS n FROM trs GROUP BY doc_id),
+      trp AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM trs a JOIN trs b ON a.g = b.g AND a.lang = b.lang
+          AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      tr AS (SELECT da, db FROM trp JOIN trz x ON trp.da = x.doc_id
+        JOIN trz y ON trp.db = y.doc_id
+        WHERE inter / (x.n + y.n - inter) >= 0.5),
+      hit AS (SELECT tr.da, tr.db FROM tr
+        JOIN cd ON tr.da = cd.da AND tr.db = cd.db)
+      SELECT (SELECT COUNT(*) FROM tr) AS n_truth,
+        (SELECT COUNT(*) FROM cd) AS n_cand,
+        (SELECT COUNT(*) FROM hit) AS n_hit,
+        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
+          (SELECT COUNT(*) FROM cd) AS precision,
+        CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
+          (SELECT COUNT(*) FROM tr) AS recall""")),
 
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
