@@ -1226,6 +1226,102 @@ object Round4b {
         CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) /
           (SELECT COUNT(*) FROM tr) AS recall""")),
 
+    // ---- 2-D skyline (Pareto frontier), distributed prefix scan --------
+    // Orders on the (cheaper, more recent) Pareto frontier: no other
+    // order is both cheaper AND newer. The naive formulation is an
+    // all-pairs dominance anti-join; the 2-D case collapses to a
+    // prefix scan by price. A single global window would serialize
+    // into one partition, so this is the DISTRIBUTED prefix-scan
+    // shape: rows bucket by price range (bucket count tracks the value
+    // DOMAIN, not the row count), each bucket computes its local
+    // running max in parallel, a bucket-level window over the tiny
+    // bucket summary carries the cross-bucket prefix, and each row
+    // combines the two. Equal prices stay in one bucket, so the
+    // cross-bucket prefix is always strictly cheaper.
+    "q198_skyline_2d" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("long").as("day"))
+          .withColumn("b", floor(col("o_totalprice") / 10000.0).cast("long"))
+        val bmax = o.groupBy("b").agg(max("day").as("bday"))
+          .withColumn("pmax", max(col("bday")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("b"), col("pmax"))
+        val wIn = Window.partitionBy("b")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        o.withColumn("prev_in", max(col("day")).over(wIn))
+          .join(bmax, "b")
+          .withColumn("best_prev", greatest(
+            coalesce(col("prev_in"), lit(Long.MinValue)),
+            coalesce(col("pmax"), lit(Long.MinValue))))
+          .filter(col("day") > col("best_prev"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("day"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice,
+          CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+        FROM orders),
+      s AS (SELECT o_orderkey, o_totalprice, day,
+          MAX(day) OVER (ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        FROM o)
+      SELECT o_orderkey, o_totalprice, day FROM s
+      WHERE best_prev IS NULL OR day > best_prev
+      ORDER BY o_orderkey""")),
+
+    // ---- A/B lift (two-proportion z, exact counts) ---------------------
+    // Deterministic hash split of users into arms, purchase-conversion
+    // per arm, and the two-proportion z statistic — every count exact
+    // int64, the z a single closed-form double both engines evaluate
+    // identically. The experiment-analysis query every event pipeline
+    // ends at; one user-level aggregate plus arm rollups.
+    "q199_evt_ab_lift" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+        val users = ev.groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L)
+            .otherwise(0L)).as("converted"))
+          .withColumn("arm",
+            when(pmod(col("user_id") * lit(2654435761L), lit(2L)) === 0,
+              "A").otherwise("B"))
+        val arms = users.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum("converted").cast("long").as("n_conv"))
+        val a = arms.filter(col("arm") === "A")
+          .select(col("n_users").as("na"), col("n_conv").as("ca"))
+        val b = arms.filter(col("arm") === "B")
+          .select(col("n_users").as("nb"), col("n_conv").as("cb"))
+        a.crossJoin(b).select(
+          col("na"), col("ca"), col("nb"), col("cb"),
+          (col("ca").cast("double") / col("na")).as("rate_a"),
+          (col("cb").cast("double") / col("nb")).as("rate_b"),
+          round((col("cb").cast("double") / col("nb") -
+              col("ca").cast("double") / col("na")) /
+            sqrt(((col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))) *
+              (lit(1.0) - (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6).as("z"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+          MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted,
+          CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM events GROUP BY user_id),
+      arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c
+        FROM u GROUP BY arm),
+      a AS (SELECT n AS na, c AS ca FROM arms WHERE arm = 'A'),
+      b AS (SELECT n AS nb, c AS cb FROM arms WHERE arm = 'B')
+      SELECT na, ca, nb, cb,
+        CAST(ca AS DOUBLE) / na AS rate_a,
+        CAST(cb AS DOUBLE) / nb AS rate_b,
+        round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) /
+          sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
+            (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+            (1.0 / na + 1.0 / nb)), 6) AS z
+      FROM a, b""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
