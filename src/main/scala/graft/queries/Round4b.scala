@@ -1322,6 +1322,71 @@ object Round4b {
             (1.0 / na + 1.0 / nb)), 6) AS z
       FROM a, b""")),
 
+    // ---- end-to-end curation composite (round-4 capstone) --------------
+    // The full training-data curation chain in one scored query:
+    // (1) quality gate (length + word count), (2) exact dedup (min-id
+    // survivor per text), (3) near-dup removal (drop the higher-id doc
+    // of every >= 0.5 Jaccard pair among survivors — q43's pipeline on
+    // the deduped corpus, per the catalog's own exact-then-near
+    // ordering), (4) per-source token budget (q190's hash-priority
+    // prefix). Output: the curated manifest per source. Every stage is
+    // one of this round's verified operators; the oracle replays the
+    // identical chain.
+    "q200_llm_curation_pipeline" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(length(col("text")) >= 40 &&
+            size(split(col("text"), " ")) >= 8)
+        val exact = graft.operators.Dedup.firstPerKey(
+          docs, Seq("text"), Seq(col("doc_id")))
+        val nd = graft.operators.Dedup.jaccardPairs(
+          exact, "doc_id", "text", n = 3, threshold = 0.5,
+          blockCols = Seq("lang"))
+        val survivors = exact.join(
+          nd.select(col("db").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val nTok = size(split(col("text"), " ")).cast("long")
+        val w = Window.partitionBy("source").orderBy(
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L)), col("doc_id"))
+        survivors
+          .select(col("source"), col("doc_id"), nTok.as("n_tok"))
+          .withColumn("cum_tok", sum("n_tok").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum_tok") <= 2000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("n_tok"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source")
+      },
+      Some("""WITH q AS (SELECT * FROM documents
+        WHERE length(text) >= 40 AND len(string_split(text, ' ')) >= 8),
+      ex AS (SELECT * FROM (SELECT *, row_number() OVER (
+          PARTITION BY text ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+      sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM ex),
+      sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang
+          AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      drop0 AS (SELECT DISTINCT db AS doc_id FROM p
+        JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+        WHERE inter / (x.n + y.n - inter) >= 0.5),
+      sv AS (SELECT ex.source, ex.doc_id,
+          CAST(len(string_split(ex.text, ' ')) AS BIGINT) AS n_tok
+        FROM ex WHERE ex.doc_id NOT IN (SELECT doc_id FROM drop0)),
+      c AS (SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM sv)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c WHERE cum_tok <= 2000 GROUP BY source ORDER BY source""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
