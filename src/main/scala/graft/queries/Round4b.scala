@@ -22,7 +22,10 @@ import graft.sources.Tables
   * morton2 expression, q178 incremental rollup, q179 Kendall tau-b,
   * q180 null-aware NOT IN, q181 scored stream-stream LEFT OUTER
   * interval join, q183 cascade-delete audit, q184 duplicated-
-  * fingerprint rate, q194 content-checksum manifest).
+  * fingerprint rate, q194 content-checksum manifest, q195 robust
+  * median/MAD outliers, q196 inter-arrival distribution, q197 near-dup
+  * precision/recall eval, q198 distributed 2-D skyline, q199 A/B lift,
+  * q200 end-to-end curation composite).
   */
 object Round4b {
 

@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q46_llm_cosine_topk",         // 5-row query side broadcast (bounded by construction)
     "q77_llm_ann_ivf",             // broadcast coarse centroids (fixed k)
     "q81_llm_tfidf",               // 1-row corpus-size scalar
-    "q186_emb_hard_negatives"      // bounded anchor-minibatch broadcast
+    "q186_emb_hard_negatives",     // bounded anchor-minibatch broadcast
+    "q197_llm_neardup_eval",       // three 1-row eval-count frames
+    "q199_evt_ab_lift"             // two 1-row arm-summary frames
   )
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
