@@ -1390,6 +1390,58 @@ object Round4b {
         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       FROM c WHERE cum_tok <= 2000 GROUP BY source ORDER BY source""")),
 
+    // ---- ER match scoring (weighted field agreement) -------------------
+    // Fellegi–Sunter-shaped decision layer over the sorted-neighborhood
+    // candidates (q173): each candidate pair scores integer agreement
+    // weights per field (same source +2, length within 5 +1, 60-char
+    // edit distance <= 10 +2) and classifies match / possible /
+    // non-match on fixed thresholds. Completes the ER suite — blocking
+    // (q173), comparison (q143/q160), decision (here) — with exact
+    // integer scoring on bounded candidates.
+    "q201_llm_er_decision" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val k = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), norm.as("t"),
+            length(col("text")).as("len"))
+          .withColumn("rn", row_number().over(Window.partitionBy("lang")
+            .orderBy(substring(col("t"), 1, 20), col("doc_id"))))
+          .withColumn("g", expr("rn div 5"))
+        val a = k.withColumn("jg", explode(array(col("g"), col("g") + 1)))
+        val score =
+          when(col("a.source") === col("b.source"), 2L).otherwise(0L) +
+          when(abs(col("a.len") - col("b.len")) <= 5, 1L).otherwise(0L) +
+          when(levenshtein(substring(col("a.t"), 1, 60),
+            substring(col("b.t"), 1, 60)) <= 10, 2L).otherwise(0L)
+        a.as("a").join(k.as("b"),
+            col("a.lang") === col("b.lang") && col("a.jg") === col("b.g") &&
+              (col("b.rn") - col("a.rn")).between(1, 5))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            score.as("score"))
+          .withColumn("cls",
+            when(col("score") >= 4, "match")
+              .when(col("score") >= 2, "possible").otherwise("non_match"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH n AS (SELECT doc_id, lang, source,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+            ' +', ' ', 'g')) AS t,
+          length(text) AS len
+        FROM documents),
+      k AS (SELECT doc_id, lang, source, t, len, row_number() OVER (
+          PARTITION BY lang ORDER BY t[1:20], doc_id) AS rn FROM n),
+      pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+          (CASE WHEN a.source = b.source THEN 2 ELSE 0 END +
+           CASE WHEN abs(a.len - b.len) <= 5 THEN 1 ELSE 0 END +
+           CASE WHEN levenshtein(a.t[1:60], b.t[1:60]) <= 10 THEN 2 ELSE 0 END)
+            AS score
+        FROM k a JOIN k b ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 5)
+      SELECT da, db, CAST(score AS BIGINT) AS score,
+        CASE WHEN score >= 4 THEN 'match'
+             WHEN score >= 2 THEN 'possible' ELSE 'non_match' END AS cls
+      FROM pr ORDER BY da, db""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
