@@ -1442,6 +1442,72 @@ object Round4b {
              WHEN score >= 2 THEN 'possible' ELSE 'non_match' END AS cls
       FROM pr ORDER BY da, db""")),
 
+    // ---- PII density profile (governance rollup) -----------------------
+    // Corpus-level release gate companion to q80's redaction: per
+    // source, how dense are email-shaped and phone-shaped spans, per
+    // 1000 characters? (The fixture text is synthetic soup, so counts
+    // are near zero — the point is the exactly-scored metric shape:
+    // regexp span counting + exact int rates, one scan + one rollup.)
+    "q202_llm_pii_density" -> QueryDef(
+      (s, dir) => {
+        val emails = size(expr(
+          "regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', 0)"))
+          .cast("long")
+        val phones = size(expr(
+          "regexp_extract_all(text, '[0-9]{3}-[0-9]{4}', 0)")).cast("long")
+        t(s, dir, "documents")
+          .select(col("source"), length(col("text")).cast("long").as("nc"),
+            emails.as("ne"), phones.as("np"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nc").cast("long").as("n_chars"),
+            sum("ne").cast("long").as("n_emails"),
+            sum("np").cast("long").as("n_phones"))
+          .withColumn("pii_per_kchar",
+            (col("n_emails") + col("n_phones")).cast("double") * 1000.0 /
+              col("n_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS ne,
+          CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS np
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(nc) AS BIGINT) AS n_chars,
+        CAST(SUM(ne) AS BIGINT) AS n_emails,
+        CAST(SUM(np) AS BIGINT) AS n_phones,
+        CAST(SUM(ne) + SUM(np) AS DOUBLE) * 1000.0 / SUM(nc) AS pii_per_kchar
+      FROM d GROUP BY source ORDER BY source""")),
+
+    // ---- cross-lingual contamination (shared fingerprints) -------------
+    // Winnowing fingerprints shared across documents in DIFFERENT
+    // languages — the translated-or-copied-content signal a multilingual
+    // corpus audit looks for (same >= 23-char substring surviving in two
+    // language buckets). Reuses the q161 fingerprint pipeline and its
+    // oracle CTE; one fp-keyed join between language partitions.
+    "q203_llm_crosslang_fp" -> QueryDef(
+      (s, dir) => {
+        val fps = Round4.winnowFingerprints(s, dir)
+          .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        fps.as("a").join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+          .agg(countDistinct(col("a.fp")).as("n_shared_fp"),
+            countDistinct(col("a.doc_id")).as("n_docs_a"),
+            countDistinct(col("b.doc_id")).as("n_docs_b"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some(Round4.winnowCte + """,
+      fps0 AS (SELECT DISTINCT doc_id, fp FROM w),
+      fps AS (SELECT f.doc_id, f.fp, d.lang FROM fps0 f
+        JOIN documents d ON f.doc_id = d.doc_id)
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+        COUNT(DISTINCT a.fp) AS n_shared_fp,
+        COUNT(DISTINCT a.doc_id) AS n_docs_a,
+        COUNT(DISTINCT b.doc_id) AS n_docs_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.lang < b.lang
+      GROUP BY 1, 2 ORDER BY lang_a, lang_b""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
