@@ -1508,6 +1508,43 @@ object Round4b {
       FROM fps a JOIN fps b ON a.fp = b.fp AND a.lang < b.lang
       GROUP BY 1, 2 ORDER BY lang_a, lang_b""")),
 
+    // ---- column completeness audit (relational data quality) -----------
+    // Per-column null/blank rates for an ingest table — the first data-
+    // quality report any pipeline emits. One scan, every column counted
+    // in the same aggregate (no per-column passes), unpivoted to one
+    // row per column for a stable report schema.
+    "q204_dq_completeness" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val cols = Seq("c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "c_mktsegment")
+        val agg = c.agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(cn => Seq(
+            sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"${cn}__nn"),
+            sum(when(col(cn).cast("string") === "", 1L).otherwise(0L))
+              .as(s"${cn}__nb"))): _*)
+        val stacked = cols.map(cn => s"'$cn', ${cn}__nn, ${cn}__nb")
+          .mkString(", ")
+        agg.select(col("n_rows"),
+            expr(s"stack(${cols.size}, $stacked) AS (col_name, n_null, n_blank)"))
+          .select(col("col_name"), col("n_rows"), col("n_null"), col("n_blank"),
+            ((col("n_rows") - col("n_null")).cast("double") / col("n_rows"))
+              .as("completeness"))
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "c_mktsegment")
+        val branches = cols.map(cn =>
+          s"""SELECT '$cn' AS col_name, COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            CAST(SUM(CASE WHEN CAST($cn AS VARCHAR) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+          FROM customer""").mkString(" UNION ALL ")
+        s"""SELECT col_name, n_rows, n_null, n_blank,
+          CAST(n_rows - n_null AS DOUBLE) / n_rows AS completeness
+        FROM ($branches) ORDER BY col_name"""
+      }),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
