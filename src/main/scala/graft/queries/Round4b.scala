@@ -1545,6 +1545,61 @@ object Round4b {
         FROM ($branches) ORDER BY col_name"""
       }),
 
+    // ---- last-touch attribution (as-of over event streams) -------------
+    // Marketing attribution: every purchase credited to the user's most
+    // recent preceding click/view (strictly before the purchase by
+    // sort order at equal seconds). Reuses AsOfJoin.asOfCode — the
+    // union + running-max single-shuffle shape (q12/q113 use it on
+    // orders; this is the event-stream instance). The attributed
+    // (sec, event_id) is recovered from the packed code by integer
+    // division. sec*1e9 + id stays under 2^63 (q113's bound).
+    "q205_evt_last_touch" -> QueryDef(
+      (s, dir) => {
+        val ev = graft.sources.Events.load(s, dir)
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec"), col("event_id"))
+        val sources = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("sec"),
+            (col("sec") * lit(1000000000L) + col("event_id")).as("code"))
+        graft.operators.AsOfJoin
+          .asOfCode(probes, sources, "user_id", "sec", "event_id")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            expr("match_code div 1000000000L").as("touch_sec"),
+            expr("match_code % 1000000000L").as("touch_id"))
+          .orderBy("purchase_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+          ${graft.util.Det.epochSecSql("ts")} AS sec FROM events),
+      p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, sec, sec * 1000000000 + event_id AS code
+        FROM e WHERE event_type IN ('click', 'view')),
+      m AS (SELECT p.event_id AS purchase_id, p.user_id,
+          MAX(c.code) AS match_code
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.sec <= p.sec
+        GROUP BY 1, 2)
+      SELECT purchase_id, user_id,
+        match_code // 1000000000 AS touch_sec,
+        match_code % 1000000000 AS touch_id
+      FROM m ORDER BY purchase_id""")),
+
+    // ---- duplicate-cluster size distribution ---------------------------
+    // Corpus-shape statistic the dedup-first strategies (q188/q189)
+    // exploit: how big are the exact-duplicate clusters, per source?
+    // Two cheap aggregates (text -> cluster, size -> histogram) —
+    // a monitoring query worth running before choosing between the
+    // all-docs and dedup-first near-dup paths.
+    "q206_llm_dup_cluster_hist" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source", "text")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("source", "sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("source", "sz"),
+      Some("""WITH g AS (SELECT source, COUNT(*) AS sz FROM documents
+        GROUP BY source, text)
+      SELECT source, sz, COUNT(*) AS n_clusters
+      FROM g GROUP BY 1, 2 ORDER BY source, sz""")),
+
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
     // variance), scale drift, and outliers are the standard pre-train
