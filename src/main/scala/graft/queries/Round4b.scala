@@ -25,7 +25,10 @@ import graft.sources.Tables
   * fingerprint rate, q194 content-checksum manifest, q195 robust
   * median/MAD outliers, q196 inter-arrival distribution, q197 near-dup
   * precision/recall eval, q198 distributed 2-D skyline, q199 A/B lift,
-  * q200 end-to-end curation composite).
+  * q200 end-to-end curation composite, q201 ER decision scoring, q202
+  * PII density, q203 cross-lingual contamination, q204 completeness
+  * audit, q205 last-touch attribution, q206 dup-cluster histogram,
+  * q207 GROUP BY ALL).
   */
 object Round4b {
 
@@ -140,6 +143,16 @@ object Round4b {
   private lazy val simhashOracle: String = simhashCte + """
       SELECT da, db, CAST(h AS BIGINT) AS hamming FROM ham
       WHERE h <= 3 ORDER BY da, db"""
+
+  /** One SQL text, two engines (q207): the table names are the only
+    * difference between the Spark query and its oracle.
+    */
+  private def q207Sql(orders: String, customer: String): String =
+    s"""SELECT c.c_mktsegment AS seg, o.o_orderstatus AS status,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM $orders o JOIN $customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ALL ORDER BY ALL"""
 
   val defs: Map[String, QueryDef] = Map(
     // ---- triangle counting (degree-oriented) ---------------------------
@@ -1599,6 +1612,23 @@ object Round4b {
         GROUP BY source, text)
       SELECT source, sz, COUNT(*) AS n_clusters
       FROM g GROUP BY 1, 2 ORDER BY source, sz""")),
+
+    // ---- modern SQL surface: GROUP BY ALL / ORDER BY ALL ---------------
+    // The DuckDB-pioneered shorthand Spark adopted in 3.4: every
+    // non-aggregate select item groups implicitly, and ORDER BY ALL
+    // sorts by the whole select list. The SAME SQL TEXT runs in both
+    // engines — the query and its oracle are character-identical, which
+    // is itself the point (dialect convergence on the analytics
+    // surface).
+    "q207_sql_group_by_all" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql(q207Sql("orders_v", "customer_v"))
+          .select(col("seg"), col("status"),
+            col("n").cast("long").as("n"), col("total_price"))
+      },
+      Some(q207Sql("orders", "customer"))),
 
     // ---- per-dimension embedding statistics (embedding QC) -------------
     // Distribution health per embedding dimension — dead dims (zero
