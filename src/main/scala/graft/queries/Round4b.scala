@@ -1500,8 +1500,11 @@ object Round4b {
     // oracle CTE; one fp-keyed join between language partitions.
     "q203_llm_crosslang_fp" -> QueryDef(
       (s, dir) => {
+        // both self-join sides read the fingerprint relation — persist,
+        // or the char-window winnow pipeline executes once per side
         val fps = Round4.winnowFingerprints(s, dir)
           .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fps.as("a").join(fps.as("b"),
             col("a.fp") === col("b.fp") && col("a.lang") < col("b.lang"))
           .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
