@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Composite, EventTime, Extra, Funcs, LlmOps, Relational, Round2, Round3, Round4, Round4b}
-import graft.sources.Tables
+import graft.queries.{Composite, EventTime, Extra, Funcs, LlmOps, Relational, Round2, Round3, Round4, Round4b, Round5}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,14 +15,7 @@ object SparkEntry {
   private lazy val catalog: Map[String, QueryDef] =
     Relational.defs ++ Funcs.defs ++ EventTime.defs ++ LlmOps.defs ++
       Extra.defs ++ Composite.defs ++ Round2.defs ++ Round3.defs ++
-      Round4.defs ++ Round4b.defs ++ Map(
-      // multimodal plumbing (stubbed codec — see graft.multimodal):
-      // deterministic features over synthetic binary payloads; rows-only.
-      "q51_mm_features" -> QueryDef(
-        (s, dir) => graft.multimodal.Multimodal
-          .featuresDF(Tables.load(s, dir, "documents"))
-          .orderBy("doc_id"),
-        None))
+      Round4.defs ++ Round4b.defs ++ Round5.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -94,6 +94,40 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental near-dup: exact word-n-gram Jaccard pairs between a
+    * (small) probe batch and an existing corpus — the daily-ingest
+    * shape. Only probe×corpus candidates are generated, never
+    * corpus×corpus: at 100 TB the corpus index is the standing asset
+    * and each ingest batch probes it. The probe index is hinted
+    * broadcast (a daily batch's shingle index is dimension-sized next
+    * to the corpus), so the corpus side never shuffles — candidate
+    * generation is one broadcast hash join on (shingle hash, block);
+    * if a batch outgrows the broadcast threshold Spark falls back to a
+    * shuffle join on the same keys. Returns (da = probe id, db =
+    * corpus id, jaccard >= threshold).
+    */
+  def jaccardPairsAgainst(
+      probe: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val pa = shingleIndex(probe, idCol, textCol, n, blockCols)
+    val ca = shingleIndex(corpus, idCol, textCol, n, blockCols)
+    val a = pa.select(col(idCol).as("da"), col("gh"),
+      struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
+    val b = ca.select(col(idCol).as("db"), col("gh"),
+      struct(blockCols.map(col): _*).as("__bb"), col("__n").as("nb"))
+    broadcast(a).join(b, a("gh") === b("gh") && a("__ba") === b("__bb"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard near-dup pairs (SSJoin/PPJoin family:
     * Chaudhuri et al. 2006, Xiao et al. 2008). Same contract and same
     * results as [[jaccardPairs]], different physical strategy: instead

@@ -100,7 +100,13 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = f.join(r.withColumnRenamed("n", "src"), "src")
         .groupBy(col("dst").as("n"))
-        .agg(sum(expr("r * w div tw")).as("m"))
+        // floor(r*w/tw) with the product split so neither term can
+        // overflow int64: r*w directly overflows once w > 2^63/r
+        // (~9e6 at r=1e12 — reachable by lineitem-count weights at
+        // 100 TB). (r div tw)*w <= (r/w)*w ~ r since w <= tw, and
+        // (r % tw)*w < tw*w <= tw^2 — safe while tw < 3e9 edges-weight
+        // per node, four orders past any per-node out-weight here.
+        .agg(sum(expr("(r div tw) * w + ((r % tw) * w) div tw")).as("m"))
       r = nodes.join(contrib, Seq("n"), "left")
         .select(col("n"),
           (lit(unit * 15 / 100) +

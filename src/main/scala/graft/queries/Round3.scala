@@ -89,28 +89,37 @@ object Round3 {
     // ---- LLM sequence packing (cumulative-budget bucketing) -----------
     // Pack documents (n_chars as the token proxy) into training
     // sequences of budget 8192: seq = floor(chars-before-me / budget)
-    // over a deterministic document order. At 100 TB the ORDER BY runs
-    // per shard (partitionBy(shard)); this is the per-shard kernel.
+    // over a deterministic document order WITHIN A HASH SHARD
+    // (doc_id % 16). Packing is embarrassingly parallel across shards —
+    // real pretraining packers shard exactly like this — so the plan is
+    // one hash exchange on the shard key + a per-partition window: no
+    // single-partition global sort anywhere, and the shard count scales
+    // with the cluster, not the corpus. (The earlier global-ORDER-BY
+    // form funneled the whole corpus through one task; it survives only
+    // as the intra-shard kernel this window computes.)
     "q103_seq_packing" -> QueryDef(
       (s, dir) => {
-        val w = Window.orderBy("doc_id")
+        val w = Window.partitionBy("shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         t(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"),
-            coalesce(sum(col("n_chars")).over(w), lit(0L)).as("before"))
+          .select(pmod(col("doc_id"), lit(16L)).as("shard"),
+            col("doc_id"), col("n_chars"))
+          .withColumn("before",
+            coalesce(sum(col("n_chars")).over(w), lit(0L)))
           .withColumn("seq_id", floor(col("before") / lit(8192)))
-          .groupBy("seq_id")
+          .groupBy("shard", "seq_id")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("total_chars"))
-          .orderBy("seq_id")
+          .orderBy("shard", "seq_id")
       },
-      Some("""WITH c AS (SELECT doc_id, n_chars,
-        COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      Some("""WITH c AS (SELECT doc_id % 16 AS shard, doc_id, n_chars,
+        COALESCE(SUM(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
       FROM documents)
-      SELECT CAST(FLOOR(before / 8192) AS BIGINT) AS seq_id,
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(FLOOR(before / 8192) AS BIGINT) AS seq_id,
         COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      FROM c GROUP BY 1 ORDER BY 1""")),
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // ---- mode (most frequent value, deterministic tie-break) ----------
     // DuckDB's mode() ties are nondeterministic, so both sides use the

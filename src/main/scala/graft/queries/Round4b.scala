@@ -145,12 +145,17 @@ object Round4b {
       WHERE h <= 3 ORDER BY da, db"""
 
   /** One SQL text, two engines (q207): the table names are the only
-    * difference between the Spark query and its oracle.
+    * difference between the Spark query and its oracle. WIDTH-RULE:
+    * DECIMAL(18,2) — lossless for 2-decimal prices and keeps the
+    * unscaled SUM int64-backed to ~9.2e16 (DuckDB promotes past
+    * precision 18 to int128, whose ->double cast diverges from Java by
+    * 1 ulp once the unscaled value crosses 2^53; scale 6 left only ~6x
+    * headroom at sf0.1 — see util/Det.scala).
     */
   private def q207Sql(orders: String, customer: String): String =
     s"""SELECT c.c_mktsegment AS seg, o.o_orderstatus AS status,
       COUNT(*) AS n,
-      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM $orders o JOIN $customer c ON o.o_custkey = c.c_custkey
     GROUP BY ALL ORDER BY ALL"""
 
@@ -224,17 +229,17 @@ object Round4b {
       nodes AS (SELECT DISTINCT n FROM
         (SELECT src AS n FROM flow UNION ALL SELECT dst FROM flow)),
       r0 AS (SELECT n, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
-      c1 AS (SELECT f.dst AS n, SUM((r.r * f.w) // o.tw) AS m
+      c1 AS (SELECT f.dst AS n, SUM((r.r // o.tw) * f.w + ((r.r % o.tw) * f.w) // o.tw) AS m
              FROM flow f JOIN r0 r ON f.src = r.n
              JOIN outw o ON f.src = o.src GROUP BY 1),
       r1 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c1.m, 0)) // 100 AS r
              FROM nodes LEFT JOIN c1 ON nodes.n = c1.n),
-      c2 AS (SELECT f.dst AS n, SUM((r.r * f.w) // o.tw) AS m
+      c2 AS (SELECT f.dst AS n, SUM((r.r // o.tw) * f.w + ((r.r % o.tw) * f.w) // o.tw) AS m
              FROM flow f JOIN r1 r ON f.src = r.n
              JOIN outw o ON f.src = o.src GROUP BY 1),
       r2 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c2.m, 0)) // 100 AS r
              FROM nodes LEFT JOIN c2 ON nodes.n = c2.n),
-      c3 AS (SELECT f.dst AS n, SUM((r.r * f.w) // o.tw) AS m
+      c3 AS (SELECT f.dst AS n, SUM((r.r // o.tw) * f.w + ((r.r % o.tw) * f.w) // o.tw) AS m
              FROM flow f JOIN r2 r ON f.src = r.n
              JOIN outw o ON f.src = o.src GROUP BY 1),
       r3 AS (SELECT nodes.n, 150000000000 + (85 * COALESCE(c3.m, 0)) // 100 AS r
@@ -270,9 +275,21 @@ object Round4b {
         val best = adjPairs(vocab, "chars")
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
           .select(col("a").as("ba"), col("b").as("bb"))
+        // Boundary-anchored merge: pad the joined sequence with spaces
+        // and replace ' ba bb ' so the pair can never match a suffix of
+        // a longer symbol (e.g. (a,b) inside 'xa b'). Applied TWICE:
+        // consecutive occurrences share a boundary space that the first
+        // non-overlapping scan consumes ('a b a b' -> first pass merges
+        // occurrences 1,3,..; every survivor then follows a replacement
+        // ending in a space, so the second pass takes the rest) —
+        // exactly left-to-right non-overlapping BPE for one round.
+        val mergeExpr =
+          "' ' || array_join(chars, ' ') || ' '"
+        val pat = "' ' || ba || ' ' || bb || ' '"
+        val rep = "' ' || ba || bb || ' '"
         val merged = vocab.crossJoin(broadcast(best))
-          .select(col("f"), split(expr(
-            "replace(array_join(chars, ' '), ba || ' ' || bb, ba || bb)"),
+          .select(col("f"), split(trim(expr(
+            s"replace(replace($mergeExpr, $pat, $rep), $pat, $rep)")),
             " ").as("sy"))
         adjPairs(merged, "sy")
           .select(col("a"), col("b"), col("cnt").cast("long").as("cnt"))
@@ -287,8 +304,12 @@ object Round4b {
         FROM vocab, (SELECT unnest(range(1, 31)) AS i) i
         WHERE i.i + 1 <= length(w) GROUP BY 1, 2),
       best AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-      m AS (SELECT replace(array_to_string(string_split_regex(w, ''), ' '),
-               (SELECT a || ' ' || b FROM best), (SELECT a || b FROM best)) AS seq, f
+      m AS (SELECT trim(replace(replace(
+               ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' ',
+               (SELECT ' ' || a || ' ' || b || ' ' FROM best),
+               (SELECT ' ' || a || b || ' ' FROM best)),
+               (SELECT ' ' || a || ' ' || b || ' ' FROM best),
+               (SELECT ' ' || a || b || ' ' FROM best))) AS seq, f
             FROM vocab),
       syms AS (SELECT string_split(seq, ' ') AS sy, f FROM m),
       p2 AS (SELECT sy[i.i] AS a, sy[i.i+1] AS b, SUM(f) AS cnt
@@ -934,7 +955,17 @@ object Round4b {
           .select(col("x"), explode(col("idsb")).as("y"), col("hamming"))
           .select(least(col("x"), col("y")).as("da"),
             greatest(col("x"), col("y")).as("db"), col("hamming"))
-        val intra = g.filter(size(col("ids")) > 1)
+        // Intra pairs only for texts that actually produce a simhash
+        // signature (>= 1 alphabetic token of length >= 2 after
+        // normalization, non-null text) — degenerate texts get no row
+        // in simhashSigs, so the oracle omits them and emitting their
+        // intra pairs would diverge (mirrors jaccardPairsDeduped's
+        // shingling guard).
+        val gNorm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val intra = g.filter(size(col("ids")) > 1 &&
+            col("text").isNotNull &&
+            exists(split(gNorm, " "), w => length(w) >= 2))
           .select(explode(col("ids")).as("x"), col("ids"))
           .select(col("x"), explode(col("ids")).as("y"))
           .filter(col("x") < col("y"))

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.Dedup
+import graft.sources.Tables
+import graft.util.Det
+
+/** Round-5 queries: the arbitrary-stateful-streaming surface scored as
+  * a declared query (VERDICT r4 item 5), the q51 multimodal feature set
+  * upgraded from rows-only to an exact oracle (item 6), and this
+  * round's coverage additions. Determinism rules per SURVEY.md §2.3 /
+  * CLAUDE.md (int64-backed sums, whole-second event time, total order
+  * with unique tie-break).
+  */
+object Round5 {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- arbitrary stateful streaming (transformWithState), SCORED -----
+    // Spark 4's arbitrary-state API run as a declared query: per-user
+    // running counts + first/last event seconds kept in a named
+    // ValueState in the RocksDB state store (column families required;
+    // the provider is also the 100 TB choice — state spills to disk
+    // instead of living on the JVM heap). The file stream drains under
+    // Trigger.AvailableNow into a memory sink (q148/q152 recipe); the
+    // final state per user — max of the monotone running count, min/max
+    // of the cumulative bounds — is scored against the batch aggregate.
+    // State is keyed per user, so store size scales with |users|, not
+    // events.
+    "q208_stream_stateful" -> QueryDef(
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val old = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = try {
+          val src = graft.streaming.EventStreams.eventFileStream(s, dir)
+            .select(col("user_id"), col("tss").as("ts"))
+          graft.streaming.EventStreams.runToMemory(
+            graft.streaming.EventStreams.runningUserCountsTws(src).toDF(),
+            "q208_stream_stateful_sink", mode = "update")
+        } finally old match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        sink.groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            min("first_sec").as("first_sec"),
+            max("last_sec").as("last_sec"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+        MIN(${Det.epochSecSql("ts")}) AS first_sec,
+        MAX(${Det.epochSecSql("ts")}) AS last_sec
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- multimodal feature extraction, fully ORACLED (q51 upgrade) ----
+    // The complete featurize() output scored exactly, wrapping checksum
+    // included: Java's `sum = sum * 31 + b` over the 16 synthetic md5
+    // bytes is the base-31 polynomial reduced mod 2^64 with two's-
+    // complement sign. The degree-15 polynomial's magnitude tops out
+    // near 6.3e24 — comfortably inside DuckDB's HUGEINT — so the oracle
+    // evaluates it whole in int128, takes one `% 2^64`, and re-signs.
+    // Exact integer arithmetic end to end; no float, no ulp hazard.
+    "q51_mm_features" -> QueryDef(
+      (s, dir) => graft.multimodal.Multimodal
+        .featuresDF(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some {
+        val bytes = (0 until 16)
+          .map(i => s"${Round3.hexByteSql("hx", i)} AS b$i").mkString(", ")
+        val poly = (0 until 16)
+          .foldLeft("CAST(0 AS HUGEINT)")((acc, i) => s"($acc * 31 + b$i)")
+        s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        b AS (SELECT doc_id, $bytes FROM h),
+        c AS (SELECT doc_id, b0, b1,
+            $poly % 18446744073709551616 AS cku FROM b)
+        SELECT doc_id, 'application/octet-stream' AS mime,
+          CAST(16 AS BIGINT) AS n_bytes,
+          CAST(CASE WHEN cku >= 9223372036854775808
+                    THEN cku - 18446744073709551616
+                    ELSE cku END AS BIGINT) AS checksum,
+          CAST(16 + (b0 % 16) * 16 AS BIGINT) AS width,
+          CAST(16 + (b1 % 16) * 16 AS BIGINT) AS height
+        FROM c ORDER BY doc_id"""
+      }),
+
+    // ---- multimodal resize path, ORACLED --------------------------------
+    // Completes the multimodal trio (q146 decode, q147 frame-sample):
+    // resize() re-derives a 64x32/64 = 32-byte payload by cycling the
+    // original 16 md5 bytes, then featurize() runs over the resized
+    // records — the full two-stage mapPartitions pipeline scored. The
+    // oracle rebuilds the resized byte sequence (b[i mod 16]) and folds
+    // the wrapping checksum in HUGEINT with a per-step % 2^64 (the
+    // degree-31 polynomial exceeds int128 unreduced).
+    "q209_mm_resize" -> QueryDef(
+      (s, dir) => graft.multimodal.Multimodal.featurize(
+          graft.multimodal.Multimodal.resize(
+            graft.multimodal.Multimodal.syntheticMedia(
+              Tables.load(s, dir, "documents")), 64, 32)).toDF()
+        .orderBy("doc_id"),
+      Some {
+        val bytes = (0 until 16)
+          .map(i => s"${Round3.hexByteSql("hx", i)} AS b$i").mkString(", ")
+        val poly = (0 until 32).foldLeft("CAST(0 AS HUGEINT)")(
+          (acc, i) => s"(($acc * 31 + b${i % 16}) % 18446744073709551616)")
+        s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        b AS (SELECT doc_id, $bytes FROM h),
+        c AS (SELECT doc_id, b0, b1, $poly AS cku FROM b)
+        SELECT doc_id, 'application/octet-stream' AS mime,
+          CAST(32 AS BIGINT) AS n_bytes,
+          CAST(CASE WHEN cku >= 9223372036854775808
+                    THEN cku - 18446744073709551616
+                    ELSE cku END AS BIGINT) AS checksum,
+          CAST(16 + (b0 % 16) * 16 AS BIGINT) AS width,
+          CAST(16 + (b1 % 16) * 16 AS BIGINT) AS height
+        FROM c ORDER BY doc_id"""
+      }),
+
+    // ---- incremental near-dup (daily-ingest vs standing corpus) --------
+    // The update-shaped dedup every production pipeline actually runs:
+    // a hash-selected ~10% "new batch" probes the other 90% "corpus"
+    // for word-3-gram Jaccard >= 0.5 matches (lang-blocked). Candidates
+    // are strictly batch×corpus — the corpus is never self-joined and
+    // its index never reshuffles (probe side broadcast; see
+    // Dedup.jaccardPairsAgainst). Same shingle math as q43, so the
+    // oracle is q43's CTE with the split predicate.
+    "q210_llm_incremental_neardup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isNew = pmod(col("doc_id") * lit(2654435761L), lit(10L)) === 0
+        Dedup.jaccardPairsAgainst(docs.filter(isNew), docs.filter(!isNew),
+            "doc_id", "text", n = 3, threshold = 0.5,
+            blockCols = Seq("lang"))
+          .orderBy("da", "db")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM s, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.lang = b.lang
+        WHERE (a.doc_id * 2654435761) % 10 = 0
+          AND (b.doc_id * 2654435761) % 10 <> 0
+        GROUP BY 1, 2)
+      SELECT da, db, round(inter/(x.n + y.n - inter), 6) AS jaccard
+      FROM p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+      WHERE inter/(x.n + y.n - inter) >= 0.5
+      ORDER BY da, db""")),
+
+    // ---- canonical-document selection (quality survivorship) -----------
+    // Near-dup group resolution ending in the decision real curation
+    // makes: per connected component, KEEP the highest-quality member
+    // (longest text, doc_id tie-break) rather than the arbitrary
+    // min-id. One tiny window per cluster after CC — clusters are
+    // near-dup groups, so the window input is bounded by cluster size,
+    // not corpus size. Shares q76's pair relation and its recursive-CTE
+    // ground truth.
+    "q211_llm_canonical_doc" -> QueryDef(
+      (s, dir) => {
+        val comps = Dedup.components(LlmOps.jaccardPairsShared(s, dir))
+          .select(col("id").as("doc_id"), col("comp"))
+        val m = comps.join(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        val w = Window.partitionBy("comp")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        m.withColumn("rn", row_number().over(w))
+          .groupBy("comp")
+          .agg(max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+            count(lit(1)).as("n_members"),
+            max(when(col("rn") === 1, col("n_chars"))).cast("long")
+              .as("survivor_chars"))
+          .orderBy("comp")
+      },
+      Some(LlmOps.componentsClosureCte + """,
+      comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS comp FROM r GROUP BY a),
+      m AS (SELECT c.comp, c.doc_id, d.n_chars,
+          row_number() OVER (PARTITION BY c.comp
+            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+      SELECT comp, MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+        COUNT(*) AS n_members,
+        CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_chars
+      FROM m GROUP BY comp ORDER BY comp"""))
+  )
+}

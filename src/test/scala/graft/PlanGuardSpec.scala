@@ -1,16 +1,27 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
-/** Catalog-wide physical-plan regression guard: no declared query may
-  * plan a Cartesian product or an unbounded nested-loop join. The only
-  * sanctioned nested loops are 1-row/bounded-by-construction broadcast
-  * scalars (per-pair threshold constants, contingency cells, top-k
-  * vocabularies) — whitelisted explicitly so a new accidental cross
-  * join fails the suite instead of shipping as an O(n²) scale bug.
+/** Catalog-wide physical-plan regression guards:
+  *
+  *  1. No declared query may plan a Cartesian product or an unbounded
+  *     nested-loop join. The only sanctioned nested loops are
+  *     1-row/bounded-by-construction broadcast scalars (per-pair
+  *     threshold constants, contingency cells, top-k vocabularies) —
+  *     whitelisted explicitly so a new accidental cross join fails the
+  *     suite instead of shipping as an O(n²) scale bug.
+  *  2. No declared query may funnel an unbounded input through an
+  *     `Exchange SinglePartition` (the global-sort/global-window shape
+  *     that put the whole corpus in one task in the old q103). A
+  *     single-partition exchange is sanctioned only when its input is
+  *     bounded by construction: a partial/final aggregate or a limit
+  *     somewhere beneath it (post-aggregation spines, scalar
+  *     subqueries, top-k), or an explicitly whitelisted bounded dim.
   *
   * Streaming queries execute on construction (they drain a stream to a
   * memory sink inside the query fn), so they are exercised by
@@ -43,30 +54,89 @@ class PlanGuardSpec extends SparkTestBase {
     "q199_evt_ab_lift"             // two 1-row arm-summary frames
   )
 
+  // queries allowed an Exchange SinglePartition over a NON-aggregated,
+  // NON-limited input, because that input is a bounded dimension by
+  // construction (each documented at the query site)
+  private val boundedSinglePartition = Set(
+    "q25_win_ntile"                // customer dim global ntile; ApproxNtile is the scale path
+  )
+
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
     case other => (other +: other.children.flatMap(collectPlans)) ++
       other.subqueries.flatMap(collectPlans)
   }
 
-  test("no declared query plans a Cartesian or unbounded nested-loop join") {
-    val skip = (n: String) => n.contains("stream")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if skip(name) => Nil
+  // input bounded by construction: some aggregate (partial or final) or
+  // limit sits beneath, so at most (#groups | limit) rows cross the wire
+  private def boundedSubtree(p: SparkPlan): Boolean = collectPlans(p).exists {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+    case _: LocalLimitExec | _: GlobalLimitExec => true
+    case _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+    case _ => false
+  }
+
+  // plan every declared (non-streaming) query once; both guards read this
+  private lazy val plannedQueries: Seq[(String, Either[String, Seq[SparkPlan]])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if name.contains("stream") => Nil
       case (name, fn) =>
-        try {
-          val plan = fn(spark, sf).queryExecution.executedPlan
-          val nodes = collectPlans(plan)
-          val bad = nodes.exists {
-            case _: CartesianProductExec => true
-            case _: BroadcastNestedLoopJoinExec => !boundedNlJoins.contains(name)
-            case _ => false
-          }
-          if (bad) Seq(name) else Nil
-        } catch {
-          case e: Throwable => Seq(s"$name (plan failed: ${e.getMessage})")
+        val planned =
+          try Right(collectPlans(fn(spark, sf).queryExecution.executedPlan))
+          catch { case e: Throwable => Left(s"plan failed: ${e.getMessage}") }
+        Seq(name -> planned)
+    }
+
+  test("no declared query plans a Cartesian or unbounded nested-loop join") {
+    val offenders = plannedQueries.flatMap {
+      case (name, Left(err)) => Seq(s"$name ($err)")
+      case (name, Right(nodes)) =>
+        val bad = nodes.exists {
+          case _: CartesianProductExec => true
+          case _: BroadcastNestedLoopJoinExec => !boundedNlJoins.contains(name)
+          case _ => false
         }
+        if (bad) Seq(name) else Nil
     }
     assert(offenders.isEmpty, s"scale-hazard plans: $offenders")
+  }
+
+  test("no declared query plans a single-partition exchange over unbounded input") {
+    val offenders = plannedQueries.flatMap {
+      case (_, Left(_)) => Nil // reported by the join guard above
+      case (name, _) if boundedSinglePartition.contains(name) => Nil
+      case (name, Right(nodes)) =>
+        val bad = nodes.exists {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition ||
+              e.outputPartitioning.numPartitions == 1 =>
+            !boundedSubtree(e.child)
+          case _ => false
+        }
+        if (bad) Seq(name) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"single-partition global sort/window over unbounded input: $offenders")
+  }
+
+  test("the single-partition guard catches the old q103 shape (self-check)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the pre-fix q103: a no-partitionBy window cumsum over the whole
+    // documents table — must trip the detector
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(sum(col("n_chars")).over(w), lit(0L)).as("before"))
+    val nodes = collectPlans(df.queryExecution.executedPlan)
+    val tripped = nodes.exists {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning == SinglePartition ||
+          e.outputPartitioning.numPartitions == 1 =>
+        !boundedSubtree(e.child)
+      case _ => false
+    }
+    assert(tripped, "detector failed to flag a global no-partitionBy window")
   }
 }

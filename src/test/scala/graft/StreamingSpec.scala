@@ -132,4 +132,47 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toString).sorted
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("Kafka-shaped MemoryStream source drives the same operators (source-agnostic)") {
+    // No broker or spark-sql-kafka jar exists in this container, so the
+    // Kafka surface is proven as far as the sandbox allows: a
+    // MemoryStream emitting the exact Kafka wire schema (binary
+    // key/value + topic/partition/offset/timestamp), parsed with the
+    // standard from_json pattern and fed to the SAME operator the file
+    // stream uses — the operators never see the source.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val payloads = Events.load(spark, sf)
+      .orderBy("event_id").limit(200)
+      .select(col("user_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))).as("v"))
+      .collect()
+      .map(r => (r.getLong(0).toString.getBytes("UTF-8"),
+        r.getString(1).getBytes("UTF-8"), "events", 0, 0L,
+        new java.sql.Timestamp(0L)))
+    def parse(df: org.apache.spark.sql.DataFrame) = df
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, user_id LONG, event_type STRING, sec LONG")).as("e"))
+      .select(col("e.user_id").as("user_id"),
+        timestamp_seconds(col("e.sec")).as("ts"),
+        col("e.event_type").as("event_type"))
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp)]
+    val kafkaCols = Seq("key", "value", "topic", "partition", "offset", "timestamp")
+    ms.addData(payloads.take(100).toSeq)
+    ms.addData(payloads.drop(100).toSeq)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(parse(ms.toDF().toDF(kafkaCols: _*))),
+      "t_kafka_shaped")
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(_.toString).sorted
+    val batch = parse(payloads.toSeq.toDF(kafkaCols: _*))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
 }
