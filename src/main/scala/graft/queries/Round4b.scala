@@ -470,10 +470,17 @@ object Round4b {
       (s, dir) => {
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        // NOT persisted, deliberately: the exploded token relation is
+        // corpus×avg-doc-len rows, and a MEMORY_AND_DISK cache of it
+        // only helps while it fits — measured on the key-shifted probe:
+        // with the cache 0.26 s at 10× but 9.9 s at 100× (38×/decade,
+        // spill-bound); without it 1.19 s → 9.15 s (7.7×/decade,
+        // sublinear). Corpus-sized caches don't survive scale; the two
+        // consumers (vocab top-k, per-doc join) each re-derive the
+        // explode from the codegen'd columnar scan instead.
         val tok = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(norm, " ")).as("w"))
           .filter(length(col("w")) >= 1)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("w")).limit(1000)
           .select(col("w"), lit(1).as("iv"))
