@@ -188,6 +188,119 @@ object Round5 {
       SELECT comp, MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
         COUNT(*) AS n_members,
         CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS survivor_chars
-      FROM m GROUP BY comp ORDER BY comp"""))
+      FROM m GROUP BY comp ORDER BY comp""")),
+
+    // ---- n-gram novelty (first-appearance memorization audit) ----------
+    // Per document: the fraction of its distinct word-3-grams appearing
+    // for the FIRST time in corpus order (min doc_id over the shingle's
+    // occurrences) — the dataset-freshness curve a memorization audit
+    // reads (a late document with near-zero novelty is recitation).
+    // Linear: one distinct, one min-per-shingle aggregate, one join
+    // back on the shingle key (co-partitioned with the aggregate's
+    // exchange) — attribution to first appearance, never pairs.
+    "q212_llm_ngram_novelty" -> QueryDef(
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3) // Spark sequence() descends when stop < start
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws('_', w[i], w[i+1], w[i+2]))"))
+            .as("g"))
+          .distinct()
+        val first = sh.groupBy("g").agg(min("doc_id").as("first_id"))
+        sh.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_rate",
+            col("n_novel").cast("double") / col("n_sh"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh0 AS (SELECT doc_id, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
+        FROM s, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+      sh AS (SELECT DISTINCT doc_id, g FROM sh0),
+      f AS (SELECT g, MIN(doc_id) AS first_id FROM sh GROUP BY g)
+      SELECT sh.doc_id, COUNT(*) AS n_sh,
+        CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS novelty_rate
+      FROM sh JOIN f ON sh.g = f.g
+      GROUP BY sh.doc_id ORDER BY sh.doc_id""")),
+
+    // ---- token frequency-of-frequencies (Zipf spectrum) ----------------
+    // How many distinct tokens occur exactly k times — the
+    // vocabulary-shape diagnostic tokenizer training reads (hapax mass,
+    // head/tail balance) without any non-portable log fit. Two hash
+    // aggregations, both with map-side partials; output is bounded by
+    // the number of DISTINCT frequencies (≈ O(sqrt(corpus tokens))).
+    "q213_llm_freq_spectrum" -> QueryDef(
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        t(s, dir, "documents")
+          .select(explode(split(norm, " ")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .groupBy("cnt").agg(count(lit(1)).as("n_tokens"))
+          .select(col("cnt").cast("long").as("cnt"),
+            col("n_tokens").cast("long").as("n_tokens"))
+          .orderBy("cnt")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      tf AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE length(w) >= 1 GROUP BY w)
+      SELECT cnt, COUNT(*) AS n_tokens FROM tf
+      GROUP BY cnt ORDER BY cnt""")),
+
+    // ---- event-time TIMER sessions (transformWithState), SCORED --------
+    // The timer surface of the arbitrary-state API as a declared query:
+    // EventStreams.TimerSessionProcessor sessionizes per user with
+    // in-batch closure + an event-time timer flushing the trailing open
+    // session when the watermark passes (last + gap). Scored with the
+    // q181 margin recipe: both engines keep only sessions whose end
+    // sits a safe margin below the final watermark (maxSec - delay),
+    // where every timer has provably fired — the exact eviction
+    // boundary is engine-internal and stays outside the compared set.
+    // Store size tracks ACTIVE users (one ValueState + one timer each),
+    // not events.
+    "q214_stream_timer_sessions" -> QueryDef(
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val old = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = try {
+          val src = graft.streaming.EventStreams.eventFileStream(s, dir)
+            .select(col("user_id"), col("tss").as("ts"))
+          graft.streaming.EventStreams.runToMemory(
+            graft.streaming.EventStreams
+              .timerSessions(src, gapSec = 1800L, delay = "1 second").toDF(),
+            "q214_stream_timer_sessions_sink", mode = "append")
+        } finally old match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        val maxSec = graft.sources.Events.load(s, dir)
+          .agg(max("sec")).first().getLong(0)
+        val bound = maxSec - 1 - 1800 - 5 // delay, gap, engine margin
+        sink.filter(col("last_sec") <= bound)
+          .select(col("user_id"), col("start_sec"), col("last_sec"),
+            col("n_events"))
+          .orderBy("user_id", "start_sec")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec FROM events),
+      x AS (SELECT user_id, sec, CASE WHEN sec - LAG(sec) OVER (
+          PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS brk
+        FROM e),
+      g AS (SELECT user_id, sec, SUM(brk) OVER (PARTITION BY user_id
+          ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+      sess AS (SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS last_sec,
+          COUNT(*) AS n_events FROM g GROUP BY user_id, sid)
+      SELECT user_id, start_sec, last_sec, n_events FROM sess
+      WHERE last_sec <= (SELECT MAX(${Det.epochSecSql("ts")}) - 1806 FROM events)
+      ORDER BY user_id, start_sec"""))
   )
 }

@@ -116,6 +116,84 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** A closed session: [start_sec, last_sec], n events. */
+  case class SessionOut(user_id: Long, start_sec: Long, last_sec: Long,
+      n_events: Long)
+  case class SessState(start: Long, last: Long, n: Long)
+
+  /** Event-time-TIMER sessionizer on transformWithState — the custom
+    * stateful-operator shape `session_window` cannot express (emit on
+    * quiesce, arbitrary per-session state). Per user: events in a batch
+    * sessionize in event-time order (a gap STRICTLY greater than
+    * `gapSec` starts a new session — Spark's session_window merge rule);
+    * in-batch closures emit immediately; the trailing open session
+    * registers an event-time timer at (last + gap) and is flushed by
+    * handleExpiredTimer once the watermark passes it. State: one tiny
+    * ValueState per ACTIVE user + one timer — store size tracks active
+    * keys, not events.
+    */
+  class TimerSessionProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val secs = rows.map(_._2.getTime / 1000L).toArray.sorted
+      var closed = List.empty[SessionOut]
+      var cur = Option(st.get())
+      secs.foreach { sec =>
+        cur = cur match {
+          case Some(c) if sec - c.last > gapSec =>
+            closed ::= SessionOut(user, c.start, c.last, c.n)
+            Some(SessState(sec, sec, 1))
+          case Some(c) =>
+            Some(SessState(c.start, math.max(c.last, sec), c.n + 1))
+          case None => Some(SessState(sec, sec, 1))
+        }
+      }
+      cur.foreach { c =>
+        st.update(c)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((c.last + gapSec) * 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out = Option(st.get())
+        .map(c => SessionOut(user, c.start, c.last, c.n)).iterator
+      st.clear()
+      out
+    }
+  }
+
+  /** Timer-driven sessions over a watermarked event stream (see
+    * [[TimerSessionProcessor]]). `events` needs `user_id` + timestamp
+    * `ts`; `delay` is the watermark lateness bound.
+    */
+  def timerSessions(events: DataFrame, gapSec: Long,
+      delay: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** File-stream form of the events source: the same ns-vs-µs schema
     * fallback as the batch `sources.Events` loader (Spark 4 refuses
     * parquet timestamp[ns] unless the legacy conf is set), plus a
@@ -187,5 +265,94 @@ object EventStreams {
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     df.sparkSession.table(name)
+  }
+
+  /** Like [[runToMemory]] but with an explicit checkpoint location, so
+    * the run leaves a durable state-store + offset log behind — the
+    * input to the `statestore` batch reader (state introspection) and
+    * to any restart-and-catch-up scenario. At cluster scale the
+    * checkpoint dir lives on shared storage; everything else is
+    * identical to the ephemeral form.
+    */
+  def runToMemoryCheckpointed(df: DataFrame, name: String, ckpt: String,
+      mode: String = "complete"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Per-user snapshot from the composite-state processor: running
+    * event count, per-type counts serialized sorted, top-3 values.
+    */
+  case class UserTypedStats(user_id: Long, n_events: Long,
+      type_counts: String, top1: Option[Double], top2: Option[Double],
+      top3: Option[Double])
+
+  /** transformWithState processor exercising the OTHER two state
+    * primitives (q208 covers ValueState, q214 timers): a MapState
+    * keyed by event_type for per-type counts — at scale the point is
+    * that ONE map entry updates per row without rewriting the rest of
+    * the user's state — and a ListState holding the running top-3
+    * event values (bounded: merge-sort-truncate keeps it ≤3 elements
+    * regardless of stream length). Emits a running snapshot per user
+    * per micro-batch; the final snapshot is the one with the maximal
+    * monotone n_events.
+    */
+  class TypedStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Double), UserTypedStats] {
+    @transient private var types: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var top: org.apache.spark.sql.streaming.ListState[Double] = _
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      types = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      top = getHandle.getListState[Double]("top",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypedStats] = {
+      var n = Option(total.get()).getOrElse(0L)
+      var vals = List.empty[Double]
+      rows.foreach { case (_, tpe, v) =>
+        n += 1
+        val cur = if (types.containsKey(tpe)) types.getValue(tpe) else 0L
+        types.updateValue(tpe, cur + 1)
+        vals ::= v
+      }
+      total.update(n)
+      val merged = (top.get().toSeq ++ vals).sortBy(-_).take(3)
+      top.put(merged.toArray)
+      val tc = types.iterator().toSeq.sortBy(_._1)
+        .map { case (t, c) => s"$t:$c" }.mkString(",")
+      Iterator(UserTypedStats(user, n, tc,
+        merged.headOption, merged.lift(1), merged.lift(2)))
+    }
+  }
+
+  /** Composite-state (Map+List+Value) per-user stats over a typed event
+    * stream; see [[TypedStatsProcessor]].
+    */
+  def typedUserStats(events: DataFrame): Dataset[UserTypedStats] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TypedStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 }

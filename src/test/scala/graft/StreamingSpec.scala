@@ -133,6 +133,47 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("event-time timer sessionizer matches batch session_window on flushed sessions") {
+    // transformWithState with event-time TIMERS (the emit-on-quiesce
+    // shape session_window can't express). AvailableNow's final no-data
+    // batch advances the watermark to (max event time - delay) and
+    // fires timers below it, so: every emitted session must equal a
+    // batch session_window row, and every batch session that closed a
+    // margin below the final watermark must have been emitted (q181
+    // margin recipe — the exact eviction boundary is engine-internal).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gap = 1800L
+    val src = streamEvents
+      .select(col("user_id"), timestamp_seconds(unix_timestamp(col("ts"))).as("ts"))
+    val streamed = try EventStreams.runToMemory(
+      EventStreams.timerSessions(src, gap, "1 second").toDF(), "t_timer_sess",
+      mode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val batchRows = Events.load(spark, sf)
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("tss"), col("sec"))
+      .groupBy(col("user_id"), session_window(col("tss"), s"$gap seconds").as("sw"))
+      .agg(min("sec").as("start_sec"), max("sec").as("last_sec"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_sec", "last_sec", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = batchRows.toSet
+    val maxSec = Events.load(spark, sf).agg(max("sec")).collect()(0).getLong(0)
+    val safeBound = maxSec - 1 /*delay*/ - gap - 5 /*margin*/
+    val mustFlush = batch.filter(_._3 <= safeBound)
+    assert(streamed.subsetOf(batch),
+      s"streamed emitted non-batch sessions: ${streamed.diff(batch).take(3)}")
+    assert(mustFlush.subsetOf(streamed),
+      s"sessions closed below the watermark not flushed: ${mustFlush.diff(streamed).take(3)}")
+    assert(mustFlush.nonEmpty) // the check must actually bite
+  }
+
   test("Kafka-shaped MemoryStream source drives the same operators (source-agnostic)") {
     // No broker or spark-sql-kafka jar exists in this container, so the
     // Kafka surface is proven as far as the sandbox allows: a
