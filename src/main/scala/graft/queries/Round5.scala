@@ -301,6 +301,189 @@ object Round5 {
           COUNT(*) AS n_events FROM g GROUP BY user_id, sid)
       SELECT user_id, start_sec, last_sec, n_events FROM sess
       WHERE last_sec <= (SELECT MAX(${Det.epochSecSql("ts")}) - 1806 FROM events)
-      ORDER BY user_id, start_sec"""))
+      ORDER BY user_id, start_sec""")),
+
+    // ---- state-store batch reader (state introspection) ----------------
+    // Spark's `statestore` batch source: a streaming per-user count
+    // drains under AvailableNow into an explicit checkpoint, then the
+    // checkpoint's state store is read back as an ordinary DataFrame
+    // (key struct + value struct per state row) and scored against the
+    // batch aggregate — proving the persisted state IS the answer. This
+    // is the ops surface for 100 TB streaming jobs: state audits,
+    // skew forensics (partition_id is in the schema), and repair
+    // tooling read the store without replaying the stream. Store rows
+    // scale with |users|, not events.
+    "q216_stream_state_reader" -> QueryDef(
+      (s, dir) => {
+        val ckpt = graft.util.Scratch.dir("q216_ckpt")
+        val src = graft.streaming.EventStreams.eventFileStream(s, dir)
+        val agg = src.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        graft.streaming.EventStreams.runToMemoryCheckpointed(
+          agg, "q216_stream_state_reader_sink", ckpt, mode = "update")
+        s.read.format("statestore").option("path", ckpt).load()
+          .selectExpr("key.user_id", "value.*")
+          .toDF("user_id", "n_events")
+          .orderBy("user_id")
+      },
+      Some("SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1")),
+
+    // ---- composite state: MapState + ListState + ValueState ------------
+    // The remaining transformWithState primitives as a declared query
+    // (q208 = ValueState, q214 = timers): per user, a MapState holds
+    // per-event-type counts (point updates — one entry written per row,
+    // the rest of the user's state untouched), a ListState the running
+    // top-3 event values (merge-sort-truncate keeps it ≤3 forever), a
+    // ValueState the monotone total. The final snapshot per user (max
+    // n_events) is scored against the batch groupBys. RocksDB provider
+    // required (column families) — and the 100 TB choice anyway.
+    "q217_stream_composite_state" -> QueryDef(
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val old = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = try {
+          val src = graft.streaming.EventStreams.eventFileStream(s, dir)
+          graft.streaming.EventStreams.runToMemory(
+            graft.streaming.EventStreams.typedUserStats(src).toDF(),
+            "q217_stream_composite_state_sink", mode = "update")
+        } finally old match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+        sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("user_id", "n_events", "type_counts", "top1", "top2", "top3")
+          .orderBy("user_id")
+      },
+      Some("""WITH tc AS (SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      tcs AS (SELECT user_id,
+          string_agg(event_type || ':' || c, ',' ORDER BY event_type) AS type_counts,
+          CAST(SUM(c) AS BIGINT) AS n_events FROM tc GROUP BY 1),
+      tv AS (SELECT user_id, v[1] AS top1, v[2] AS top2, v[3] AS top3 FROM (
+          SELECT user_id, list(value ORDER BY value DESC)[1:3] AS v
+          FROM events GROUP BY 1))
+      SELECT t.user_id, t.n_events, t.type_counts, v.top1, v.top2, v.top3
+      FROM tcs t JOIN tv v USING (user_id) ORDER BY t.user_id""")),
+
+    // ---- exact-substring duplicate coverage (position-level) -----------
+    // The ExactSubstr audit shape (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"): per document, the fraction
+    // of token POSITIONS covered by at least one word-5-gram that also
+    // occurs in a DIFFERENT document. q212 attributes each shingle to
+    // its first appearance; this measures how much of each document's
+    // surface is cross-doc duplicated text — the number a span-removal
+    // pass would delete. Linear: shingle explode (~n positions), one
+    // distinct-doc count per shingle, join back on the shingle key,
+    // ×5 offset explode, distinct positions. Never pairs; the shingle
+    // relation is persisted because two lineages (dup-set aggregate +
+    // coverage join) read it.
+    "q215_llm_dup_span_coverage" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val sh = base.filter(size(col("w")) >= 5)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, size(w) - 5), i -> concat_ws('_', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")))
+          .withColumnRenamed("col", "g")
+          .persist()
+        val dup = sh.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2).select("g")
+        val cov = sh.join(dup, "g")
+          .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+        base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+          .join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+            (coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_tokens"))
+              .as("cov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s AS (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d),
+      sh AS (SELECT doc_id, i AS pos,
+          w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' || w[i+4] AS g
+        FROM s),
+      dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT sh.doc_id, sh.pos + o.o AS p
+        FROM sh JOIN dup USING (g), (SELECT unnest(range(0, 5)) AS o) o),
+      c2 AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(c2.n_cov, 0) AS BIGINT) AS n_cov,
+        CAST(COALESCE(c2.n_cov, 0) AS DOUBLE) / len(d.w) AS cov_rate
+      FROM d LEFT JOIN c2 USING (doc_id) ORDER BY d.doc_id""")),
+
+    // ---- temperature-scaled mixture weights (alpha = 0.5) --------------
+    // Domain-mixture reweighting under a sampling temperature: per
+    // language, mass = total chars; tempered weight = mass^0.5 / Z.
+    // alpha < 1 flattens the mixture (upweights tail languages) — the
+    // standard multilingual-pretraining rebalance. Cross-engine float
+    // discipline: sqrt is IEEE-exact in both engines, and Z folds the
+    // per-lang sqrts in sorted lang order on BOTH sides (Spark
+    // aggregate() HOF over a sort_array'd struct list; DuckDB
+    // list_reduce over list(... ORDER BY lang) — same summation order,
+    // same doubles). The Z frame is a 1-row broadcast scalar
+    // (PlanGuardSpec-whitelisted).
+    "q218_llm_mixture_temperature" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "documents").groupBy("lang")
+          .agg(sum("n_chars").as("mass"))
+        val z = c.agg(
+            sort_array(collect_list(struct(col("lang"), col("mass")))).as("a"),
+            sum("mass").as("total"))
+          .select(expr(
+            "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + sqrt(CAST(x.mass AS DOUBLE)))")
+            .as("z"), col("total"))
+        c.crossJoin(broadcast(z))
+          .select(col("lang"), col("mass").cast("long").as("mass"),
+            (col("mass").cast("double") / col("total")).as("raw_share"),
+            (sqrt(col("mass").cast("double")) / col("z")).as("temp_share"),
+            floor(lit(100000) * sqrt(col("mass").cast("double")) / col("z"))
+              .cast("long").as("n_target"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY lang),
+      z AS (SELECT list_reduce(list(sqrt(CAST(mass AS DOUBLE)) ORDER BY lang),
+          (a, x) -> a + x) AS z, CAST(SUM(mass) AS BIGINT) AS total FROM c)
+      SELECT c.lang, c.mass,
+        CAST(c.mass AS DOUBLE) / z.total AS raw_share,
+        sqrt(CAST(c.mass AS DOUBLE)) / z.z AS temp_share,
+        CAST(FLOOR(100000 * sqrt(CAST(c.mass AS DOUBLE)) / z.z) AS BIGINT) AS n_target
+      FROM c, z ORDER BY c.lang""")),
+
+    // ---- observable metrics (CollectMetrics) ---------------------------
+    // Spark's `observe` API: accumulator-style metrics collected ON the
+    // pipeline's rows as an action runs — zero extra passes over the
+    // data, which is the 100 TB point (a separate audit query would
+    // re-scan the input; CollectMetrics rides the existing scan). The
+    // observed pipeline is a filtered lineitem scan driven by a noop
+    // write; the declared result is the 1-row metrics record. Integer
+    // metrics only (count / int64 sum / min / max) — exact in both
+    // engines; l_quantity is whole-valued so the long cast is lossless.
+    "q219_observe_metrics" -> QueryDef(
+      (s, dir) => {
+        val obs = new org.apache.spark.sql.Observation()
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Long],
+          m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_qty", "min_key", "max_key")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      FROM lineitem WHERE l_quantity >= 25"""))
   )
 }

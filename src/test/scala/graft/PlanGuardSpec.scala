@@ -51,7 +51,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q81_llm_tfidf",               // 1-row corpus-size scalar
     "q186_emb_hard_negatives",     // bounded anchor-minibatch broadcast
     "q197_llm_neardup_eval",       // three 1-row eval-count frames
-    "q199_evt_ab_lift"             // two 1-row arm-summary frames
+    "q199_evt_ab_lift",            // two 1-row arm-summary frames
+    "q218_llm_mixture_temperature" // 1-row mixture-normalizer scalar (Z)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,

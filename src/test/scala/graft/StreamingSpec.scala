@@ -174,6 +174,65 @@ class StreamingSpec extends SparkTestBase {
     assert(mustFlush.nonEmpty) // the check must actually bite
   }
 
+  test("statestore batch reader returns exactly the streaming agg's final state") {
+    // Run a streaming per-user count into an explicit checkpoint, then
+    // read the state store back with the batch `statestore` source —
+    // its rows must equal the batch aggregate exactly (the persisted
+    // state IS the answer).
+    val ckpt = graft.util.Scratch.dir("t_ss_reader_ckpt")
+    val agg = streamEvents.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    EventStreams.runToMemoryCheckpointed(agg, "t_ss_reader_sink", ckpt,
+      mode = "update")
+    val state = spark.read.format("statestore").option("path", ckpt).load()
+      .selectExpr("key.user_id", "value.*").toDF("user_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Events.load(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && state == batch)
+  }
+
+  test("composite-state processor (Map+List+Value) matches batch groupBys") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sink = try EventStreams.runToMemory(
+      EventStreams.typedUserStats(streamEvents).toDF(), "t_typed_stats",
+      mode = "update")
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // final snapshot per user = the one with the maximal monotone count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val fin = sink.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val e = Events.load(spark, sf)
+    val batch = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"),
+        concat_ws(",", sort_array(collect_list(
+          concat(col("event_type"), lit(":"), col("c"))))).as("tc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(batch.nonEmpty && fin == batch)
+    // top-3 list: spot-check against the batch top values for one user
+    val u = batch.head._1
+    val topBatch = e.filter(col("user_id") === u)
+      .orderBy(col("value").desc).limit(3)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    val topStream = sink.filter(col("user_id") === u)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().flatMap(r => Seq(3, 4, 5).flatMap(i =>
+        if (r.isNullAt(i)) None else Some(r.getDouble(i)))).toSeq
+    assert(topStream == topBatch)
+  }
+
   test("Kafka-shaped MemoryStream source drives the same operators (source-agnostic)") {
     // No broker or spark-sql-kafka jar exists in this container, so the
     // Kafka surface is proven as far as the sandbox allows: a
