@@ -32,17 +32,27 @@ object Bench {
         case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // The benched action is a `noop`-format write, NOT count():
+    // count() references no output columns, which lets Catalyst prune
+    // final projections and even whole subtrees (a left join whose
+    // aggregated right side has distinct keys contributes nothing to
+    // the row count — q215's entire coverage computation was eliminated
+    // that way, benching flat 0.2 s at 100× data). The noop sink
+    // consumes every InternalRow with all columns materialized and
+    // writes nothing — the standard way to bench the full query.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warm-up pass (unmeasured): first execution pays one-time JVM costs —
     // classloading, C2 JIT of the parquet reader + codegen'd operators,
     // Janino compilation caches — that belong to process startup, not to
     // whichever query happens to run first. Measuring the second pass is
     // the standard JMH-style steady-state methodology (BASELINE.md).
     selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The recording harness keeps only a bounded TAIL of this line, so

@@ -22,11 +22,16 @@ object Probe {
     sys.env.get("SPARK_GRAFT_AUTOBC").foreach(v =>
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    def time(name: String)(f: => Long): Unit = {
+    // Timed action = noop write (count() lets Catalyst prune unreferenced
+    // subtrees — see Bench.scala); rows are not re-counted to keep the
+    // measurement single-action.
+    def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"PROBE $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      f
+      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val all = SparkEntry.queries
     if (args.drop(1).headOption.contains("plans")) {
       for (q <- args.drop(2)) {
@@ -36,14 +41,14 @@ object Probe {
       }
       spark.stop(); return
     }
-    for (q <- args.drop(1)) time(q)(all(q)(spark, dir).count())
+    for (q <- args.drop(1)) time(q)(noop(all(q)(spark, dir)))
     if (args.length <= 1) {
       // default: warm-run the historically heavy queries twice
       for (q <- Seq("q44_llm_neardup_minhash", "q88_stream_session",
           "q76_llm_neardup_groups", "q81_llm_tfidf",
           "q91_llm_neardup_groups_star")) {
-        time(s"$q cold")(all(q)(spark, dir).count())
-        time(s"$q warm")(all(q)(spark, dir).count())
+        time(s"$q cold")(noop(all(q)(spark, dir)))
+        time(s"$q warm")(noop(all(q)(spark, dir)))
       }
       val q1 = queries.Relational.tpchQ1(spark, dir)
       val plan = q1.queryExecution.executedPlan.toString

@@ -197,7 +197,10 @@ object Round5 {
     // reads (a late document with near-zero novelty is recitation).
     // Linear: one distinct, one min-per-shingle aggregate, one join
     // back on the shingle key (co-partitioned with the aggregate's
-    // exchange) — attribution to first appearance, never pairs.
+    // exchange) — attribution to first appearance, never pairs. The
+    // shingle relation is persisted: two lineages (min-doc aggregate +
+    // novelty join) read it, and without the persist the plan scans
+    // and explodes the documents twice (q169 lesson).
     "q212_llm_ngram_novelty" -> QueryDef(
       (s, dir) => {
         val sh = t(s, dir, "documents")
@@ -207,6 +210,7 @@ object Round5 {
             "transform(sequence(0, size(w) - 3), i -> concat_ws('_', w[i], w[i+1], w[i+2]))"))
             .as("g"))
           .distinct()
+          .persist()
         val first = sh.groupBy("g").agg(min("doc_id").as("first_id"))
         sh.join(first, "g")
           .groupBy("doc_id")
@@ -390,10 +394,24 @@ object Round5 {
           .persist()
         val dup = sh.groupBy("g").agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") >= 2).select("g")
+        // |union of [pos, pos+4]| per doc WITHOUT the ×5 offset explode:
+        // dup-shingle positions sorted per doc merge into islands at
+        // gap <= 4; each island covers (max - min + 5) positions — the
+        // exact union cardinality (adjacent islands split at gap 5 sum
+        // to the same count). One per-doc window instead of a 5×-row
+        // distinct shuffle.
+        val wd = Window.partitionBy("doc_id").orderBy("pos")
         val cov = sh.join(dup, "g")
-          .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
-          .distinct()
-          .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+          .select(col("doc_id"), col("pos"))
+          .withColumn("prev", lag("pos", 1).over(wd))
+          .withColumn("brk", when(col("prev").isNull ||
+            col("pos") - col("prev") > 4, 1).otherwise(0))
+          .withColumn("isl", sum("brk").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "isl")
+          .agg((max("pos") - min("pos") + lit(5)).as("cov"))
+          .groupBy("doc_id").agg(sum("cov").as("n_cov"))
         base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
           .join(cov, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
@@ -484,6 +502,154 @@ object Round5 {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
-      FROM lineitem WHERE l_quantity >= 25"""))
+      FROM lineitem WHERE l_quantity >= 25""")),
+
+    // ---- sequence pattern matching WITH MEASURES (q124 upgrade) --------
+    // MATCH_RECOGNIZE semantics beyond q124's boolean journey test:
+    // per user, find every non-overlapping occurrence of the funnel
+    // pattern signup -> view+ -> purchase ("sv+p" over the event-code
+    // path) and compute per-match measures — match count, total and
+    // max view-run length. Greedy non-overlapping left-to-right
+    // matching is identical in java.util.regex (Spark) and RE2
+    // (DuckDB) for this pattern class. The path string is per-user
+    // bounded (events per user, not corpus-sized); construction is one
+    // groupBy with an array_sort — the same single-shuffle shape as
+    // q124, measures extracted by array HOFs with no extra pass.
+    "q220_evt_pattern_measures" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("sec"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("l"))
+        e.groupBy("user_id")
+          .agg(concat_ws("", transform(
+            array_sort(collect_list(struct(col("sec"), col("event_id"), col("l")))),
+            x => x.getField("l"))).as("path"))
+          .select(col("user_id"),
+            expr("regexp_extract_all(path, 'sv+p', 0)").as("m"))
+          .filter(size(col("m")) >= 1)
+          .select(col("user_id"),
+            size(col("m")).cast("long").as("n_matches"),
+            expr("aggregate(m, 0L, (a, x) -> a + length(x) - 2)")
+              .as("total_views"),
+            expr("array_max(transform(m, x -> CAST(length(x) - 2 AS BIGINT)))")
+              .as("max_views"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec,
+          event_id, substring(event_type, 1, 1) AS l FROM events),
+      p AS (SELECT user_id, string_agg(l, '' ORDER BY sec, event_id) AS path
+        FROM e GROUP BY user_id),
+      m AS (SELECT user_id, regexp_extract_all(path, 'sv+p') AS m FROM p)
+      SELECT user_id, CAST(len(m) AS BIGINT) AS n_matches,
+        CAST(list_reduce(list_transform(m, x -> length(x) - 2),
+          (a, x) -> a + x) AS BIGINT) AS total_views,
+        CAST(list_max(list_transform(m, x -> length(x) - 2)) AS BIGINT)
+          AS max_views
+      FROM m WHERE len(m) >= 1 ORDER BY user_id""")),
+
+    // ---- custom DSv2 micro-batch streaming source (Kafka-shaped) -------
+    // The broker-less Kafka answer as a SCORED query: events are
+    // materialized as a partitioned commit log (8 partitions, dense
+    // per-partition offsets), then streamed back through
+    // sources.LogSource — a full MicroBatchStream with checkpointed
+    // offset ranges and admission control (maxRecordsPerBatch sized to
+    // drain in ~4 batches at any SF). The appended rows are scored
+    // against the events batch aggregate: exactly-once delivery across
+    // multiple admission-controlled triggers, or the counts don't
+    // match. StreamingSpec additionally pins the multi-batch drain and
+    // the batch-read twin on identical bytes.
+    "q221_stream_log_source" -> QueryDef(
+      (s, dir) => {
+        val log = graft.util.Scratch.dir("q221_log")
+        graft.sources.LogSource.writeLog(s, dir, log, nParts = 8)
+        val total = graft.sources.Events.load(s, dir).count()
+        val src = s.readStream.format("graft.sources.LogSource")
+          .option("path", log)
+          .option("maxRecordsPerBatch", math.max(1000L, total / 4))
+          .load()
+        val sink = graft.streaming.EventStreams.runToMemory(
+          src.select("user_id", "event_type", "sec"),
+          "q221_stream_log_source_sink", mode = "append")
+        sink.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), min("sec").as("first_sec"),
+            max("sec").as("last_sec"),
+            countDistinct("event_type").as("n_types"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+        MIN(${Det.epochSecSql("ts")}) AS first_sec,
+        MAX(${Det.epochSecSql("ts")}) AS last_sec,
+        COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- ANN via product quantization + ADC -----------------------------
+    // The memory-bounded ANN variant that completes the trio (q46 brute
+    // cosine, q47 LSH, q77 IVF): 64-dim vectors quantize to 8 one-byte
+    // codes (8 subspaces × 16 centroids; codebook = subvectors of the
+    // 16 lowest vec_ids — deterministic, no k-means iterations), and a
+    // probe answers via asymmetric distance computation: one 8×16
+    // lookup table, approx distance = ordered fold of 8 table entries.
+    // At 100 TB this is the shape that matters: codes are 8 bytes per
+    // vector (32× smaller than the floats), the codebook and probe
+    // table are broadcast literals, and the scan never touches raw
+    // vectors. Cross-engine float discipline: all arithmetic in DOUBLE
+    // (explicit casts — DuckDB would otherwise fold in FLOAT), every
+    // sum a fixed-order fold (zip_with/aggregate ≡ list_zip/
+    // list_reduce; 0.0-init vs first-element-init agree exactly since
+    // 0.0 + x == x), argmin tie-broken on centroid id.
+    "q222_llm_ann_pq" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr(
+            "transform(embedding, v -> CAST(v AS DOUBLE))").as("emb"))
+          .persist()
+        val sub = (0 until 8).map(i => lit(i)) // subspace ids
+        val cb = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c"), explode(array(sub: _*)).as("s"),
+            col("emb"))
+          .select(col("c"), col("s"),
+            expr("slice(emb, s * 8 + 1, 8)").as("cen"))
+        val d2 = expr("""aggregate(
+          zip_with(slice(emb, s * 8 + 1, 8), cen, (x, y) -> (x - y) * (x - y)),
+          CAST(0.0 AS DOUBLE), (a, x) -> a + x)""")
+        val wv = Window.partitionBy("vec_id", "s").orderBy("d2", "c")
+        val code = e.crossJoin(broadcast(cb))
+          .select(col("vec_id"), col("s"), col("c"), d2.as("d2"))
+          .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+          .select("vec_id", "s", "c")
+        val qt = cb.crossJoin(broadcast(
+            e.filter(col("vec_id") === 42).select(col("emb").as("qemb"))))
+          .select(col("s"), col("c"), expr("""aggregate(
+            zip_with(slice(qemb, s * 8 + 1, 8), cen, (x, y) -> (x - y) * (x - y)),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("qd"))
+        code.join(broadcast(qt), Seq("s", "c"))
+          .groupBy("vec_id")
+          .agg(expr("""aggregate(
+            transform(sort_array(collect_list(struct(s, qd))), x -> x.qd),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x)""").as("adist"))
+          .orderBy("adist", "vec_id").limit(25)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM embeddings),
+      cb AS (SELECT vec_id AS c, s.s, emb[(s.s*8+1):(s.s*8+8)] AS cen
+        FROM e, (SELECT unnest(range(0, 8)) AS s) s WHERE vec_id < 16),
+      d AS (SELECT e.vec_id, cb.s, cb.c,
+          list_reduce(list_transform(list_zip(e.emb[(cb.s*8+1):(cb.s*8+8)], cb.cen),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (a, x) -> a + x) AS d2
+        FROM e, cb),
+      code AS (SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM d)
+        WHERE rn = 1),
+      qt AS (SELECT cb.s, cb.c,
+          list_reduce(list_transform(list_zip(p.emb[(cb.s*8+1):(cb.s*8+8)], cb.cen),
+            x -> (x[1] - x[2]) * (x[1] - x[2])), (a, x) -> a + x) AS qd
+        FROM cb, (SELECT emb FROM e WHERE vec_id = 42) p),
+      ad AS (SELECT code.vec_id,
+          list_reduce(list(qt.qd ORDER BY code.s), (a, x) -> a + x) AS adist
+        FROM code JOIN qt ON code.s = qt.s AND code.c = qt.c
+        GROUP BY code.vec_id)
+      SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 25"""))
   )
 }

@@ -52,7 +52,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q186_emb_hard_negatives",     // bounded anchor-minibatch broadcast
     "q197_llm_neardup_eval",       // three 1-row eval-count frames
     "q199_evt_ab_lift",            // two 1-row arm-summary frames
-    "q218_llm_mixture_temperature" // 1-row mixture-normalizer scalar (Z)
+    "q218_llm_mixture_temperature", // 1-row mixture-normalizer scalar (Z)
+    "q222_llm_ann_pq"              // 128-row codebook + 1-row probe broadcasts
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
