@@ -17,6 +17,30 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Cardinality of the union of spans [pos, pos+span-1] per key,
+    * computed as a gap-islands window — no offset explode, no distinct:
+    * positions sorted per key merge into islands while consecutive gaps
+    * stay <= span-1; each island covers (max - min + span) positions,
+    * and islands split exactly where their spans stop overlapping, so
+    * the per-island extents sum to the exact union cardinality. One
+    * per-key sort instead of a span×-row distinct shuffle — the q215
+    * 100×-probe fix (BASELINE.md); property-tested against brute-force
+    * union in GraftProperties.
+    */
+  def spanUnionCount(df: DataFrame, keyCol: String, posCol: String,
+      span: Int): DataFrame = {
+    val wd = Window.partitionBy(keyCol).orderBy(posCol)
+    df.select(col(keyCol), col(posCol).as("pos"))
+      .withColumn("prev", lag("pos", 1).over(wd))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("pos") - col("prev") > span - 1, 1).otherwise(0))
+      .withColumn("isl", sum("brk").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("isl"))
+      .agg((max("pos") - min("pos") + lit(span)).as("cov"))
+      .groupBy(col(keyCol)).agg(sum("cov").as("n_cov"))
+  }
+
   /** Deterministic exact dedup: keep the row with min `tieBreak` per key
     * set. (`dropDuplicates` is nondeterministic about the survivor —
     * never use it where results are compared. SURVEY.md §2.2.)

@@ -395,23 +395,11 @@ object Round5 {
         val dup = sh.groupBy("g").agg(countDistinct("doc_id").as("nd"))
           .filter(col("nd") >= 2).select("g")
         // |union of [pos, pos+4]| per doc WITHOUT the ×5 offset explode:
-        // dup-shingle positions sorted per doc merge into islands at
-        // gap <= 4; each island covers (max - min + 5) positions — the
-        // exact union cardinality (adjacent islands split at gap 5 sum
-        // to the same count). One per-doc window instead of a 5×-row
-        // distinct shuffle.
-        val wd = Window.partitionBy("doc_id").orderBy("pos")
-        val cov = sh.join(dup, "g")
-          .select(col("doc_id"), col("pos"))
-          .withColumn("prev", lag("pos", 1).over(wd))
-          .withColumn("brk", when(col("prev").isNull ||
-            col("pos") - col("prev") > 4, 1).otherwise(0))
-          .withColumn("isl", sum("brk").over(
-            Window.partitionBy("doc_id").orderBy("pos")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("doc_id", "isl")
-          .agg((max("pos") - min("pos") + lit(5)).as("cov"))
-          .groupBy("doc_id").agg(sum("cov").as("n_cov"))
+        // Dedup.spanUnionCount's gap-islands window (the 100×-probe
+        // fix — the explode+distinct form went superlinear, BASELINE.md)
+        val cov = Dedup.spanUnionCount(
+          sh.join(dup, "g").select(col("doc_id"), col("pos")),
+          "doc_id", "pos", span = 5)
         base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
           .join(cov, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),

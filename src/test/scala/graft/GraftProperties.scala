@@ -169,4 +169,21 @@ object GraftProperties extends Properties("graft") {
         .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
       full == dd
     }
+
+  private val posSets = Gen.nonEmptyListOf(Gen.zip(
+    Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 60L)))
+  private val spans = Gen.chooseNum(1, 7)
+
+  property("spanUnionCount == brute-force interval union per key") =
+    forAll(posSets, spans) { (rows, span) =>
+      import spark.implicits._
+      val distinctRows = rows.distinct
+      val df = distinctRows.toDF("k", "pos")
+      val got = Dedup.spanUnionCount(df, "k", "pos", span)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = distinctRows.groupBy(_._1).map { case (k, ps) =>
+        k -> ps.flatMap { case (_, p) => p until (p + span) }.toSet.size.toLong
+      }
+      got == want
+    }
 }
