@@ -638,6 +638,55 @@ object Round5 {
           list_reduce(list(qt.qd ORDER BY code.s), (a, x) -> a + x) AS adist
         FROM code JOIN qt ON code.s = qt.s AND code.c = qt.c
         GROUP BY code.vec_id)
-      SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 25"""))
+      SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 25""")),
+
+    // ---- streaming CDC upsert: foreachBatch + MERGE INTO ----------------
+    // The production streaming-upsert pattern end to end: the commit log
+    // streams in admission-controlled micro-batches, each batch reduces
+    // to its latest row per user (max log_off — users are pinned to one
+    // log partition and offsets follow (sec, event_id), so per-user
+    // offset order IS event-time order), and foreachBatch MERGEs it
+    // into a v2 catalog table with a monotonic-offset guard — the
+    // idempotent upsert that makes retried batches safe. Final table =
+    // last event per user, scored against the batch window. Ties
+    // q221's source and q153's MERGE machinery into one path.
+    "q223_stream_merge_upsert" -> QueryDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.user_latest")
+        s.sql("""CREATE TABLE graftmem.user_latest
+          (user_id BIGINT, last_off BIGINT, last_sec BIGINT, last_type STRING)""")
+        val log = graft.util.Scratch.dir("q223_log")
+        graft.sources.LogSource.writeLog(s, dir, log, nParts = 8)
+        val total = graft.sources.Events.load(s, dir).count()
+        val src = s.readStream.format("graft.sources.LogSource")
+          .option("path", log)
+          .option("maxRecordsPerBatch", math.max(1000L, total / 4))
+          .load()
+        val q = src.writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val w = Window.partitionBy("user_id").orderBy(col("log_off").desc)
+            df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+              .select("user_id", "log_off", "sec", "event_type")
+              .createOrReplaceTempView("q223_batch")
+            df.sparkSession.sql(
+              """MERGE INTO graftmem.user_latest t USING q223_batch b
+                ON t.user_id = b.user_id
+                WHEN MATCHED AND b.log_off > t.last_off THEN UPDATE SET
+                  last_off = b.log_off, last_sec = b.sec, last_type = b.event_type
+                WHEN NOT MATCHED THEN INSERT (user_id, last_off, last_sec, last_type)
+                  VALUES (b.user_id, b.log_off, b.sec, b.event_type)""")
+            ()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.sql("""SELECT user_id, last_sec, last_type
+          FROM graftmem.user_latest ORDER BY user_id""")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+          ${Det.epochSecSql("ts")} AS sec FROM events),
+      r AS (SELECT user_id, sec, event_type, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS rn FROM e)
+      SELECT user_id, sec AS last_sec, event_type AS last_type
+      FROM r WHERE rn = 1 ORDER BY user_id"""))
   )
 }

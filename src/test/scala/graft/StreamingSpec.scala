@@ -133,6 +133,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("streaming observe: per-batch metrics sum to the batch aggregates") {
+    // The streaming side of q219's observe surface: metrics ride each
+    // micro-batch (StreamingQueryProgress.observedMetrics) and their
+    // per-batch sums must equal the batch aggregate — zero extra passes
+    // over the stream.
+    val src = streamEvents.observe("m",
+      count(lit(1)).as("n_rows"), sum(col("user_id")).as("sum_uid"))
+    val q = src.select("event_id").writeStream.outputMode("append")
+      .format("memory").queryName("t_observe_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val per = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("m")))
+    val (n, su) = per.foldLeft((0L, 0L)) { case ((a, b), row) =>
+      (a + row.getAs[Long]("n_rows"), b + row.getAs[Long]("sum_uid"))
+    }
+    val batch = Events.load(spark, sf)
+      .agg(count(lit(1)).as("n"), sum("user_id").as("s")).head()
+    assert(n == batch.getLong(0) && su == batch.getLong(1))
+    assert(per.nonEmpty)
+  }
+
   test("event-time timer sessionizer matches batch session_window on flushed sessions") {
     // transformWithState with event-time TIMERS (the emit-on-quiesce
     // shape session_window can't express). AvailableNow's final no-data
