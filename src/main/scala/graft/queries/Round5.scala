@@ -687,6 +687,49 @@ object Round5 {
       r AS (SELECT user_id, sec, event_type, ROW_NUMBER() OVER (
           PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS rn FROM e)
       SELECT user_id, sec AS last_sec, event_type AS last_type
-      FROM r WHERE rn = 1 ORDER BY user_id"""))
+      FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // ---- keyless interval join via time binning -------------------------
+    // The interval-overlap JOIN with no equi key (q11/q113 ride an
+    // equi key + range residual; q112 is a sweep line): two interval
+    // sets (per-user 10-minute activity windows, split even/odd) pair
+    // up whenever they overlap. A naive theta join is O(|A|·|B|) — the
+    // scalable shape buckets both sides into fixed-width time bins,
+    // equi-joins on bin, and counts each pair exactly once AT THE FIRST
+    // SHARED BIN (bin == greatest(floor(a_start/W), floor(b_start/W)))
+    // so no post-join distinct is needed. Interval length / W bounds
+    // bins-per-interval (<= 2 here); per-bin membership is bounded by
+    // arrival density, so the join parallelizes by time bin instead of
+    // degenerating to all-pairs. The oracle is the plain theta join.
+    "q224_join_interval_binned" -> QueryDef(
+      (s, dir) => {
+        val W = 3600L
+        val iv = graft.sources.Events.load(s, dir)
+          .groupBy("user_id").agg(min("sec").as("s"))
+          .select(col("user_id"), col("s"), (col("s") + 600L).as("e"))
+        val a = iv.filter(pmod(col("user_id"), lit(2)) === 0)
+          .select(col("user_id").as("a_id"), col("s").as("a_s"), col("e").as("a_e"))
+        val b = iv.filter(pmod(col("user_id"), lit(2)) === 1)
+          .select(col("user_id").as("b_id"), col("s").as("b_s"), col("e").as("b_e"))
+        val ab = a.select(col("a_id"), col("a_s"), col("a_e"),
+          explode(expr(s"sequence(a_s DIV $W, a_e DIV $W)")).as("bin"))
+        val bb = b.select(col("b_id"), col("b_s"), col("b_e"),
+          explode(expr(s"sequence(b_s DIV $W, b_e DIV $W)")).as("bin"))
+        ab.join(bb, "bin")
+          .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+          .filter(col("bin") === greatest(
+            expr(s"a_s DIV $W"), expr(s"b_s DIV $W")))
+          .select(col("a_id"), col("b_id"),
+            (least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s"))).as("overlap_sec"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH iv AS (SELECT user_id, MIN(${Det.epochSecSql("ts")}) AS s,
+          MIN(${Det.epochSecSql("ts")}) + 600 AS e FROM events GROUP BY user_id),
+      a AS (SELECT user_id AS a_id, s AS a_s, e AS a_e FROM iv WHERE user_id % 2 = 0),
+      b AS (SELECT user_id AS b_id, s AS b_s, e AS b_e FROM iv WHERE user_id % 2 = 1)
+      SELECT a_id, b_id, LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_sec
+      FROM a, b WHERE a_s <= b_e AND b_s <= a_e
+      ORDER BY a_id, b_id"""))
   )
 }
