@@ -730,6 +730,211 @@ object Round5 {
       b AS (SELECT user_id AS b_id, s AS b_s, e AS b_e FROM iv WHERE user_id % 2 = 1)
       SELECT a_id, b_id, LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_sec
       FROM a, b WHERE a_s <= b_e AND b_s <= a_e
-      ORDER BY a_id, b_id"""))
+      ORDER BY a_id, b_id""")),
+
+    // ---- iterative k-means (Lloyd, 2 rounds, integer-exact) ------------
+    // The iterative-refinement ML kernel q121 (one-shot per-label
+    // centroids) doesn't cover: seed centroids -> assign -> recompute ->
+    // assign -> recompute, the MLlib Lloyd shape. Embedding floats are
+    // quantized to int64 micro-units (floor(x*1e6): float->double is
+    // exact, the product and floor are IEEE-deterministic, no decimal
+    // rounding ties), so BOTH iterations are exact integer arithmetic —
+    // bit-identical in Spark and DuckDB with no float-summation-order
+    // hazard. Centroid updates use floor(sum/n) with the division done
+    // in double (sums < 2^53, so the quotient is deterministic) rather
+    // than integer division, because DuckDB's `//` floors while Spark's
+    // DIV truncates — they disagree on negative sums.
+    // Scale shape: centroids are k*d rows (tiny) -> broadcast; each
+    // iteration is ONE shuffle (the vec_id re-aggregation); assignment
+    // is a map-side broadcast join + partial agg. This is exactly how
+    // Lloyd runs on a 1000-executor cluster; iteration count is fixed,
+    // not data-dependent.
+    "q225_llm_kmeans_lloyd" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            floor(col("col").cast("double") * lit(1000000L)).as("x"))
+          .persist()
+        val c0 = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
+        def assign(cents: org.apache.spark.sql.DataFrame) = {
+          val d = e.join(broadcast(cents), Seq("i"))
+            .groupBy("vec_id", "cid")
+            .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+          val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+          d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"))
+        }
+        def update(asg: org.apache.spark.sql.DataFrame) =
+          e.join(asg, Seq("vec_id"))
+            .groupBy("cid", "i")
+            .agg(floor(sum("x").cast("double") / count(lit(1))).as("c"))
+        val a1 = assign(c0)
+        val c1 = update(a1)
+        val a2 = assign(c1).persist()
+        val c2 = update(a2)
+        val sizes = a2.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+        val csum = c2.groupBy("cid").agg(sum("c").as("c_sum"))
+        sizes.join(csum, Seq("cid")).orderBy("cid")
+      },
+      Some("""WITH e AS (SELECT vec_id, i.i AS i,
+          CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+      c0 AS (SELECT vec_id AS cid, i, x AS c FROM e WHERE vec_id < 4),
+      d1 AS (SELECT e.vec_id, c0.cid, SUM((x - c) * (x - c)) AS dist
+        FROM e JOIN c0 USING (i) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1),
+      c1 AS (SELECT cid, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT e.vec_id, c1.cid, SUM((x - c) * (x - c)) AS dist
+        FROM e JOIN c1 USING (i) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1),
+      c2 AS (SELECT cid, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM e JOIN a2 USING (vec_id) GROUP BY 1, 2)
+      SELECT sz.cid, sz.n_vecs, cs.c_sum
+      FROM (SELECT cid, COUNT(*) AS n_vecs FROM a2 GROUP BY 1) sz
+      JOIN (SELECT cid, CAST(SUM(c) AS BIGINT) AS c_sum FROM c2 GROUP BY 1) cs
+        USING (cid)
+      ORDER BY cid""")),
+
+    // ---- BM25 ranked retrieval (inverted-index top-k) -------------------
+    // The RAG/retrieval scoring op past q81's tf-idf: per-query BM25
+    // over the documents table with k1=1.2, b=0.75, and a RATIONAL idf
+    // (N - df + 0.5)/(df + 0.5) — ln() deliberately omitted because
+    // libm ln is not bit-portable (q81 precedent); ln is monotone so
+    // per-term ranking is unchanged, and the summed score is simply our
+    // documented scoring definition. Every term score is +,-,*,/ on
+    // doubles — exactly specified by IEEE 754, so identical formula
+    // text => identical bits on both engines. The per-document sum
+    // folds term scores in sorted-term order (Spark HOF aggregate,
+    // 0.0-init ≡ DuckDB list_reduce first-element-init), then rank on
+    // round(score, 6) with doc_id tie-break (q46 recipe).
+    // Scale shape: queries/df are vocabulary-bounded broadcasts, the
+    // corpus-size stats are a 1-row scalar; the only data-sized
+    // shuffles are the (doc, term) tf aggregation and the per-(qid,doc)
+    // fold — the inverted-index retrieval plan.
+    "q226_llm_bm25_retrieval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0L, "agg"), (0L, "join"), (1L, "window"),
+          (1L, "scan"), (2L, "filter"), (2L, "value")).toDF("qid", "term")
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .persist()
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("f"))
+          .persist()
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("t_tokens"))
+        val dfv = tf.join(broadcast(qs.select("term").distinct()), Seq("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val ts = tf.join(broadcast(qs), Seq("term"))
+          .join(broadcast(dfv), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("tscore", expr(
+            """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+               (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+               (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+               CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE)))"""))
+        val sc = ts.groupBy("qid", "doc_id")
+          .agg(expr("""round(aggregate(transform(
+              array_sort(collect_list(struct(term, tscore))), x -> x.tscore),
+              0.0D, (a, x) -> a + x), 6)""").as("score"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("doc_id"))
+        sc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .select(col("qid"), col("doc_id"), col("score"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS term FROM documents),
+      tk AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, COUNT(*) AS f FROM tk GROUP BY 1, 2),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+      st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+      q AS (SELECT * FROM (VALUES (0, 'agg'), (0, 'join'), (1, 'window'),
+          (1, 'scan'), (2, 'filter'), (2, 'value')) AS t(qid, term)),
+      dfv AS (SELECT term, COUNT(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+      ts AS (SELECT q.qid, tf.doc_id, tf.term,
+          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+          (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+          CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE))) AS tscore
+        FROM tf JOIN q ON tf.term = q.term
+        JOIN dfv ON tf.term = dfv.term
+        JOIN dl ON tf.doc_id = dl.doc_id, st),
+      sc AS (SELECT qid, doc_id,
+          round(list_reduce(list(tscore ORDER BY term), (a, x) -> a + x), 6)
+            AS score
+        FROM ts GROUP BY 1, 2),
+      r AS (SELECT qid, doc_id, score, row_number() OVER (
+          PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM sc)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, rnk
+      FROM r WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
+    // ---- single-source shortest path (bounded min-plus rounds) ---------
+    // Iterative graph traversal past PageRank (fixed mass flow) and CC
+    // (label prop): SSSP by 4 unrolled rounds of min-plus relaxation
+    // over the supplier co-occurrence graph, edge weight = 1 +
+    // 1000000 DIV cnt (strong co-occurrence = short hop; all-positive
+    // integer DIV agrees between Spark DIV and DuckDB //). Distances
+    // stay exact int64, so the result is bit-identical on any
+    // partitioning. Each round = one equi-join + one min-aggregation
+    // shuffle — the Pregel/GraphX relaxation superstep; round count is
+    // fixed (diameter-bounded), frontiers persisted (each round's dist
+    // feeds both the join and the union).
+    "q227_graph_sssp" -> QueryDef(
+      (s, dir) => {
+        val co = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val edges = co.as("a").join(co.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") =!= col("b.l_suppkey"))
+          .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("src"), col("dst"),
+            expr("1 + 1000000 DIV cnt").as("w"))
+          .persist()
+        val d0 = s.range(1).select(lit(1L).as("node"), lit(0L).as("dist"))
+        def relax(d: org.apache.spark.sql.DataFrame) =
+          d.join(edges, d("node") === edges("src"))
+            .select(col("dst").as("node"), (d("dist") + col("w")).as("dist"))
+            .unionAll(d)
+            .groupBy("node").agg(min("dist").as("dist"))
+            .persist()
+        val d4 = relax(relax(relax(relax(d0))))
+        d4.orderBy("node")
+      },
+      Some("""WITH co AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS cnt
+        FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
+          AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2),
+      w AS (SELECT src, dst, 1 + 1000000 // cnt AS w FROM e),
+      d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+      d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        SELECT dst AS node, d0.dist + w.w AS dist FROM d0 JOIN w ON d0.node = w.src
+        UNION ALL SELECT node, dist FROM d0) GROUP BY 1),
+      d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        SELECT dst AS node, d1.dist + w.w AS dist FROM d1 JOIN w ON d1.node = w.src
+        UNION ALL SELECT node, dist FROM d1) GROUP BY 1),
+      d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        SELECT dst AS node, d2.dist + w.w AS dist FROM d2 JOIN w ON d2.node = w.src
+        UNION ALL SELECT node, dist FROM d2) GROUP BY 1),
+      d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        SELECT dst AS node, d3.dist + w.w AS dist FROM d3 JOIN w ON d3.node = w.src
+        UNION ALL SELECT node, dist FROM d3) GROUP BY 1)
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""))
   )
 }

@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q197_llm_neardup_eval",       // three 1-row eval-count frames
     "q199_evt_ab_lift",            // two 1-row arm-summary frames
     "q218_llm_mixture_temperature", // 1-row mixture-normalizer scalar (Z)
-    "q222_llm_ann_pq"              // 128-row codebook + 1-row probe broadcasts
+    "q222_llm_ann_pq",             // 128-row codebook + 1-row probe broadcasts
+    "q226_llm_bm25_retrieval"      // 1-row corpus-stats scalar (n_docs, t_tokens)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
