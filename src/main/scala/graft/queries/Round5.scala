@@ -935,6 +935,52 @@ object Round5 {
       d4 AS (SELECT node, MIN(dist) AS dist FROM (
         SELECT dst AS node, d3.dist + w.w AS dist FROM d3 JOIN w ON d3.node = w.src
         UNION ALL SELECT node, dist FROM d3) GROUP BY 1)
-      SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""))
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""")),
+
+    // ---- chained stateful operators (window-of-window, append) ---------
+    // Spark 4's multiple-stateful-operators support run as ONE streaming
+    // query: watermarked 10-minute (window, event_type) counts feed a
+    // SECOND windowed aggregation over the window struct itself (30-min
+    // rollup of cell counts + event totals), both stateful, append
+    // mode. Per-operator watermark simulation (SPARK-40925) lets the
+    // downstream aggregate emit in the same no-data AvailableNow flush
+    // batch. The exact eviction boundary is engine-internal (q181
+    // recipe), so scoring keeps only windows a full margin below the
+    // computable final watermark, mirrored in the oracle.
+    // State is keyed by bounded window/type combinations on both
+    // levels, so store size scales with time-range x types, not events.
+    "q228_stream_chained_agg" -> QueryDef(
+      (s, dir) => {
+        val src = graft.streaming.EventStreams.eventFileStream(s, dir)
+          .select(col("event_type"), col("tss"))
+          .withWatermark("tss", "10 minutes")
+        val cells = src
+          .groupBy(window(col("tss"), "10 minutes").as("w10"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.groupBy(window(col("w10"), "30 minutes").as("w30"))
+          .agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"))
+        val sink = EventTime.withShufflePartitions(s, 8) {
+          graft.streaming.EventStreams.runToMemory(
+            tot, "q228_stream_chained_agg_sink", mode = "append")
+        }
+        val bound = graft.sources.Events.load(s, dir)
+          .agg((max("sec") - 600L - 3600L).as("bound"))
+        sink.select(unix_timestamp(col("w30.start")).as("win_start"),
+            unix_timestamp(col("w30.end")).as("win_end"),
+            col("n_cells"), col("n_events"))
+          .crossJoin(broadcast(bound))
+          .filter(col("win_end") <= col("bound"))
+          .select(col("win_start"), col("n_cells"), col("n_events"))
+          .orderBy("win_start")
+      },
+      Some(s"""WITH e AS (SELECT event_type, ${Det.epochSecSql("ts")} AS sec
+        FROM events),
+      b AS (SELECT MAX(sec) - 600 - 3600 AS bound FROM e),
+      cells AS (SELECT (sec // 600) * 600 AS w10, event_type, COUNT(*) AS n
+        FROM e GROUP BY 1, 2),
+      t AS (SELECT (w10 // 1800) * 1800 AS w30, COUNT(*) AS n_cells,
+          CAST(SUM(n) AS BIGINT) AS n_events FROM cells GROUP BY 1)
+      SELECT w30 AS win_start, n_cells, n_events FROM t, b
+      WHERE w30 + 1800 <= b.bound ORDER BY 1"""))
   )
 }
