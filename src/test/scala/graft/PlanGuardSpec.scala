@@ -54,7 +54,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q199_evt_ab_lift",            // two 1-row arm-summary frames
     "q218_llm_mixture_temperature", // 1-row mixture-normalizer scalar (Z)
     "q222_llm_ann_pq",             // 128-row codebook + 1-row probe broadcasts
-    "q226_llm_bm25_retrieval"      // 1-row corpus-stats scalar (n_docs, t_tokens)
+    "q226_llm_bm25_retrieval",     // 1-row corpus-stats scalar (n_docs, t_tokens)
+    "q227_graph_sssp"              // 1-row source-seed frontier (constant-folded
+                                   // equi condition on the literal source node;
+                                   // rounds 2-4 are hash joins on real keys)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
@@ -66,6 +69,12 @@ class PlanGuardSpec extends SparkTestBase {
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+    // descend into persisted relations' defining plans — a persist()
+    // must not hide a Cartesian/NL join or a global sort from the guard
+    // (found via q227, whose 1-row frontier seed folds to a bounded NL
+    // join inside the cached d1 lineage)
+    case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      i +: collectPlans(i.relation.cachedPlan)
     case other => (other +: other.children.flatMap(collectPlans)) ++
       other.subqueries.flatMap(collectPlans)
   }
