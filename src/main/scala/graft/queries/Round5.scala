@@ -981,6 +981,191 @@ object Round5 {
       t AS (SELECT (w10 // 1800) * 1800 AS w30, COUNT(*) AS n_cells,
           CAST(SUM(n) AS BIGINT) AS n_events FROM cells GROUP BY 1)
       SELECT w30 AS win_start, n_cells, n_events FROM t, b
-      WHERE w30 + 1800 <= b.bound ORDER BY 1"""))
+      WHERE w30 + 1800 <= b.bound ORDER BY 1""")),
+
+    // ---- linear interpolation of time-series gaps ----------------------
+    // Gap REPAIR past q107's LOCF: per-user hourly event counts on a
+    // per-user spine (min..max observed bucket), missing buckets
+    // linearly interpolated between the nearest anchors on each side
+    // (IGNORE NULLS window frames). The interpolation expression is
+    // pure +,-,*,/ on exact integers cast to double with identical
+    // grouping on both engines — IEEE-deterministic, no rounding
+    // needed. Spine length is bounded by the time-range domain (not by
+    // event count); windows partition by user, so no global sort.
+    "q229_ts_interpolate" -> QueryDef(
+      (s, dir) => {
+        val vals = graft.sources.Events.load(s, dir)
+          .filter(pmod(col("user_id"), lit(20L)) === 0)
+          .groupBy(col("user_id"), expr("(sec DIV 3600) * 3600").as("b"))
+          .agg(count(lit(1)).as("v"))
+        val spine = vals.groupBy("user_id")
+          .agg(min("b").as("lo"), max("b").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("b"))
+        val j = spine.join(vals, Seq("user_id", "b"), "left")
+        val wp = Window.partitionBy("user_id").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("user_id").orderBy("b")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        j.withColumn("tp", last(when(col("v").isNotNull, col("b")), ignoreNulls = true).over(wp))
+          .withColumn("vp", last(col("v"), ignoreNulls = true).over(wp))
+          .withColumn("tn", first(when(col("v").isNotNull, col("b")), ignoreNulls = true).over(wn))
+          .withColumn("vn", first(col("v"), ignoreNulls = true).over(wn))
+          .select(col("user_id"), col("b").as("sec"),
+            when(col("v").isNotNull, col("v").cast("double"))
+              .otherwise(expr("""CAST(vp AS DOUBLE) +
+                (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE)) *
+                (CAST(b - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))"""))
+              .as("val"),
+            when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("filled"))
+          .orderBy("user_id", "sec")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec
+        FROM events WHERE user_id % 20 = 0),
+      vals AS (SELECT user_id, (sec // 3600) * 3600 AS b, COUNT(*) AS v
+        FROM e GROUP BY 1, 2),
+      rng AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM vals GROUP BY 1),
+      spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS b FROM rng),
+      j AS (SELECT s.user_id, s.b, v FROM spine s
+        LEFT JOIN vals ON s.user_id = vals.user_id AND s.b = vals.b),
+      a AS (SELECT user_id, b, v,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+        FROM j)
+      SELECT user_id, b AS sec,
+        CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+          ELSE CAST(vp AS DOUBLE) +
+            (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE)) *
+            (CAST(b - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END AS val,
+        CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+      FROM a ORDER BY user_id, sec""")),
+
+    // ---- reciprocal-rank fusion (hybrid retrieval) ---------------------
+    // The hybrid-retrieval combiner: fuse a cosine ranking and an L2
+    // ranking of the same candidate set with RRF score
+    // 1/(60+rank_cos) + 1/(60+rank_l2) over each list's top-20, keep
+    // the fused top-5 per query. Both base metrics derive from the same
+    // three dot products (cos = dot/(|q||c|), l2^2 = qq + cc - 2*dot);
+    // sqrt and /,+,* are IEEE-exact, the per-pair fold is sorted-order
+    // (q46 recipe), ranks use round(metric, 6) with cid tie-break, and
+    // the RRF sum itself is rational — bit-identical on both engines.
+    // Scale shape: bounded 3-row query side broadcast (q46 class),
+    // WindowGroupLimit prunes each ranking before its exchange.
+    "q230_llm_rrf_fusion" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb.filter(col("vec_id") >= 3)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val pairs = corpus.crossJoin(broadcast(qs))
+          .withColumn("dot", expr(
+            """aggregate(zip_with(qe, ce, (a, b) ->
+               CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, (s, x) -> s + x)"""))
+          .withColumn("qq", expr(
+            """aggregate(transform(qe, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+               0.0D, (s, x) -> s + x)"""))
+          .withColumn("cc", expr(
+            """aggregate(transform(ce, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+               0.0D, (s, x) -> s + x)"""))
+          .withColumn("cos", expr("round(dot / (sqrt(qq) * sqrt(cc)), 6)"))
+          .withColumn("l2", expr("round(qq + cc - 2 * dot, 6)"))
+        val wc = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+        val wl = Window.partitionBy("qid").orderBy(col("l2"), col("cid"))
+        val ranked = pairs
+          .withColumn("ra", row_number().over(wc))
+          .withColumn("rb", row_number().over(wl))
+          .filter(col("ra") <= 20 || col("rb") <= 20)
+          .withColumn("rrf", expr(
+            """(CASE WHEN ra <= 20 THEN 1.0 / (60.0 + CAST(ra AS DOUBLE)) ELSE 0.0 END) +
+               (CASE WHEN rb <= 20 THEN 1.0 / (60.0 + CAST(rb AS DOUBLE)) ELSE 0.0 END)"""))
+        val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+        ranked.withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= 5)
+          .select(col("qid"), col("cid"), col("rrf"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 3),
+      c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id >= 3),
+      p AS (SELECT qid, cid,
+          SUM(CAST(qe[i.i] AS DOUBLE) * CAST(ce[i.i] AS DOUBLE)) AS dot,
+          SUM(CAST(qe[i.i] AS DOUBLE) * CAST(qe[i.i] AS DOUBLE)) AS qq,
+          SUM(CAST(ce[i.i] AS DOUBLE) * CAST(ce[i.i] AS DOUBLE)) AS cc
+        FROM q, c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      m AS (SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos,
+          round(qq + cc - 2 * dot, 6) AS l2 FROM p),
+      r AS (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS ra,
+          row_number() OVER (PARTITION BY qid ORDER BY l2, cid) AS rb
+        FROM m),
+      f AS (SELECT qid, cid,
+          (CASE WHEN ra <= 20 THEN 1.0 / (60.0 + CAST(ra AS DOUBLE)) ELSE 0.0 END) +
+          (CASE WHEN rb <= 20 THEN 1.0 / (60.0 + CAST(rb AS DOUBLE)) ELSE 0.0 END) AS rrf
+        FROM r WHERE ra <= 20 OR rb <= 20),
+      t AS (SELECT qid, cid, rrf, row_number() OVER (
+          PARTITION BY qid ORDER BY rrf DESC, cid) AS rnk FROM f)
+      SELECT qid, cid, rrf, rnk FROM t WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // ---- deterministic bootstrap confidence interval -------------------
+    // Resampling inference as a relational op: B=20 bootstrap
+    // replicates of the mean order price, each row's multiplicity in
+    // replicate b given by a PORTABLE Lehmer mix of (o_orderkey, b)
+    // mod 4 (exact int64 in both engines — the q161/q172 portable-hash
+    // family; xxhash64 would not match DuckDB). Replicate means use
+    // exact DECIMAL(18,2) sums (Det width rule) over int64 weights,
+    // then one double division; the CI is an order statistic of the 20
+    // replicate means (2nd smallest / 2nd largest — a 10% trimmed
+    // interval). One scan fans out x20 map-side (bounded constant),
+    // one aggregation per replicate — no data-sized second pass.
+    "q231_stat_bootstrap_ci" -> QueryDef(
+      (s, dir) => {
+        val reps = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            explode(sequence(lit(0L), lit(19L))).as("b"))
+          .withColumn("w", expr(
+            "((o_orderkey % 2147483647) * 48271 + b * 12345) % 2147483647 % 4"))
+        // DECIMAL(18,2): lossless for 2-decimal prices (q207 precedent);
+        // per-replicate unscaled sums stay far below 2^53 (width rule)
+        val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+        val means = reps.groupBy("b")
+          .agg((sum(col("o_totalprice").cast(d2) * col("w")).cast("double") /
+            sum("w")).as("m"))
+        val wAsc = Window.orderBy(col("m"), col("b"))
+        val wDesc = Window.orderBy(col("m").desc, col("b").desc)
+        means
+          .withColumn("ra", row_number().over(wAsc))
+          .withColumn("rd", row_number().over(wDesc))
+          .agg(min(when(col("ra") === 2, col("m"))).as("ci_lo"),
+            min(when(col("rd") === 2, col("m"))).as("ci_hi"),
+            count(lit(1)).as("n_reps"))
+          .select(lit("mean_totalprice").as("metric"),
+            col("ci_lo"), col("ci_hi"), col("n_reps"))
+      },
+      Some("""WITH reps AS (SELECT o_orderkey, o_totalprice, b.b AS b
+        FROM orders, (SELECT unnest(range(0, 20)) AS b) b),
+      wt AS (SELECT o_totalprice, b,
+          ((o_orderkey % 2147483647) * 48271 + b * 12345) % 2147483647 % 4 AS w
+        FROM reps),
+      means AS (SELECT b,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * w) AS DOUBLE) / SUM(w) AS m
+        FROM wt GROUP BY 1),
+      r AS (SELECT b, m,
+          row_number() OVER (ORDER BY m, b) AS ra,
+          row_number() OVER (ORDER BY m DESC, b DESC) AS rd
+        FROM means)
+      SELECT 'mean_totalprice' AS metric,
+        MIN(CASE WHEN ra = 2 THEN m END) AS ci_lo,
+        MIN(CASE WHEN rd = 2 THEN m END) AS ci_hi,
+        COUNT(*) AS n_reps FROM r"""))
   )
 }

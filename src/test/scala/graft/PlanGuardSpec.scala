@@ -55,9 +55,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q218_llm_mixture_temperature", // 1-row mixture-normalizer scalar (Z)
     "q222_llm_ann_pq",             // 128-row codebook + 1-row probe broadcasts
     "q226_llm_bm25_retrieval",     // 1-row corpus-stats scalar (n_docs, t_tokens)
-    "q227_graph_sssp"              // 1-row source-seed frontier (constant-folded
+    "q227_graph_sssp",             // 1-row source-seed frontier (constant-folded
                                    // equi condition on the literal source node;
                                    // rounds 2-4 are hash joins on real keys)
+    "q230_llm_rrf_fusion"          // 3-row query-side broadcast (q46 class)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
