@@ -998,26 +998,9 @@ object Round5 {
           .filter(pmod(col("user_id"), lit(20L)) === 0)
           .groupBy(col("user_id"), expr("(sec DIV 3600) * 3600").as("b"))
           .agg(count(lit(1)).as("v"))
-        val spine = vals.groupBy("user_id")
-          .agg(min("b").as("lo"), max("b").as("hi"))
-          .select(col("user_id"),
-            explode(sequence(col("lo"), col("hi"), lit(3600L))).as("b"))
-        val j = spine.join(vals, Seq("user_id", "b"), "left")
-        val wp = Window.partitionBy("user_id").orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy("user_id").orderBy("b")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        j.withColumn("tp", last(when(col("v").isNotNull, col("b")), ignoreNulls = true).over(wp))
-          .withColumn("vp", last(col("v"), ignoreNulls = true).over(wp))
-          .withColumn("tn", first(when(col("v").isNotNull, col("b")), ignoreNulls = true).over(wn))
-          .withColumn("vn", first(col("v"), ignoreNulls = true).over(wn))
-          .select(col("user_id"), col("b").as("sec"),
-            when(col("v").isNotNull, col("v").cast("double"))
-              .otherwise(expr("""CAST(vp AS DOUBLE) +
-                (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE)) *
-                (CAST(b - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))"""))
-              .as("val"),
-            when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("filled"))
+        graft.operators.TimeSeries
+          .interpolateLinear(vals, "user_id", "b", "v", step = 3600L)
+          .withColumnRenamed("b", "sec")
           .orderBy("user_id", "sec")
       },
       Some(s"""WITH e AS (SELECT user_id, ${Det.epochSecSql("ts")} AS sec
@@ -1034,11 +1017,11 @@ object Round5 {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
-        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
-          (PARTITION BY user_id ORDER BY b
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
-        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tn,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vn
         FROM j)
       SELECT user_id, b AS sec,
         CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)

@@ -186,4 +186,34 @@ object GraftProperties extends Properties("graft") {
       }
       got == want
     }
+
+  private val series = Gen.nonEmptyListOf(Gen.zip(
+    Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 20L), Gen.chooseNum(1L, 9L)))
+
+  property("interpolateLinear == per-key brute-force interpolation") =
+    forAll(series) { rows =>
+      import spark.implicits._
+      val obs = rows.map { case (k, t, v) => (k, t, v) }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // one obs per (k,t)
+      val got = graft.operators.TimeSeries
+        .interpolateLinear(obs.toDF("k", "t", "v"), "k", "t", "v", step = 1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+      val want = obs.groupBy(_._1).flatMap { case (k, os) =>
+        val m = os.map(o => o._2 -> o._3).toMap
+        val (lo, hi) = (m.keys.min, m.keys.max)
+        (lo to hi).map { t =>
+          val value = m.get(t) match {
+            case Some(v) => v.toDouble
+            case None =>
+              val tp = m.keys.filter(_ < t).max; val tn = m.keys.filter(_ > t).min
+              m(tp).toDouble + (m(tn).toDouble - m(tp).toDouble) *
+                ((t - tp).toDouble / (tn - tp).toDouble)
+          }
+          (k, t) -> (value, if (m.contains(t)) 0L else 1L)
+        }
+      }
+      got == want
+    }
 }
