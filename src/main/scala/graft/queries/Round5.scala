@@ -1149,6 +1149,135 @@ object Round5 {
       SELECT 'mean_totalprice' AS metric,
         MIN(CASE WHEN ra = 2 THEN m END) AS ci_lo,
         MIN(CASE WHEN rd = 2 THEN m END) AS ci_hi,
-        COUNT(*) AS n_reps FROM r"""))
+        COUNT(*) AS n_reps FROM r""")),
+
+    // ---- session window with DYNAMIC per-event gap ---------------------
+    // q39's session operator with an expression gap: purchase events
+    // extend their session by 3600 s, everything else by 1800 s (the
+    // "checkout takes longer" model). Spark evaluates the gap per
+    // event; the batch oracle is the gap-islands form generalized to a
+    // running MAX of (sec + gap) over preceding events — new session
+    // iff sec > that max (touching merges, mirroring the fixed-gap
+    // rule in CLAUDE.md). Exact integer arithmetic throughout.
+    "q232_evt_session_dynamic_gap" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), col("event_type"),
+            timestamp_seconds(col("sec")).as("tss"))
+        val gap = when(col("event_type") === "purchase", lit("3600 seconds"))
+          .otherwise(lit("1800 seconds"))
+        e.groupBy(col("user_id"), session_window(col("tss"), gap).as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_timestamp(col("sw.start")).as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+          ${Det.epochSecSql("ts")} AS sec,
+          CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS g
+        FROM events),
+      o AS (SELECT user_id, sec,
+          MAX(sec + g) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        FROM e),
+      f AS (SELECT user_id, sec,
+          CASE WHEN m IS NULL OR sec > m THEN 1 ELSE 0 END AS new_s FROM o),
+      sid AS (SELECT user_id, sec, SUM(new_s) OVER (
+          PARTITION BY user_id ORDER BY sec
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+      SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n_events
+      FROM sid GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ---- bitmap index aggregates (distinct-count by bitmap) ------------
+    // Spark 3.5+ bitmap functions as the distinct-count surface: bucket
+    // users with bitmap_bucket_number, build one 4 KB bitmap per
+    // (type, bucket) with bitmap_construct_agg(bitmap_bit_position),
+    // pop-count and sum across buckets. Semantically COUNT(DISTINCT)
+    // — the oracle — but the aggregation state is a fixed-size bitmap,
+    // mergeable map-side, never a hash set of values: the warehouse
+    // bitmap-index trick (bucket cardinality 32768 bounds state; the
+    // per-bucket partial merges are bitwise OR).
+    "q233_agg_bitmap_distinct" -> QueryDef(
+      (s, dir) => graft.sources.Events.load(s, dir)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ---- mixture diversity (Gini impurity per domain) ------------------
+    // Curation-mix health check: per source, the Gini impurity of its
+    // language distribution, 1 - Σ p². Computed as
+    // 1 - Σc² / t² with both sums exact int64 and ONE double division
+    // — no per-term float accumulation at all (and no ln(), unlike
+    // Shannon entropy, which is not bit-portable — q81 precedent).
+    "q234_llm_mixture_gini" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        c.groupBy("source")
+          .agg(sum("c").as("n_docs"), sum(col("c") * col("c")).as("s2"))
+          .select(col("source"), col("n_docs"),
+            expr("""1.0 - CAST(s2 AS DOUBLE) /
+              (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))""").as("gini"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2),
+      t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+          CAST(SUM(c * c) AS BIGINT) AS s2 FROM c GROUP BY 1)
+      SELECT source, n_docs, 1.0 - CAST(s2 AS DOUBLE) /
+        (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS gini
+      FROM t ORDER BY source""")),
+
+    // ---- missing-value imputation by group median ----------------------
+    // The pipeline staple: rows whose metric is "missing" (synthesized
+    // deterministically: event_id % 7 = 0) get their event_type's
+    // median of the observed values. The median is computed explicitly
+    // — row_number over (value, event_id), pick ranks (n+1) DIV 2 and
+    // n DIV 2 + 1, average the two — so BOTH engines evaluate the
+    // identical (v1 + v2) / 2.0 expression instead of each engine's
+    // percentile interpolation (1-ulp hazard). Group medians are a
+    // tiny broadcast joined back to the full relation.
+    "q235_ts_impute_median" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("event_type"),
+            when(pmod(col("event_id"), lit(7L)) =!= 0, col("value")).as("v"))
+          .persist()
+        val obs = e.filter(col("v").isNotNull)
+        val wr = Window.partitionBy("event_type")
+          .orderBy(col("v"), col("event_id"))
+        val ranked = obs.withColumn("rn", row_number().over(wr))
+        val n = obs.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val med = ranked.join(broadcast(n), Seq("event_type"))
+          .filter(col("rn") === expr("(n + 1) DIV 2") ||
+            col("rn") === expr("n DIV 2 + 1"))
+          .groupBy("event_type")
+          .agg(expr("(MIN(v) + MAX(v)) / 2.0").as("med"))
+        e.join(broadcast(med), Seq("event_type"))
+          .select(col("event_id"),
+            coalesce(col("v"), col("med")).as("value_filled"),
+            when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("imputed"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+          CASE WHEN event_id % 7 <> 0 THEN value END AS v FROM events),
+      obs AS (SELECT event_id, event_type, v FROM e WHERE v IS NOT NULL),
+      r AS (SELECT event_type, v, row_number() OVER (
+          PARTITION BY event_type ORDER BY v, event_id) AS rn FROM obs),
+      n AS (SELECT event_type, COUNT(*) AS n FROM obs GROUP BY 1),
+      med AS (SELECT r.event_type, (MIN(v) + MAX(v)) / 2.0 AS med
+        FROM r JOIN n ON r.event_type = n.event_type
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY 1)
+      SELECT event_id, COALESCE(v, med) AS value_filled,
+        CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
+      FROM e JOIN med ON e.event_type = med.event_type
+      ORDER BY event_id"""))
   )
 }
