@@ -1278,6 +1278,96 @@ object Round5 {
       SELECT event_id, COALESCE(v, med) AS value_filled,
         CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
       FROM e JOIN med ON e.event_type = med.event_type
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // ---- exact Mann-Whitney AUC (distributed ranking) ------------------
+    // The model-eval staple, tie-correct and EXACT: does `value` rank
+    // purchases above other events? Tie-averaged ranks via per-distinct-
+    // score cumulative counts — 2·avgrank = 2·cum_n − n + 1 stays
+    // integral, so the numerator S₂ − n₁(n₁+1) is exact int64 and the
+    // single final division is the only float op. The cumulative counts
+    // come from Ranks.cumSums: range-binned two-pass prefix sums — NO
+    // single-partition global window over the unbounded score relation
+    // (the q103 shape); the oracle uses the plain global window, which
+    // provably computes the same ranks.
+    "q236_eval_auc_exact" -> QueryDef(
+      (s, dir) => {
+        val d = graft.sources.Events.load(s, dir)
+          .select(col("value").as("sc"),
+            when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("p"))
+          .groupBy("sc").agg(count(lit(1)).as("n"), sum("p").as("np"))
+        graft.operators.Ranks.cumSums(d, "sc", Seq("n", "np"))
+          .agg(sum(col("np") * (lit(2L) * col("cum_n") - col("n") + lit(1L))).as("s2"),
+            sum("np").as("n1"), sum(col("n") - col("np")).as("n0"))
+          .select(lit("auc_purchase_value").as("metric"),
+            col("n1"), col("n0"),
+            expr("""CAST(s2 - n1 * (n1 + 1) AS DOUBLE) /
+              (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))""").as("auc"))
+      },
+      Some("""WITH e AS (SELECT value AS sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events),
+      d AS (SELECT sc, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS np
+        FROM e GROUP BY 1),
+      w AS (SELECT sc, n, np, SUM(n) OVER (ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n FROM d),
+      a AS (SELECT CAST(SUM(np * (2 * cum_n - n + 1)) AS BIGINT) AS s2,
+          CAST(SUM(np) AS BIGINT) AS n1,
+          CAST(SUM(n - np) AS BIGINT) AS n0 FROM w)
+      SELECT 'auc_purchase_value' AS metric, n1, n0,
+        CAST(s2 - n1 * (n1 + 1) AS DOUBLE) /
+        (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc FROM a""")),
+
+    // ---- two-sample KS drift test (exact argmax by cross-multiply) -----
+    // Distribution drift between the first 10 days and the rest of the
+    // events stream: KS = max |F_a − F_b| over the value distribution.
+    // The sup is located EXACTLY in integers — |cum_a·n_b − cum_b·n_a|
+    // is an int64 cross-multiplication, so the argmax never touches a
+    // float; only the final normalization divides. Same Ranks.cumSums
+    // distributed-prefix machinery as q236 (no global window); the
+    // drift location (smallest value achieving the sup) ships too.
+    "q237_eval_ks_drift" -> QueryDef(
+      (s, dir) => {
+        val d = graft.sources.Events.load(s, dir)
+          .select(col("value").as("sc"),
+            when(col("sec") < 1704931200L, lit(1L)).otherwise(lit(0L)).as("a"))
+          .groupBy("sc")
+          .agg(sum("a").as("na"), sum(lit(1L) - col("a")).as("nb"))
+        val c = graft.operators.Ranks.cumSums(d, "sc", Seq("na", "nb"))
+        val tot = c.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+        val diffs = c.crossJoin(broadcast(tot))
+          .withColumn("diff",
+            abs(col("cum_na") * col("n_b") - col("cum_nb") * col("n_a")))
+          .persist()
+        val m = diffs.agg(max("diff").as("ks_scaled"))
+        diffs.crossJoin(broadcast(m))
+          .filter(col("diff") === col("ks_scaled"))
+          .groupBy("ks_scaled", "n_a", "n_b")
+          .agg(min("sc").as("ks_at"))
+          .select(lit("ks_value_drift").as("metric"),
+            col("n_a"), col("n_b"),
+            expr("""CAST(ks_scaled AS DOUBLE) /
+              (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))""").as("ks"),
+            col("ks_at"))
+      },
+      Some(s"""WITH e AS (SELECT value AS sc,
+          CASE WHEN ${Det.epochSecSql("ts")} < 1704931200 THEN 1 ELSE 0 END AS a
+        FROM events),
+      d AS (SELECT sc, CAST(SUM(a) AS BIGINT) AS na,
+          CAST(SUM(1 - a) AS BIGINT) AS nb FROM e GROUP BY 1),
+      w AS (SELECT sc, na, nb,
+          SUM(na) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cum_na,
+          SUM(nb) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cum_nb FROM d),
+      t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+          CAST(SUM(nb) AS BIGINT) AS n_b FROM d),
+      x AS (SELECT sc, CAST(abs(cum_na * n_b - cum_nb * n_a) AS BIGINT)
+          AS diff FROM w, t),
+      m AS (SELECT MAX(diff) AS ks_scaled FROM x)
+      SELECT 'ks_value_drift' AS metric, t.n_a, t.n_b,
+        CAST(ks_scaled AS DOUBLE) /
+        (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks,
+        (SELECT MIN(sc) FROM x, m WHERE x.diff = m.ks_scaled) AS ks_at
+      FROM t, m"""))
   )
 }

@@ -216,4 +216,23 @@ object GraftProperties extends Properties("graft") {
       }
       got == want
     }
+
+  private val scored = Gen.nonEmptyListOf(Gen.zip(
+    Gen.chooseNum(-100L, 100L), Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 3L)))
+
+  property("Ranks.cumSums == global running sums, any bin count") =
+    forAll(scored, Gen.oneOf(1, 2, 7, 64)) { (rows, bins) =>
+      import spark.implicits._
+      val d = rows.groupBy(_._1).map { case (k, rs) =>
+        (k, rs.map(_._2).sum, rs.map(_._3).sum) }.toSeq
+      val got = graft.operators.Ranks
+        .cumSums(d.toDF("sc", "n", "np"), "sc", Seq("n", "np"), bins)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      val sorted = d.sortBy(_._1)
+      val want = sorted.zipWithIndex.map { case ((k, _, _), i) =>
+        k -> (sorted.take(i + 1).map(_._2).sum, sorted.take(i + 1).map(_._3).sum)
+      }.toMap
+      got == want
+    }
 }

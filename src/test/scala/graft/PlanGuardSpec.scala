@@ -58,7 +58,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q227_graph_sssp",             // 1-row source-seed frontier (constant-folded
                                    // equi condition on the literal source node;
                                    // rounds 2-4 are hash joins on real keys)
-    "q230_llm_rrf_fusion"          // 3-row query-side broadcast (q46 class)
+    "q230_llm_rrf_fusion",         // 3-row query-side broadcast (q46 class)
+    "q236_eval_auc_exact",         // Ranks.cumSums 1-row min/max scalar
+    "q237_eval_ks_drift"           // same + 1-row totals and sup scalars
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
