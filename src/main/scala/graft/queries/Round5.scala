@@ -1368,6 +1368,48 @@ object Round5 {
         CAST(ks_scaled AS DOUBLE) /
         (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks,
         (SELECT MIN(sc) FROM x, m WHERE x.diff = m.ks_scaled) AS ks_at
-      FROM t, m"""))
+      FROM t, m""")),
+
+    // ---- decile lift / calibration table -------------------------------
+    // The model-eval companion to q236: bucket events into score
+    // deciles and report per-decile volume and purchase rate. Deciles
+    // are TIE-CONSISTENT and exact: a score's decile derives from its
+    // tie-averaged rank (2·avgrank = 2·cum − n + 1 from Ranks.cumSums,
+    // integral), decile = (avgrank2 − 1)·5 DIV n_total — pure int64,
+    // same bucket for every row of a tied score, no ntile row-split
+    // arbitrariness, no global window. Rates are one exact int/int
+    // division each.
+    "q238_eval_lift_deciles" -> QueryDef(
+      (s, dir) => {
+        val d = graft.sources.Events.load(s, dir)
+          .select(col("value").as("sc"),
+            when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("p"))
+          .groupBy("sc").agg(count(lit(1)).as("n"), sum("p").as("np"))
+        val c = graft.operators.Ranks.cumSums(d, "sc", Seq("n", "np"))
+        val tot = c.agg(sum("n").as("nt"))
+        c.crossJoin(broadcast(tot))
+          .withColumn("decile",
+            expr("LEAST(9L, ((2 * cum_n - n + 1 - 1) * 5) DIV nt)"))
+          .groupBy("decile")
+          .agg(sum("n").as("n_events"), sum("np").as("n_purchases"))
+          .select(col("decile"), col("n_events"), col("n_purchases"),
+            expr("CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE)")
+              .as("purchase_rate"))
+          .orderBy("decile")
+      },
+      Some("""WITH e AS (SELECT value AS sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events),
+      d AS (SELECT sc, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS np
+        FROM e GROUP BY 1),
+      w AS (SELECT sc, n, np, SUM(n) OVER (ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n FROM d),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM d),
+      dec AS (SELECT LEAST(9, ((2 * cum_n - n + 1 - 1) * 5) // nt) AS decile,
+          n, np FROM w, t)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(SUM(np) AS BIGINT) AS n_purchases,
+        CAST(SUM(np) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purchase_rate
+      FROM dec GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -60,7 +60,8 @@ class PlanGuardSpec extends SparkTestBase {
                                    // rounds 2-4 are hash joins on real keys)
     "q230_llm_rrf_fusion",         // 3-row query-side broadcast (q46 class)
     "q236_eval_auc_exact",         // Ranks.cumSums 1-row min/max scalar
-    "q237_eval_ks_drift"           // same + 1-row totals and sup scalars
+    "q237_eval_ks_drift",          // same + 1-row totals and sup scalars
+    "q238_eval_lift_deciles"       // Ranks scalar + 1-row total-count frame
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
