@@ -1410,6 +1410,88 @@ object Round5 {
         CAST(SUM(n) AS BIGINT) AS n_events,
         CAST(SUM(np) AS BIGINT) AS n_purchases,
         CAST(SUM(np) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS purchase_rate
-      FROM dec GROUP BY 1 ORDER BY 1"""))
+      FROM dec GROUP BY 1 ORDER BY 1""")),
+
+    // ---- quantile normalization (distribution matching) ----------------
+    // Feature-engineering staple: remap each source's n_chars
+    // distribution onto the GLOBAL quantile function —
+    // v_norm = inf{x : F_global(x) >= F_source-rank(v)} with
+    // tie-averaged source fractions. CDF fractions are single correctly-
+    // rounded divisions of exact int64 counts, so equal rationals give
+    // equal doubles on both engines and every >= comparison agrees.
+    // Scale shape: the global CDF uses Ranks.cumSums (no global
+    // window); the quantile lookup is a DISTRIBUTED as-of — fractions
+    // bucket into 64 bins, a per-bin union window resolves in-bin
+    // matches, and a 64-row broadcast suffix-min of global values
+    // covers probes whose match lies in a higher bin (value and CDF
+    // are co-monotone, so the first at-or-after bin wins). The oracle
+    // states the spec directly as a correlated MIN.
+    "q239_llm_quantile_normalize" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // per-source tie-averaged CDF fraction of each distinct value
+        val sv = docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("n"))
+        val nsrc = sv.groupBy("source").agg(sum("n").as("ns"))
+        val sw = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sp = sv.withColumn("cum", sum("n").over(sw))
+          .join(nsrc, Seq("source"))
+          .withColumn("frac", expr(
+            "CAST(2 * cum - n + 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE)"))
+        // global inclusive CDF (distributed prefix sums, no global sort)
+        val gvd = docs.groupBy(col("n_chars").as("gvv")).agg(count(lit(1)).as("gn"))
+        val gc = graft.operators.Ranks.cumSums(gvd, "gvv", Seq("gn"))
+        val ng = gc.agg(sum("gn").as("ng"))
+        val gp = gc.crossJoin(broadcast(ng))
+          .withColumn("frac", expr("CAST(cum_gn AS DOUBLE) / CAST(ng AS DOUBLE)"))
+          .select(col("gvv"), col("frac"))
+          .persist()
+        val bin = least(lit(63), floor(col("frac") * 64).cast("int")).as("bin")
+        val gBin = gp.select(col("gvv"), col("frac"), bin)
+        // 64-row suffix-min spine: min global value in any HIGHER bin
+        val sufBase = gBin.groupBy("bin").agg(min("gvv").as("bmin"))
+        val spine = s.range(64).select(col("id").cast("int").as("bin"))
+          .join(sufBase, Seq("bin"), "left")
+        val wSuf = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val suf = spine.withColumn("nxt", min("bmin").over(wSuf))
+          .select(col("bin"), col("nxt"))
+        // per-bin as-of: traverse desc by fraction, sources before
+        // probes at equal fraction (>= matches), running min of gvv
+        val probes = sp.select(col("source"), col("v"), col("n"),
+          col("frac"), bin, lit(1).as("side"), lit(null).cast("long").as("gvv"))
+        val globals = gBin.select(lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("v"), lit(null).cast("long").as("n"),
+          col("frac"), col("bin"), lit(0).as("side"), col("gvv"))
+        val wAsof = Window.partitionBy("bin")
+          .orderBy(col("frac").desc, col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        probes.unionByName(globals)
+          .withColumn("local", min("gvv").over(wAsof))
+          .filter(col("side") === 1)
+          .join(broadcast(suf), Seq("bin"))
+          .select(col("source"), col("v"), col("n").as("n_docs"),
+            coalesce(col("local"), col("nxt")).as("v_norm"))
+          .orderBy("source", "v")
+      },
+      Some("""WITH sv AS (SELECT source, n_chars AS v, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      ns AS (SELECT source, SUM(n) AS ns FROM sv GROUP BY 1),
+      sw AS (SELECT source, v, n, SUM(n) OVER (PARTITION BY source
+          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sv),
+      sp AS (SELECT sw.source, v, n,
+          CAST(2 * cum - n + 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS sfrac
+        FROM sw JOIN ns ON sw.source = ns.source),
+      gv AS (SELECT n_chars AS gvv, COUNT(*) AS gn FROM documents GROUP BY 1),
+      ng AS (SELECT SUM(gn) AS ng FROM gv),
+      gw AS (SELECT gvv, SUM(gn) OVER (ORDER BY gvv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM gv),
+      gp AS (SELECT gvv, CAST(cum AS DOUBLE) / CAST(ng AS DOUBLE) AS gfrac
+        FROM gw, ng)
+      SELECT source, v, n AS n_docs,
+        (SELECT MIN(gvv) FROM gp WHERE gfrac >= sp.sfrac) AS v_norm
+      FROM sp ORDER BY source, v"""))
   )
 }

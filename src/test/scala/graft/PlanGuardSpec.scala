@@ -61,7 +61,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q230_llm_rrf_fusion",         // 3-row query-side broadcast (q46 class)
     "q236_eval_auc_exact",         // Ranks.cumSums 1-row min/max scalar
     "q237_eval_ks_drift",          // same + 1-row totals and sup scalars
-    "q238_eval_lift_deciles"       // Ranks scalar + 1-row total-count frame
+    "q238_eval_lift_deciles",      // Ranks scalar + 1-row total-count frame
+    "q239_llm_quantile_normalize"  // Ranks scalar + 1-row global-count frame
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
