@@ -1492,6 +1492,76 @@ object Round5 {
         FROM gw, ng)
       SELECT source, v, n AS n_docs,
         (SELECT MIN(gvv) FROM gp WHERE gfrac >= sp.sfrac) AS v_norm
-      FROM sp ORDER BY source, v"""))
+      FROM sp ORDER BY source, v""")),
+
+    // ---- water-filling token-budget allocation -------------------------
+    // The mixture-budget completion of q190/q155: allocate a global
+    // token budget T (here 60% of corpus tokens) across domains so
+    // that small domains keep everything and large domains share one
+    // common cap c with Σ min(t_d, c) = T EXACTLY. Closed form on the
+    // domain-sorted prefix: d is uncapped iff t_d·(remaining domains)
+    // + prefix ≤ T; cap = residual DIV (#capped), with the DIV
+    // remainder handed out +1 to the first capped domains in source
+    // order so allocations still sum to T precisely. Everything is
+    // int64; the domain table is an aggregate (bounded), so its
+    // windows are post-aggregation spines. Σ alloc = T is asserted by
+    // construction in both engines.
+    "q240_llm_budget_waterfill" -> QueryDef(
+      (s, dir) => {
+        val dom = t(s, dir, "documents")
+          .groupBy("source").agg(sum(expr("n_chars DIV 4")).as("tok"))
+        val tot = dom.agg(expr("CAST(SUM(tok) * 3 DIV 5 AS BIGINT)").as("t_budget"),
+          count(lit(1)).as("nd"))
+        val wAsc = Window.orderBy("tok", "source")
+        val d1 = dom.crossJoin(broadcast(tot))
+          .withColumn("rn", row_number().over(wAsc))
+          .withColumn("cumprev",
+            coalesce(sum("tok").over(wAsc.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("unc",
+            (col("tok") * (col("nd") - col("rn") + 1) + col("cumprev")) <= col("t_budget"))
+        val st = d1.agg(sum(when(col("unc"), col("tok"))).as("cum_unc"),
+          sum(when(col("unc"), 1L).otherwise(0L)).as("k"))
+        val wCap = Window.orderBy("source")
+        d1.crossJoin(broadcast(st))
+          .withColumn("n_capped", col("nd") - col("k"))
+          .withColumn("cap", when(col("n_capped") > 0,
+            expr("(t_budget - coalesce(cum_unc, 0)) DIV n_capped")))
+          .withColumn("rem", when(col("n_capped") > 0,
+            expr("(t_budget - coalesce(cum_unc, 0)) % n_capped")).otherwise(lit(0L)))
+          .withColumn("capseq", when(col("unc"), lit(null)).otherwise(
+            row_number().over(Window.partitionBy("unc").orderBy("source"))))
+          .withColumn("alloc", when(col("unc"), col("tok"))
+            .otherwise(col("cap") + when(col("capseq") <= col("rem"), 1L).otherwise(0L)))
+          .select(col("source"), col("tok"), col("alloc"),
+            when(col("unc"), lit(0L)).otherwise(lit(1L)).as("capped"))
+          .orderBy("source")
+      },
+      Some("""WITH dom AS (SELECT source, CAST(SUM(n_chars // 4) AS BIGINT) AS tok
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(tok) * 3 // 5 AS BIGINT) AS t_budget,
+          COUNT(*) AS nd FROM dom),
+      d1 AS (SELECT source, tok, t_budget, nd,
+          row_number() OVER (ORDER BY tok, source) AS rn,
+          COALESCE(SUM(tok) OVER (ORDER BY tok, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+        FROM dom, tot),
+      d2 AS (SELECT *, (tok * (nd - rn + 1) + cumprev) <= t_budget AS unc FROM d1),
+      st AS (SELECT CAST(COALESCE(SUM(CASE WHEN unc THEN tok END), 0) AS BIGINT)
+            AS cum_unc,
+          CAST(COALESCE(SUM(CASE WHEN unc THEN 1 ELSE 0 END), 0) AS BIGINT) AS k
+        FROM d2),
+      d3 AS (SELECT d2.*, cum_unc, k, nd - k AS n_capped,
+          CASE WHEN nd - k > 0 THEN (t_budget - cum_unc) // (nd - k) END AS cap,
+          CASE WHEN nd - k > 0 THEN (t_budget - cum_unc) % (nd - k) ELSE 0 END AS rem,
+          CASE WHEN NOT unc THEN row_number() OVER (
+            PARTITION BY unc ORDER BY source) END AS capseq
+        FROM d2, st)
+      SELECT source, tok,
+        CAST(CASE WHEN unc THEN tok
+          ELSE cap + CASE WHEN capseq <= rem THEN 1 ELSE 0 END END AS BIGINT)
+          AS alloc,
+        CAST(CASE WHEN unc THEN 0 ELSE 1 END AS BIGINT) AS capped
+      FROM d3 ORDER BY source"""))
   )
 }

@@ -62,7 +62,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q236_eval_auc_exact",         // Ranks.cumSums 1-row min/max scalar
     "q237_eval_ks_drift",          // same + 1-row totals and sup scalars
     "q238_eval_lift_deciles",      // Ranks scalar + 1-row total-count frame
-    "q239_llm_quantile_normalize"  // Ranks scalar + 1-row global-count frame
+    "q239_llm_quantile_normalize", // Ranks scalar + 1-row global-count frame
+    "q240_llm_budget_waterfill"    // 1-row budget + uncapped-prefix scalars (bounded domain dim)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
