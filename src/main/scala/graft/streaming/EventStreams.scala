@@ -355,4 +355,44 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  case class KeyCount(k: Long, n: Long)
+
+  /** Per-key running count whose state carries a processing-time TTL —
+    * the state-retention knob for unbounded key domains (session
+    * tokens, request ids): keys idle past the TTL are evicted by the
+    * store itself instead of accumulating forever. ttlMs <= 0 means no
+    * TTL (control case). Requires TimeMode.ProcessingTime and the
+    * RocksDB provider (column families).
+    */
+  class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, KeyCount] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0)
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else org.apache.spark.sql.streaming.TTLConfig.NONE
+      st = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(k: Long, rows: Iterator[Long],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeyCount] = {
+      val base = if (st.exists()) st.get() else 0L
+      val n = base + rows.size
+      st.update(n)
+      Iterator(KeyCount(k, n))
+    }
+  }
+
+  def ttlCountsTws(keys: Dataset[Long], ttlMs: Long): Dataset[KeyCount] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
 }

@@ -371,4 +371,70 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toString).sorted
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("transformWithState TTL evicts idle state; TTLConfig.NONE retains it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val nodataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = spark.conf.getOption(provKey)
+    val oldNd = spark.conf.getOption(nodataKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime TimeMode keeps scheduling no-data micro-batches to
+    // advance TTL/timers, which makes even Trigger.AvailableNow spin
+    // forever; TTL expiry itself is enforced lazily on state access, so
+    // the no-data batches add nothing to this test
+    spark.conf.set(nodataKey, "false")
+    try {
+      // Two AvailableNow runs over a file source sharing ONE checkpoint
+      // (processAllAvailable loops on ProcessingTime no-data batches;
+      // memory sink can't restart — so file source + foreachBatch, the
+      // CLAUDE.md resume pattern). The wall-clock gap between the runs
+      // exceeds the TTL: the TTL'd drive must restart the count at 1,
+      // the TTLConfig.NONE drive must accumulate to 2.
+      def drive(ttlMs: Long): Long = {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+        val ckpt = s"$dir/ckpt"
+        val data = s"$dir/data"
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        def runOnce(): Unit = {
+          val src = spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .parquet(data).select(col("k")).as[Long]
+          val q = EventStreams.ttlCountsTws(src, ttlMs).toDF()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              buf.synchronized {
+                buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+              }
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        Seq(1L).toDF("k").write.mode("append").parquet(data)
+        runOnce()
+        Thread.sleep(1500) // > TTL
+        Seq(1L).toDF("k").write.mode("append").parquet(data)
+        runOnce()
+        buf.filter(_._1 == 1L).map(_._2).max
+      }
+      assert(drive(ttlMs = 300) === 1L,
+        "TTL'd state must be evicted after the idle period")
+      assert(drive(ttlMs = 0) === 2L,
+        "without TTL the running count must survive the idle period")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      oldNd match {
+        case Some(v) => spark.conf.set(nodataKey, v)
+        case None => spark.conf.unset(nodataKey)
+      }
+    }
+  }
 }
