@@ -1562,6 +1562,120 @@ object Round5 {
           ELSE cap + CASE WHEN capseq <= rem THEN 1 ELSE 0 END END AS BIGINT)
           AS alloc,
         CAST(CASE WHEN unc THEN 0 ELSE 1 END AS BIGINT) AS capped
-      FROM d3 ORDER BY source"""))
+      FROM d3 ORDER BY source""")),
+
+    // ---- seasonal-naive forecast backtest (sMAPE) ----------------------
+    // Forecasting-eval pattern: predict each (event_type, day, hour)
+    // count of the LAST 7 days with the same-hour value 7 days earlier
+    // (seasonal naive), score with sMAPE = avg of 2|f−a|/(f+a). Each
+    // term is one deterministic double division of exact int64 counts;
+    // the mean uses the Det recipe (per-term DECIMAL(18,6) cast, exact
+    // sum, one division) so partial-aggregation order never shows.
+    "q241_ts_forecast_smape" -> QueryDef(
+      (s, dir) => {
+        val hourly = graft.sources.Events.load(s, dir)
+          .groupBy(col("event_type"),
+            expr("(sec DIV 3600) * 3600").as("h"))
+          .agg(count(lit(1)).as("a"))
+          .persist()
+        val maxH = hourly.agg(max("h").as("hmax"))
+        val fc = hourly.select(col("event_type"),
+          (col("h") + 604800L).as("h"), col("a").as("f"))
+        val scored = hourly.join(fc, Seq("event_type", "h"))
+          .crossJoin(broadcast(maxH))
+          .filter(col("h") > col("hmax") - 604800L)
+          .withColumn("term", expr(
+            """2.0 * abs(CAST(f AS DOUBLE) - CAST(a AS DOUBLE)) /
+               (CAST(f AS DOUBLE) + CAST(a AS DOUBLE))"""))
+        scored.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), Det.davg(col("term")).as("smape"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type, (${Det.epochSecSql("ts")} // 3600) * 3600
+          AS h FROM events),
+      hourly AS (SELECT event_type, h, COUNT(*) AS a FROM e GROUP BY 1, 2),
+      mx AS (SELECT MAX(h) AS hmax FROM hourly),
+      fc AS (SELECT event_type, h + 604800 AS h, a AS f FROM hourly),
+      sc AS (SELECT hourly.event_type,
+          2.0 * abs(CAST(f AS DOUBLE) - CAST(a AS DOUBLE)) /
+          (CAST(f AS DOUBLE) + CAST(a AS DOUBLE)) AS term
+        FROM hourly JOIN fc ON hourly.event_type = fc.event_type
+          AND hourly.h = fc.h, mx
+        WHERE hourly.h > hmax - 604800)
+      SELECT event_type, COUNT(*) AS n_hours,
+        ${Det.davgSql("term")} AS smape
+      FROM sc GROUP BY 1 ORDER BY 1""")),
+
+    // ---- linear multi-touch attribution --------------------------------
+    // The fractional-credit companion to q205's last-touch: every
+    // click/view by the same user in the 300 s window before a
+    // purchase shares the conversion equally (credit 1/k each). The
+    // per-touch credit is one exact int division in double; per-type
+    // credit totals go through Det.dsum so the fractional credits sum
+    // identically on any partitioning. Join is equi on user + bounded
+    // range residual (q11 shape, never cartesian).
+    "q242_evt_linear_attribution" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir).persist()
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"), col("sec").as("psec"))
+        val touches = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type").as("touch_type"),
+            col("sec").as("tsec"))
+        val pairs = buys.join(touches, Seq("user_id"))
+          .filter(col("tsec") >= col("psec") - 300L && col("tsec") < col("psec"))
+        val k = pairs.groupBy("pid").agg(count(lit(1)).as("k"))
+        pairs.join(k, Seq("pid"))
+          .withColumn("credit", expr("1.0 / CAST(k AS DOUBLE)"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_touches"),
+            Det.dsum(col("credit")).as("credit_sum"))
+          .orderBy("touch_type")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+          ${Det.epochSecSql("ts")} AS sec FROM events),
+      b AS (SELECT user_id, event_id AS pid, sec AS psec FROM e
+        WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, event_type AS touch_type, sec AS tsec FROM e
+        WHERE event_type IN ('click', 'view')),
+      p AS (SELECT pid, touch_type FROM b JOIN t ON b.user_id = t.user_id
+        AND t.tsec >= b.psec - 300 AND t.tsec < b.psec),
+      k AS (SELECT pid, COUNT(*) AS k FROM p GROUP BY 1),
+      c AS (SELECT touch_type, 1.0 / CAST(k.k AS DOUBLE) AS credit
+        FROM p JOIN k ON p.pid = k.pid)
+      SELECT touch_type, COUNT(*) AS n_touches,
+        ${Det.dsumSql("credit")} AS credit_sum
+      FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // ---- OHLC bar aggregation ------------------------------------------
+    // The time-series bar staple: per (event_type, hour) the opening /
+    // highest / lowest / closing `value` plus volume. Open/close are
+    // exact SELECTIONS (min/max over (sec, event_id, value) structs
+    // with a unique tie-break), not arithmetic — the doubles pass
+    // through untouched, so no float determinism machinery is needed.
+    // One hash aggregation; struct min/max partial-aggregates map-side.
+    "q243_ts_ohlc_bars" -> QueryDef(
+      (s, dir) => graft.sources.Events.load(s, dir)
+        .groupBy(col("event_type"), expr("(sec DIV 3600) * 3600").as("h"))
+        .agg(
+          expr("min(struct(sec, event_id, value)).value").as("open"),
+          max("value").as("high"), min("value").as("low"),
+          expr("max(struct(sec, event_id, value)).value").as("close"),
+          count(lit(1)).as("volume"))
+        .orderBy("event_type", "h"),
+      Some(s"""WITH e AS (SELECT event_type, event_id, value,
+          ${Det.epochSecSql("ts")} AS sec FROM events),
+      r AS (SELECT event_type, (sec // 3600) * 3600 AS h, value,
+          row_number() OVER (PARTITION BY event_type, (sec // 3600) * 3600
+            ORDER BY sec, event_id) AS rf,
+          row_number() OVER (PARTITION BY event_type, (sec // 3600) * 3600
+            ORDER BY sec DESC, event_id DESC) AS rl
+        FROM e)
+      SELECT event_type, h,
+        MIN(CASE WHEN rf = 1 THEN value END) AS open,
+        MAX(value) AS high, MIN(value) AS low,
+        MIN(CASE WHEN rl = 1 THEN value END) AS close,
+        COUNT(*) AS volume
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -63,7 +63,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q237_eval_ks_drift",          // same + 1-row totals and sup scalars
     "q238_eval_lift_deciles",      // Ranks scalar + 1-row total-count frame
     "q239_llm_quantile_normalize", // Ranks scalar + 1-row global-count frame
-    "q240_llm_budget_waterfill"    // 1-row budget + uncapped-prefix scalars (bounded domain dim)
+    "q240_llm_budget_waterfill",   // 1-row budget + uncapped-prefix scalars (bounded domain dim)
+    "q241_ts_forecast_smape"       // 1-row max-hour scalar (backtest horizon)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
