@@ -1676,6 +1676,58 @@ object Round5 {
         MAX(value) AS high, MIN(value) AS low,
         MIN(CASE WHEN rl = 1 THEN value END) AS close,
         COUNT(*) AS volume
-      FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- association rules (market-basket affinity) --------------------
+    // Frequent part PAIRS across order baskets with support ≥ 2, ranked
+    // by lift. The pair join is per-basket (items-per-order bounds the
+    // fan-out — the A-priori candidate shape, never all-parts²);
+    // confidence and lift are single divisions of exact int64 counts,
+    // ranked with the q46 round-6 + unique-tie-break recipe.
+    "q244_basket_association" -> QueryDef(
+      (s, dir) => {
+        val co = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+        val nOrders = co.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n"))
+        val item = co.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+        val pair = co.as("a").join(co.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val scored = pair
+          .join(item.select(col("l_partkey").as("pa"), col("n_i").as("n_a")), Seq("pa"))
+          .join(item.select(col("l_partkey").as("pb"), col("n_i").as("n_b")), Seq("pb"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("confidence", expr(
+            "round(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE), 6)"))
+          .withColumn("lift", expr(
+            """round(CAST(n * n_ab AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)"""))
+        val w = Window.orderBy(col("lift").desc, col("pa"), col("pb"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+          .select(col("pa"), col("pb"), col("n_ab"), col("confidence"),
+            col("lift"), col("rnk").cast("long").as("rnk"))
+          .orderBy("rnk")
+      },
+      Some("""WITH co AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      t AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM co),
+      item AS (SELECT l_partkey, COUNT(*) AS n_i FROM co GROUP BY 1),
+      pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+        FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      sc AS (SELECT pa, pb, n_ab,
+          round(CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE), 6) AS confidence,
+          round(CAST(t.n * n_ab AS DOUBLE) /
+            (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)), 6) AS lift
+        FROM pair JOIN item ia ON pair.pa = ia.l_partkey
+        JOIN item ib ON pair.pb = ib.l_partkey, t),
+      r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, pa, pb) AS rnk
+        FROM sc)
+      SELECT pa, pb, n_ab, confidence, lift, rnk
+      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
   )
 }

@@ -64,7 +64,8 @@ class PlanGuardSpec extends SparkTestBase {
     "q238_eval_lift_deciles",      // Ranks scalar + 1-row total-count frame
     "q239_llm_quantile_normalize", // Ranks scalar + 1-row global-count frame
     "q240_llm_budget_waterfill",   // 1-row budget + uncapped-prefix scalars (bounded domain dim)
-    "q241_ts_forecast_smape"       // 1-row max-hour scalar (backtest horizon)
+    "q241_ts_forecast_smape",      // 1-row max-hour scalar (backtest horizon)
+    "q244_basket_association"      // 1-row basket-count scalar (lift normalizer)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
