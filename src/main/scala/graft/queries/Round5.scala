@@ -1728,6 +1728,98 @@ object Round5 {
       r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, pa, pb) AS rnk
         FROM sc)
       SELECT pa, pb, n_ab, confidence, lift, rnk
-      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+      FROM r WHERE rnk <= 20 ORDER BY rnk""")),
+
+    // ---- pairwise Pearson correlation of daily series ------------------
+    // Co-movement of event types: Pearson r between each pair of
+    // types' daily-count series (days both present). All five sums
+    // (Σx, Σy, Σxy, Σx², Σy², k) are exact int64 over counts, so the
+    // numerator k·Σxy − ΣxΣy is exact; sqrt is IEEE-correctly-rounded
+    // and the final division is the only rounding point (round-6 for
+    // output). Zero-variance series yield NULL (both engines). The
+    // type domain is bounded, so the pair join is a broadcast of the
+    // tiny per-type day series — one shuffle on day.
+    "q245_stat_pearson_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = graft.sources.Events.load(s, dir)
+          .groupBy(col("event_type"), expr("sec DIV 86400").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .persist()
+        val pairs = d.as("a").join(d.as("b"),
+            col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+            col("a.n").as("x"), col("b.n").as("y"))
+        pairs.groupBy("ta", "tb")
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("r", expr(
+            """CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0 THEN
+                 round(CAST(k * sxy - sx * sy AS DOUBLE) /
+                   (sqrt(CAST(k * sxx - sx * sx AS DOUBLE)) *
+                    sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) END"""))
+          .select(col("ta"), col("tb"), col("k"), col("r"))
+          .orderBy("ta", "tb")
+      },
+      Some(s"""WITH d AS (SELECT event_type, ${Det.epochSecSql("ts")} // 86400
+          AS day, COUNT(*) AS n FROM events GROUP BY 1, 2),
+      p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+          a.n AS x, b.n AS y FROM d a JOIN d b ON a.day = b.day
+          AND a.event_type < b.event_type),
+      agg AS (SELECT ta, tb, COUNT(*) AS k,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY 1, 2)
+      SELECT ta, tb, k,
+        CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0 THEN
+          round(CAST(k * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(k * sxx - sx * sx AS DOUBLE)) *
+             sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) END AS r
+      FROM agg ORDER BY ta, tb""")),
+
+    // ---- time-weighted average (step-function integral) ----------------
+    // The metrics-system staple plain AVG gets wrong: each event's
+    // value holds until the user's next event, so the mean must weight
+    // by holding time — Σ v·Δt / Σ Δt per user (last event carries no
+    // duration). Products are IEEE-deterministic doubles; the sum runs
+    // through a DECIMAL(18,2) per-term cast (Det recipe, scale chosen
+    // so 100×-probe unscaled sums stay far under 2^53) and the
+    // denominator is exact int64 seconds. One lead() window per user,
+    // one aggregation.
+    "q246_ts_time_weighted_avg" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+        graft.sources.Events.load(s, dir)
+          .filter(pmod(col("user_id"), lit(10L)) === 0)
+          .select(col("user_id"), col("event_id"), col("sec"), col("value"))
+          .withColumn("nxt", lead("sec", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumn("dt", col("nxt") - col("sec"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_holds"),
+            sum((col("value") * col("dt")).cast(d2)).cast("double").as("vsum"),
+            sum("dt").as("tsum"))
+          .filter(col("tsum") > 0)
+          .select(col("user_id"), col("n_holds"),
+            expr("vsum / CAST(tsum AS DOUBLE)").as("twa"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, value,
+          ${Det.epochSecSql("ts")} AS sec FROM events WHERE user_id % 10 = 0),
+      h AS (SELECT user_id, value, sec,
+          lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt
+        FROM e),
+      d AS (SELECT user_id, value, nxt - sec AS dt FROM h WHERE nxt IS NOT NULL),
+      a AS (SELECT user_id, COUNT(*) AS n_holds,
+          CAST(SUM(CAST(value * dt AS DECIMAL(18,2))) AS DOUBLE) AS vsum,
+          CAST(SUM(dt) AS BIGINT) AS tsum
+        FROM d GROUP BY 1)
+      SELECT user_id, n_holds, vsum / CAST(tsum AS DOUBLE) AS twa
+      FROM a WHERE tsum > 0 ORDER BY user_id"""))
   )
 }
