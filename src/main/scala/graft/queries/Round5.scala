@@ -1820,6 +1820,37 @@ object Round5 {
           CAST(SUM(dt) AS BIGINT) AS tsum
         FROM d GROUP BY 1)
       SELECT user_id, n_holds, vsum / CAST(tsum AS DOUBLE) AS twa
-      FROM a WHERE tsum > 0 ORDER BY user_id"""))
+      FROM a WHERE tsum > 0 ORDER BY user_id""")),
+
+    // ---- hierarchical subtree rollup (recursive closure + agg) ---------
+    // The aggregation q138/q158 stop short of: for EVERY node of the
+    // parent-pointer hierarchy, the inclusive subtree descendant count
+    // and balance total. The ancestor closure is n·depth rows (the
+    // standard hierarchical-rollup shape — depth is logarithmic here),
+    // built by the native WITH RECURSIVE UnionLoop and aggregated in
+    // one pass; balances sum exactly in DECIMAL(18,2) (2-decimal money,
+    // width rule). Identical SQL text both engines modulo DIV-vs-//.
+    "q247_hierarchy_rollup" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("q247_customer")
+        s.sql("""WITH RECURSIVE anc AS (
+            SELECT c_custkey AS id, c_custkey AS anc FROM q247_customer
+            UNION ALL
+            SELECT id, anc DIV 7 FROM anc WHERE anc > 0)
+          SELECT anc.anc AS node, COUNT(*) AS n_desc,
+            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              AS subtree_bal
+          FROM anc JOIN q247_customer c ON anc.id = c.c_custkey
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""WITH RECURSIVE anc AS (
+        SELECT c_custkey AS id, c_custkey AS anc FROM customer
+        UNION ALL
+        SELECT id, anc // 7 FROM anc WHERE anc > 0)
+      SELECT anc.anc AS node, COUNT(*) AS n_desc,
+        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS subtree_bal
+      FROM anc JOIN customer c ON anc.id = c.c_custkey
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
