@@ -1851,6 +1851,113 @@ object Round5 {
         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
           AS subtree_bal
       FROM anc JOIN customer c ON anc.id = c.c_custkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- CUSUM change-point detection (exact integer) ------------------
+    // Upward-drift alarm on each type's daily count series. The CUSUM
+    // recursion s_t = max(0, s_{t-1} + dev_t) is not windowable, but
+    // equals P_t − min_{j≤t} P_j for P = running sum of deviations —
+    // two running windows. Deviations are scaled by n_days
+    // (n·x_t − total) so everything stays EXACT int64 — no float mean
+    // anywhere; the alarm rule s_t ≥ 2·total is in the same scaled
+    // units. Per-type partitioned windows only; one aggregation pass.
+    "q248_ts_cusum_changepoint" -> QueryDef(
+      (s, dir) => {
+        val daily = graft.sources.Events.load(s, dir)
+          .groupBy(col("event_type"), expr("sec DIV 86400").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy("event_type")
+          .agg(sum("x").as("total"), count(lit(1)).as("nd"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(tot, Seq("event_type"))
+          .withColumn("p", sum(col("x") * col("nd") - col("total")).over(w))
+          .withColumn("st", col("p") - min("p").over(w))
+          .groupBy("event_type")
+          .agg(max("st").as("max_s"),
+            min(when(col("st") >= lit(2L) * col("total"), col("day"))).as("alarm"),
+            min("nd").as("n_days"))
+          .select(col("event_type"), col("n_days"), col("max_s"),
+            coalesce(col("alarm"), lit(-1L)).as("alarm_day"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (SELECT event_type,
+          ${Det.epochSecSql("ts")} // 86400 AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS total,
+          COUNT(*) AS nd FROM daily GROUP BY 1),
+      p AS (SELECT daily.event_type, day,
+          SUM(x * nd - total) OVER (PARTITION BY daily.event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+          total, nd
+        FROM daily JOIN tot ON daily.event_type = tot.event_type),
+      st AS (SELECT event_type, day, total, nd,
+          p - MIN(p) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+        FROM p)
+      SELECT event_type, MIN(nd) AS n_days, CAST(MAX(st) AS BIGINT) AS max_s,
+        CAST(COALESCE(MIN(CASE WHEN st >= 2 * total THEN day END), -1)
+          AS BIGINT) AS alarm_day
+      FROM st GROUP BY 1 ORDER BY 1""")),
+
+    // ---- robust outliers (median / MAD) --------------------------------
+    // The z-score's robust sibling (q131 twin): per type, median and
+    // median-absolute-deviation of `value`, flagging |x − med| > 3·MAD.
+    // BOTH medians are explicit rank selections with the identical
+    // (v1 + v2)/2 expression on each engine (q235 recipe — never each
+    // engine's percentile interpolation); the deviations and the 3·MAD
+    // comparison are deterministic double arithmetic on identical
+    // inputs. Group stats are tiny broadcasts; two ranked passes over
+    // the data, no global windows.
+    "q249_stat_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        def med(df: org.apache.spark.sql.DataFrame, vc: String,
+            out: String) = {
+          val wr = Window.partitionBy("event_type")
+            .orderBy(col(vc), col("event_id"))
+          val n = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+          df.withColumn("rn", row_number().over(wr))
+            .join(broadcast(n), Seq("event_type"))
+            .filter(col("rn") === expr("(n + 1) DIV 2") ||
+              col("rn") === expr("n DIV 2 + 1"))
+            .groupBy("event_type")
+            .agg(expr(s"(MIN($vc) + MAX($vc)) / 2.0").as(out))
+        }
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .persist()
+        val m1 = med(e, "value", "med")
+        val dev = e.join(broadcast(m1), Seq("event_type"))
+          .withColumn("adev", abs(col("value") - col("med")))
+        val m2 = med(dev, "adev", "mad")
+        dev.join(broadcast(m2), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            min("med").as("med"), min("mad").as("mad"),
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, value FROM events),
+      r1 AS (SELECT event_type, value, row_number() OVER (
+          PARTITION BY event_type ORDER BY value, event_id) AS rn FROM e),
+      n1 AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+      m1 AS (SELECT r1.event_type, (MIN(value) + MAX(value)) / 2.0 AS med
+        FROM r1 JOIN n1 ON r1.event_type = n1.event_type
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1),
+      dev AS (SELECT e.event_type, event_id, value, med,
+          abs(value - med) AS adev
+        FROM e JOIN m1 ON e.event_type = m1.event_type),
+      r2 AS (SELECT event_type, adev, row_number() OVER (
+          PARTITION BY event_type ORDER BY adev, event_id) AS rn FROM dev),
+      m2 AS (SELECT r2.event_type, (MIN(adev) + MAX(adev)) / 2.0 AS mad
+        FROM r2 JOIN n1 ON r2.event_type = n1.event_type
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
+      SELECT dev.event_type, COUNT(*) AS n_events,
+        MIN(med) AS med, MIN(mad) AS mad,
+        CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dev JOIN m2 ON dev.event_type = m2.event_type
       GROUP BY 1 ORDER BY 1"""))
   )
 }
