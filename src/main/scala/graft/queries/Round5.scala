@@ -1958,6 +1958,53 @@ object Round5 {
         CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
           AS n_outliers
       FROM dev JOIN m2 ON dev.event_type = m2.event_type
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- positional phrase search (bigram adjacency) -------------------
+    // The IR step past q226's bag-of-words BM25: exact PHRASE hits via
+    // a positional inverted index — token positions from posexplode,
+    // phrase match = equi-join on (doc, first-word position + 1,
+    // second word). Counts are exact ints; top-10 docs per phrase by
+    // (hits desc, doc_id). The position join is vocabulary-filtered
+    // BEFORE joining (only the phrase words' postings ever shuffle) —
+    // the classic positional-index query plan.
+    "q250_llm_phrase_search" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val phrases = Seq((0L, "agg", "join"), (1L, "window", "scan"),
+          (2L, "fast", "slow")).toDF("qid", "w1", "w2")
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("term"))
+        val t1 = tok.join(broadcast(phrases), col("term") === col("w1"))
+          .select(col("qid"), col("doc_id"), col("pos"))
+        val t2 = tok.join(broadcast(phrases.select(col("qid"), col("w2")).distinct()),
+            col("term") === col("w2"))
+          .select(col("qid"), col("doc_id"), (col("pos") - 1).as("pos"))
+        val hits = t1.join(t2, Seq("qid", "doc_id", "pos"))
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_hits"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("n_hits").desc, col("doc_id"))
+        hits.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .select(col("qid"), col("doc_id"), col("n_hits"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH ph AS (SELECT * FROM (VALUES (0, 'agg', 'join'),
+          (1, 'window', 'scan'), (2, 'fast', 'slow')) AS t(qid, w1, w2)),
+      tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ix AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk),
+      tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM ix),
+      t1 AS (SELECT qid, doc_id, pos FROM tok JOIN ph ON tok.term = ph.w1),
+      t2 AS (SELECT qid, doc_id, pos - 1 AS pos FROM tok
+        JOIN (SELECT DISTINCT qid, w2 FROM ph) p ON tok.term = p.w2),
+      h AS (SELECT t1.qid, t1.doc_id, COUNT(*) AS n_hits
+        FROM t1 JOIN t2 ON t1.qid = t2.qid AND t1.doc_id = t2.doc_id
+          AND t1.pos = t2.pos
+        GROUP BY 1, 2),
+      r AS (SELECT qid, doc_id, n_hits, row_number() OVER (
+          PARTITION BY qid ORDER BY n_hits DESC, doc_id) AS rnk FROM h)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_hits, rnk
+      FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""))
   )
 }
