@@ -1908,7 +1908,11 @@ object Round5 {
     // engine's percentile interpolation); the deviations and the 3·MAD
     // comparison are deterministic double arithmetic on identical
     // inputs. Group stats are tiny broadcasts; two ranked passes over
-    // the data, no global windows.
+    // the data, no global windows. Scale note: the rank window
+    // partitions by type (bounded cardinality), so each type sorts in
+    // one task — the inherent exact-median kernel (q25-class bounded
+    // dim); q90's approx-quantile sketch / operators.ApproxNtile are
+    // the at-scale substitutes when groups outgrow a task.
     "q249_stat_mad_outliers" -> QueryDef(
       (s, dir) => {
         def med(df: org.apache.spark.sql.DataFrame, vc: String,
