@@ -2009,6 +2009,39 @@ object Round5 {
       r AS (SELECT qid, doc_id, n_hits, row_number() OVER (
           PARTITION BY qid ORDER BY n_hits DESC, doc_id) AS rnk FROM h)
       SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_hits, rnk
-      FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""))
+      FROM r WHERE rnk <= 10 ORDER BY qid, rnk""")),
+
+    // ---- rolling 7-day distinct users (exact WAU) ----------------------
+    // Rolling COUNT(DISTINCT) does not decompose into window sums — the
+    // naive exact form re-scans 7 days per day. Linear exact shape: per
+    // user, each active day covers days [e, min(e+6, next_active−1)] —
+    // consecutive contribution ranges are DISJOINT by construction (the
+    // next range starts at the user's next active day), so exploding
+    // them (≤7 rows each) and counting per day IS the distinct count,
+    // with no distinct anywhere. One lead() per user, bounded explode,
+    // one aggregation. The oracle is the quadratic day×activity join
+    // spec.
+    "q251_evt_rolling_wau" -> QueryDef(
+      (s, dir) => {
+        val ud = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), expr("sec DIV 86400").as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        ud.withColumn("nxt", lead("day", 1).over(w))
+          .withColumn("hi", least(col("day") + 6,
+            coalesce(col("nxt") - 1, col("day") + 6)))
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("hi"))).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("wau"))
+          .orderBy("d")
+      },
+      Some(s"""WITH ud AS (SELECT DISTINCT user_id,
+          ${Det.epochSecSql("ts")} // 86400 AS day FROM events),
+      days AS (SELECT DISTINCT day AS d FROM ud
+        UNION SELECT DISTINCT day + k.k FROM ud,
+          (SELECT unnest(range(1, 7)) AS k) k),
+      -- spec: distinct users active within the trailing 7 days of d
+      w AS (SELECT d, COUNT(DISTINCT user_id) AS wau
+        FROM days JOIN ud ON ud.day BETWEEN d - 6 AND d GROUP BY 1)
+      SELECT d, wau FROM w ORDER BY d"""))
   )
 }
