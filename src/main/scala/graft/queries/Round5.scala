@@ -2042,6 +2042,30 @@ object Round5 {
       -- spec: distinct users active within the trailing 7 days of d
       w AS (SELECT d, COUNT(DISTINCT user_id) AS wau
         FROM days JOIN ud ON ud.day BETWEEN d - 6 AND d GROUP BY 1)
-      SELECT d, wau FROM w ORDER BY d"""))
+      SELECT d, wau FROM w ORDER BY d""")),
+
+    // ---- rolling WAU via mergeable HLL sketches (scale path) -----------
+    // The sketch twin of q251 and the reason rolling distinct scales at
+    // 100 TB: ONE datasketches-HLL per day (bounded bytes), each
+    // contributing to its 7 trailing target days by bounded explode —
+    // union + estimate per day touches 7 sketches, never the raw user
+    // set. This is the mergeable-sketch pattern q93 establishes for
+    // partitioned HLL, applied to a sliding window. Rows-only by
+    // necessity (per §2.2: estimates have no DuckDB oracle); q251 is
+    // the exactly-oracled twin on the identical day domain.
+    "q252_evt_rolling_wau_hll" -> QueryDef(
+      (s, dir) => {
+        val ud = graft.sources.Events.load(s, dir)
+          .select(col("user_id"), expr("sec DIV 86400").as("day")).distinct()
+        val daily = ud.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        daily.select(explode(sequence(col("day"), col("day") + 6)).as("d"),
+            col("sk"))
+          .groupBy("d")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long").as("wau_est"))
+          .orderBy("d")
+      },
+      None)
   )
 }
