@@ -53,4 +53,38 @@ object Ranks {
     withCums.select(
       d.columns.map(col).toSeq ++ cums: _*)
   }
+
+  /** Per-GROUP variant of [[cumSums]]: exact running totals in `key`
+    * order WITHIN each group, with each group's rows spread across
+    * `bins` range buckets instead of sorting the whole group in one
+    * task. This is the scale answer when the group domain is bounded
+    * but per-group data is huge (per-type medians over billions of
+    * rows): shuffles hash on (group, bin) — parallelism is
+    * groups × bins — and the offset spine is a ≤`bins`-row
+    * partitioned window per group, never a global exchange.
+    */
+  def cumSumsBy(d: DataFrame, parts: Seq[String], key: String,
+      vals: Seq[String], bins: Int = 64): DataFrame = {
+    val mm = d.groupBy(parts.map(col): _*)
+      .agg(min(key).as("lo"), max(key).as("hi"))
+    val binned = d.join(mm, parts).withColumn("bin",
+      expr(s"""CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
+        (CAST(`$key` AS DOUBLE) - CAST(lo AS DOUBLE)) /
+        (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * $bins) AS INT),
+        ${bins - 1}) END"""))
+      .drop("lo", "hi")
+    val tot = binned.groupBy((parts :+ "bin").map(col): _*)
+      .agg(sum(vals.head).as(s"t_${vals.head}"),
+        vals.tail.map(c => sum(c).as(s"t_$c")): _*)
+    val wb = Window.partitionBy(parts.map(col): _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tot.select((parts :+ "bin").map(col) ++ vals.map(c =>
+      coalesce(sum(col(s"t_$c")).over(wb), lit(0L)).as(s"o_$c")): _*)
+    val wl = Window.partitionBy((parts :+ "bin").map(col): _*).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCums = binned.join(offs, parts :+ "bin")
+    val cums = vals.map(c =>
+      (sum(col(c)).over(wl) + col(s"o_$c")).as(s"cum_$c"))
+    withCums.select(d.columns.map(col).toSeq ++ cums: _*)
+  }
 }

@@ -1907,25 +1907,30 @@ object Round5 {
     // (v1 + v2)/2 expression on each engine (q235 recipe — never each
     // engine's percentile interpolation); the deviations and the 3·MAD
     // comparison are deterministic double arithmetic on identical
-    // inputs. Group stats are tiny broadcasts; two ranked passes over
-    // the data, no global windows. Scale note: the rank window
-    // partitions by type (bounded cardinality), so each type sorts in
-    // one task — the inherent exact-median kernel (q25-class bounded
-    // dim); q90's approx-quantile sketch / operators.ApproxNtile are
-    // the at-scale substitutes when groups outgrow a task.
+    // inputs. Group stats are tiny broadcasts. The medians come from
+    // Ranks.cumSumsBy — per-type cumulative counts over (value) with
+    // each type's rows spread across 64 range bins, so no type ever
+    // sorts in a single task (v at rank r = min v with cum ≥ r; equal
+    // values share a v, so rank tie-break is moot). Parallelism is
+    // types × bins — the per-group exact median that survives a
+    // bounded-cardinality group column over billions of rows.
     "q249_stat_mad_outliers" -> QueryDef(
       (s, dir) => {
         def med(df: org.apache.spark.sql.DataFrame, vc: String,
             out: String) = {
-          val wr = Window.partitionBy("event_type")
-            .orderBy(col(vc), col("event_id"))
+          val cnt = df.groupBy(col("event_type"), col(vc).as("v"))
+            .agg(count(lit(1)).as("c"))
+          val cum = graft.operators.Ranks
+            .cumSumsBy(cnt, Seq("event_type"), "v", Seq("c"))
           val n = df.groupBy("event_type").agg(count(lit(1)).as("n"))
-          df.withColumn("rn", row_number().over(wr))
-            .join(broadcast(n), Seq("event_type"))
-            .filter(col("rn") === expr("(n + 1) DIV 2") ||
-              col("rn") === expr("n DIV 2 + 1"))
-            .groupBy("event_type")
-            .agg(expr(s"(MIN($vc) + MAX($vc)) / 2.0").as(out))
+          // both rank probes read the same cumulative relation
+          val j = cum.join(broadcast(n), Seq("event_type")).persist()
+          val v1 = j.filter(col("cum_c") >= expr("(n + 1) DIV 2"))
+            .groupBy("event_type").agg(min("v").as("v1"))
+          val v2 = j.filter(col("cum_c") >= expr("n DIV 2 + 1"))
+            .groupBy("event_type").agg(min("v").as("v2"))
+          v1.join(v2, Seq("event_type"))
+            .select(col("event_type"), expr("(v1 + v2) / 2.0").as(out))
         }
         val e = graft.sources.Events.load(s, dir)
           .select(col("event_type"), col("event_id"), col("value"))

@@ -235,4 +235,24 @@ object GraftProperties extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  private val groupedScored = Gen.nonEmptyListOf(Gen.zip(
+    Gen.chooseNum(0L, 2L), Gen.chooseNum(-50L, 50L), Gen.chooseNum(1L, 5L)))
+
+  property("Ranks.cumSumsBy == per-group running sums, any bin count") =
+    forAll(groupedScored, Gen.oneOf(1, 3, 64)) { (rows, bins) =>
+      import spark.implicits._
+      val d = rows.groupBy(r => (r._1, r._2)).map { case ((g, k), rs) =>
+        (g, k, rs.map(_._3).sum) }.toSeq
+      val got = graft.operators.Ranks
+        .cumSumsBy(d.toDF("g", "sc", "n"), Seq("g"), "sc", Seq("n"), bins)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val want = d.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.zipWithIndex.map { case ((_, k, _), i) =>
+          (g, k) -> sorted.take(i + 1).map(_._3).sum }
+      }.toMap
+      got == want
+    }
 }
