@@ -1250,15 +1250,20 @@ object Round5 {
             when(pmod(col("event_id"), lit(7L)) =!= 0, col("value")).as("v"))
           .persist()
         val obs = e.filter(col("v").isNotNull)
-        val wr = Window.partitionBy("event_type")
-          .orderBy(col("v"), col("event_id"))
-        val ranked = obs.withColumn("rn", row_number().over(wr))
+        // median by counting + Ranks.cumSumsBy (no per-type sort task;
+        // v at rank r = min v with cum >= r — same fix as q249)
+        val cnt = obs.groupBy(col("event_type"), col("v").as("vv"))
+          .agg(count(lit(1)).as("c"))
+        val cum = graft.operators.Ranks
+          .cumSumsBy(cnt, Seq("event_type"), "vv", Seq("c"))
         val n = obs.groupBy("event_type").agg(count(lit(1)).as("n"))
-        val med = ranked.join(broadcast(n), Seq("event_type"))
-          .filter(col("rn") === expr("(n + 1) DIV 2") ||
-            col("rn") === expr("n DIV 2 + 1"))
-          .groupBy("event_type")
-          .agg(expr("(MIN(v) + MAX(v)) / 2.0").as("med"))
+        val j = cum.join(broadcast(n), Seq("event_type")).persist()
+        val v1 = j.filter(col("cum_c") >= expr("(n + 1) DIV 2"))
+          .groupBy("event_type").agg(min("vv").as("v1"))
+        val v2 = j.filter(col("cum_c") >= expr("n DIV 2 + 1"))
+          .groupBy("event_type").agg(min("vv").as("v2"))
+        val med = v1.join(v2, Seq("event_type"))
+          .select(col("event_type"), expr("(v1 + v2) / 2.0").as("med"))
         e.join(broadcast(med), Seq("event_type"))
           .select(col("event_id"),
             coalesce(col("v"), col("med")).as("value_filled"),
