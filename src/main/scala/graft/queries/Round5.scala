@@ -2076,6 +2076,85 @@ object Round5 {
             .cast("long").as("wau_est"))
           .orderBy("d")
       },
-      None)
+      None),
+
+    // ---- cluster labeling by c-TF-IDF (data cartography) ---------------
+    // The BERTopic-style composite: q225's two Lloyd rounds assign each
+    // document's embedding (vec_id = doc_id) to a cluster; each
+    // cluster's characteristic terms are the top-5 by c-TF-IDF —
+    // cluster term frequency × (k / #clusters containing the term),
+    // the rational idf variant (no ln, q81 precedent). Ranking divides
+    // exact ints once per term (deterministic doubles), ties broken by
+    // term. Everything inherits q225's int64-exact assignment, so the
+    // oracle replays the full unrolled Lloyd plus the tf tail.
+    "q253_llm_cluster_terms" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            floor(col("col").cast("double") * lit(1000000L)).as("x"))
+          .persist()
+        val c0 = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("i"), col("x").as("c"))
+        def assign(cents: org.apache.spark.sql.DataFrame) = {
+          val d = e.join(broadcast(cents), Seq("i"))
+            .groupBy("vec_id", "cid")
+            .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+          val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+          d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"))
+        }
+        def update(asg: org.apache.spark.sql.DataFrame) =
+          e.join(asg, Seq("vec_id"))
+            .groupBy("cid", "i")
+            .agg(floor(sum("x").cast("double") / count(lit(1))).as("c"))
+        val a2 = assign(update(assign(c0)))
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .join(a2.select(col("vec_id").as("doc_id"), col("cid")), Seq("doc_id"))
+          .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+          .persist()
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+        val scored = tf.join(broadcast(dfc), Seq("term"))
+          .withColumn("ctfidf", expr(
+            "CAST(tf * 4 AS DOUBLE) / CAST(dfc AS DOUBLE)"))
+        val w = Window.partitionBy("cid")
+          .orderBy(col("ctfidf").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("cid"), col("term"), col("tf"), col("ctfidf"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("cid", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, i.i AS i,
+          CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+      c0 AS (SELECT vec_id AS cid, i, x AS c FROM e WHERE vec_id < 4),
+      d1 AS (SELECT e.vec_id, c0.cid, SUM((x - c) * (x - c)) AS dist
+        FROM e JOIN c0 USING (i) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1),
+      c1 AS (SELECT cid, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT e.vec_id, c1.cid, SUM((x - c) * (x - c)) AS dist
+        FROM e JOIN c1 USING (i) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT cid, term, COUNT(*) AS tf FROM tok
+        JOIN a2 ON tok.doc_id = a2.vec_id
+        WHERE length(term) > 0 GROUP BY 1, 2),
+      dfc AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+      sc AS (SELECT cid, tf.term, tf,
+          CAST(tf * 4 AS DOUBLE) / CAST(dfc AS DOUBLE) AS ctfidf
+        FROM tf JOIN dfc ON tf.term = dfc.term),
+      r AS (SELECT cid, term, tf, ctfidf, row_number() OVER (
+          PARTITION BY cid ORDER BY ctfidf DESC, term) AS rnk FROM sc)
+      SELECT cid, term, CAST(tf AS BIGINT) AS tf, ctfidf, rnk
+      FROM r WHERE rnk <= 5 ORDER BY cid, rnk"""))
   )
 }
