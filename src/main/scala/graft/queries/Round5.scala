@@ -2155,6 +2155,58 @@ object Round5 {
       r AS (SELECT cid, term, tf, ctfidf, row_number() OVER (
           PARTITION BY cid ORDER BY ctfidf DESC, term) AS rnk FROM sc)
       SELECT cid, term, CAST(tf AS BIGINT) AS tf, ctfidf, rnk
-      FROM r WHERE rnk <= 5 ORDER BY cid, rnk"""))
+      FROM r WHERE rnk <= 5 ORDER BY cid, rnk""")),
+
+    // ---- per-group OLS trend (exact moments) ---------------------------
+    // q117's regression per SERIES: each type's daily-count trend,
+    // slope = (kΣxy − ΣxΣy)/(kΣx² − (Σx)²) with x = day index rebased
+    // to the type's first day (keeps products small) — all moments
+    // exact int64, one double division for slope and one for the
+    // intercept, round-6 output. Degenerate single-day series yield
+    // NULL on both engines.
+    "q254_ts_trend_slopes" -> QueryDef(
+      (s, dir) => {
+        val daily = graft.sources.Events.load(s, dir)
+          .groupBy(col("event_type"), expr("sec DIV 86400").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val base = daily.groupBy("event_type").agg(min("day").as("d0"))
+        daily.join(base, Seq("event_type"))
+          .withColumn("x", col("day") - col("d0"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope", expr(
+            """CASE WHEN k * sxx - sx * sx > 0 THEN
+               round(CAST(k * sxy - sx * sy AS DOUBLE) /
+                 CAST(k * sxx - sx * sx AS DOUBLE), 6) END"""))
+          .withColumn("intercept", expr(
+            """CASE WHEN k * sxx - sx * sx > 0 THEN
+               round((CAST(sy AS DOUBLE) - round(CAST(k * sxy - sx * sy AS DOUBLE) /
+                 CAST(k * sxx - sx * sx AS DOUBLE), 6) * CAST(sx AS DOUBLE)) /
+                 CAST(k AS DOUBLE), 6) END"""))
+          .select(col("event_type"), col("k").as("n_days"),
+            col("slope"), col("intercept"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (SELECT event_type,
+          ${Det.epochSecSql("ts")} // 86400 AS day, COUNT(*) AS y
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+      m AS (SELECT daily.event_type, COUNT(*) AS k,
+          CAST(SUM(day - d0) AS BIGINT) AS sx,
+          CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM((day - d0) * y) AS BIGINT) AS sxy,
+          CAST(SUM((day - d0) * (day - d0)) AS BIGINT) AS sxx
+        FROM daily JOIN b ON daily.event_type = b.event_type GROUP BY 1)
+      SELECT event_type, k AS n_days,
+        CASE WHEN k * sxx - sx * sx > 0 THEN
+          round(CAST(k * sxy - sx * sy AS DOUBLE) /
+            CAST(k * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+        CASE WHEN k * sxx - sx * sx > 0 THEN
+          round((CAST(sy AS DOUBLE) - round(CAST(k * sxy - sx * sy AS DOUBLE) /
+            CAST(k * sxx - sx * sx AS DOUBLE), 6) * CAST(sx AS DOUBLE)) /
+            CAST(k AS DOUBLE), 6) END AS intercept
+      FROM m ORDER BY event_type"""))
   )
 }
