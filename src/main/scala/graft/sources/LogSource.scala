@@ -125,11 +125,34 @@ object LogSource {
         !f.getName.startsWith("_"))
       .map(_.getPath).sorted.toSeq
 
+  /** Per-file non-empty-line counts, cached by (length, mtime): outside
+    * Trigger.AvailableNow, `latestOffset()` plans EVERY micro-batch, so
+    * a long-running stream would otherwise re-scan the whole log per
+    * trigger — O(log size) planning cost. Log segments are append-only
+    * (a changed file changes length/mtime and re-counts), and the map
+    * is keyed by path so a rewritten file replaces its stale entry
+    * instead of leaking one per version.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  private def countLines(f: String): Long = {
+    val file = new java.io.File(f)
+    val (len, mt) = (file.length(), file.lastModified())
+    val cached = countCache.get(f)
+    if (cached != null && cached._1 == len && cached._2 == mt) cached._3
+    else {
+      val src = scala.io.Source.fromFile(f)
+      val n = try src.getLines().count(_.nonEmpty).toLong finally src.close()
+      countCache.put(f, (len, mt, n))
+      n
+    }
+  }
+
   /** End offset (= record count; offsets are dense) per partition. */
   private[sources] def endOffsets(root: String): Map[Int, Long] =
     partDirs(root).map { case (p, d) =>
-      p -> partFiles(d).map(f =>
-        scala.io.Source.fromFile(f).getLines().count(_.nonEmpty).toLong).sum
+      p -> partFiles(d).map(countLines).sum
     }.toMap
 }
 
@@ -250,24 +273,41 @@ private class LogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LogInputPartition]
     new PartitionReader[InternalRow] {
-      private val lines = p.files.iterator.flatMap { f =>
-        scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty)
-      }
+      // one file open at a time; closed on advance and in close() so a
+      // task that stops mid-range (limit, failure) leaks no descriptor
+      private val files = p.files.iterator
+      private var src: scala.io.Source = _
+      private var lines: Iterator[String] = Iterator.empty
       private var row: InternalRow = _
+
+      private def advanceFile(): Boolean = {
+        if (src != null) { src.close(); src = null }
+        if (!files.hasNext) false
+        else {
+          src = scala.io.Source.fromFile(files.next())
+          lines = src.getLines().filter(_.nonEmpty)
+          true
+        }
+      }
+
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val parts = lines.next().split('|')
-          val off = parts(0).toLong
-          if (off >= p.start && off < p.end) {
-            row = InternalRow(p.part, off, parts(1).toLong,
-              UTF8String.fromString(parts(2)), parts(3).toLong)
-            return true
-          }
+        var more = true
+        while (more) {
+          if (lines.hasNext) {
+            val parts = lines.next().split('|')
+            val off = parts(0).toLong
+            if (off >= p.start && off < p.end) {
+              row = InternalRow(p.part, off, parts(1).toLong,
+                UTF8String.fromString(parts(2)), parts(3).toLong)
+              return true
+            }
+          } else more = advanceFile()
         }
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit =
+        if (src != null) { src.close(); src = null }
     }
   }
 }

@@ -120,60 +120,78 @@ object EventStreams {
   case class SessionOut(user_id: Long, start_sec: Long, last_sec: Long,
       n_events: Long)
   case class SessState(start: Long, last: Long, n: Long)
+  /** All of one user's not-yet-flushed sessions, sorted by start. */
+  case class SessList(xs: Seq[SessState])
 
   /** Event-time-TIMER sessionizer on transformWithState — the custom
     * stateful-operator shape `session_window` cannot express (emit on
-    * quiesce, arbitrary per-session state). Per user: events in a batch
-    * sessionize in event-time order (a gap STRICTLY greater than
-    * `gapSec` starts a new session — Spark's session_window merge rule);
-    * in-batch closures emit immediately; the trailing open session
-    * registers an event-time timer at (last + gap) and is flushed by
-    * handleExpiredTimer once the watermark passes it. State: one tiny
-    * ValueState per ACTIVE user + one timer — store size tracks active
-    * keys, not events.
+    * quiesce, arbitrary per-session state). Per user the state holds
+    * EVERY session still inside the watermark horizon — the open one
+    * AND any already-quiesced ones — as a sorted interval list; each
+    * incoming event merges by the session_window rule (a gap STRICTLY
+    * greater than `gapSec` starts a new session, so `<= gap` merges),
+    * which means a watermark-admissible late event can lower a
+    * session's start or bridge two existing sessions into one, exactly
+    * like batch session_window. Nothing is emitted from
+    * handleInputRows: a session flushes only from handleExpiredTimer
+    * once the watermark strictly passes (last + gap) — before that
+    * point a late event could still legally merge into it. One timer
+    * per user at the EARLIEST pending flush time; state size tracks
+    * active keys × sessions-in-horizon, not events.
     */
   class TimerSessionProcessor(gapSec: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp), SessionOut] {
-    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessState] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessList] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[SessState]("sess",
-        org.apache.spark.sql.Encoders.product[SessState],
+      st = getHandle.getValueState[SessList]("sess",
+        org.apache.spark.sql.Encoders.product[SessList],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def held: List[SessState] =
+      Option(st.get()).map(_.xs.toList).getOrElse(Nil)
+
+    /** One timer per user at the earliest (last + gap); re-pointed on
+      * every state change so a merge that extends the earliest session
+      * also defers its flush.
+      */
+    private def repointTimer(xs: List[SessState]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (xs.nonEmpty)
+        getHandle.registerTimer((xs.map(_.last).min + gapSec) * 1000L)
+    }
 
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, java.sql.Timestamp)],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
-      val secs = rows.map(_._2.getTime / 1000L).toArray.sorted
-      var closed = List.empty[SessionOut]
-      var cur = Option(st.get())
-      secs.foreach { sec =>
-        cur = cur match {
-          case Some(c) if sec - c.last > gapSec =>
-            closed ::= SessionOut(user, c.start, c.last, c.n)
-            Some(SessState(sec, sec, 1))
-          case Some(c) =>
-            Some(SessState(c.start, math.max(c.last, sec), c.n + 1))
-          case None => Some(SessState(sec, sec, 1))
-        }
-      }
-      cur.foreach { c =>
-        st.update(c)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer((c.last + gapSec) * 1000L)
-      }
-      closed.reverseIterator
+      val singletons = rows.map(r => SessState(r._2.getTime / 1000L,
+        r._2.getTime / 1000L, 1)).toList
+      val merged = (held ++ singletons).sortBy(c => (c.start, c.last))
+        .foldLeft(List.empty[SessState]) {
+          case (h :: t, c) if c.start - h.last <= gapSec =>
+            SessState(math.min(h.start, c.start),
+              math.max(h.last, c.last), h.n + c.n) :: t
+          case (acc, c) => c :: acc
+        }.reverse
+      st.update(SessList(merged))
+      repointTimer(merged)
+      Iterator.empty
     }
 
     override def handleExpiredTimer(user: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
-      val out = Option(st.get())
+      // Strict <: an event AT the watermark is still admissible and an
+      // event at sec == last + gap still merges, so only sessions the
+      // watermark has strictly passed are immutable and safe to flush.
+      val wmSec = timerValues.getCurrentWatermarkInMs() / 1000L
+      val (due, rest) = held.partition(c => c.last + gapSec < wmSec)
+      if (rest.isEmpty) st.clear() else st.update(SessList(rest))
+      repointTimer(rest)
+      due.sortBy(_.start)
         .map(c => SessionOut(user, c.start, c.last, c.n)).iterator
-      st.clear()
-      out
     }
   }
 

@@ -195,6 +195,56 @@ class StreamingSpec extends SparkTestBase {
     assert(mustFlush.nonEmpty) // the check must actually bite
   }
 
+  test("timer sessionizer merges watermark-admissible late events across batches") {
+    // The cross-batch late-arrival semantics the file-stream fixture
+    // (one micro-batch) can never exercise: batch 1 leaves two held
+    // sessions [1000] and [3500] (gap 2500 > 1800); batch 2 delivers a
+    // LATE but watermark-admissible event at 2300 that bridges them
+    // (2300-1000 and 3500-2300 both <= gap) — the merged session must
+    // lower nothing, raise nothing, and count 3; batch 3 advances the
+    // watermark past (3500 + gap) so the timer flushes exactly the
+    // merged session. Under the old emit-on-in-batch-closure design the
+    // [1000] session was emitted in batch 1 with state discarded and
+    // the bridge was impossible.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, java.sql.Timestamp)]
+      val src = ms.toDF().toDF("user_id", "ts")
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val q = EventStreams.timerSessions(src, gapSec = 1800L,
+          delay = "7200 seconds").toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_late_sess").start()
+      val expected = (7L, 1000L, 3500L, 3L)
+      try {
+        ms.addData(Seq((7L, ts(1000L)), (7L, ts(3500L))))
+        q.processAllAvailable() // watermark still 0 (3500 - 7200 < 0)
+        ms.addData(Seq((7L, ts(2300L)))) // late bridge, admissible
+        q.processAllAvailable()
+        ms.addData(Seq((7L, ts(20000L)))) // watermark -> 12800 > 5300
+        q.processAllAvailable()
+        // the flush rides a no-data micro-batch after the last commit
+        val deadline = System.currentTimeMillis() + 30000
+        def rows() = spark.table("t_late_sess").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        while (!rows().contains(expected) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(200)
+        // exactly the merged session: the open [20000] session's flush
+        // time (21800) sits above the final watermark and must NOT emit
+        assert(rows() == Set(expected), s"got ${rows()}")
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("statestore batch reader returns exactly the streaming agg's final state") {
     // Run a streaming per-user count into an explicit checkpoint, then
     // read the state store back with the batch `statestore` source —
