@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,13 +23,33 @@ object Probe {
     sys.env.get("SPARK_GRAFT_AUTOBC").foreach(v =>
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // Per-query spill/peak-memory aggregates for the constrained-heap
+    // probes: did the spill path actually engage under -Xmx pressure?
+    // Listener delivery is async, so counts can lag a fast query by a
+    // beat — treat as probe evidence, not an exact accounting.
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        }
+      }
+    })
     // Timed action = noop write (count() lets Catalyst prune unreferenced
     // subtrees — see Bench.scala); rows are not re-counted to keep the
     // measurement single-action.
     def time(name: String)(f: => Unit): Unit = {
+      memSpill.set(0); diskSpill.set(0); peakMem.set(0)
       val t0 = System.nanoTime()
       f
-      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"spillMB=${memSpill.get >> 20} diskSpillMB=${diskSpill.get >> 20} " +
+        s"peakTaskMemMB=${peakMem.get >> 20}")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -125,10 +125,13 @@ object Dedup {
     * and each ingest batch probes it. The probe index is hinted
     * broadcast (a daily batch's shingle index is dimension-sized next
     * to the corpus), so the corpus side never shuffles — candidate
-    * generation is one broadcast hash join on (shingle hash, block);
-    * if a batch outgrows the broadcast threshold Spark falls back to a
-    * shuffle join on the same keys. Returns (da = probe id, db =
-    * corpus id, jaccard >= threshold).
+    * generation is one broadcast hash join on (shingle hash, block).
+    * An explicit broadcast() hint is UNCONDITIONAL — it bypasses
+    * autoBroadcastJoinThreshold entirely — so the hint is gated here on
+    * the optimizer's size estimate for the probe plan: an oversized
+    * ingest batch gets a plain equi-join on the same keys (one shuffle,
+    * no driver/executor OOM risk) instead of a forced broadcast.
+    * Returns (da = probe id, db = corpus id, jaccard >= threshold).
     */
   def jaccardPairsAgainst(
       probe: DataFrame,
@@ -144,7 +147,14 @@ object Dedup {
       struct(blockCols.map(col): _*).as("__ba"), col("__n").as("na"))
     val b = ca.select(col(idCol).as("db"), col("gh"),
       struct(blockCols.map(col): _*).as("__bb"), col("__n").as("nb"))
-    broadcast(a).join(b, a("gh") === b("gh") && a("__ba") === b("__bb"))
+    // Gate on Catalyst's own estimate for the shingle-index plan (it
+    // derives from the probe scan size). Broadcast only within the
+    // session's configured threshold; unknown/huge estimates fail the
+    // gate — erring toward the shuffle join is the safe direction.
+    val est = pa.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thr = BigInt(probe.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    val left = if (thr > 0 && est >= 0 && est <= thr) broadcast(a) else a
+    left.join(b, a("gh") === b("gh") && a("__ba") === b("__bb"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
@@ -434,13 +444,19 @@ object Dedup {
     * per-bit votes, bit set iff vote positive. Deterministic.
     */
   def simHash(words: Column): Column = {
-    val bits = (0 until 32).map { i =>
-      // vote_i = sum over tokens of (bit_i(hash) ? 1 : -1)
-      val vote = aggregate(words, lit(0),
-        (acc, w) => acc +
-          when(shiftright(xxhash64(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // Single pass: hash each token ONCE and fold a 32-counter vote
+    // array. The earlier form ran 32 separate aggregate() HOFs over the
+    // (derived) token array — CollapseProject duplicated the
+    // tokenize+hash subtree into every one of them (the q45 3.1 s
+    // hazard; see CLAUDE.md). vote_i = Σ tokens (bit_i(hash) ? 1 : -1).
+    val masks = array((0 until 32).map(i => lit(1L << i)): _*)
+    val votes = aggregate(
+      transform(words, w => xxhash64(w)),
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
   }
 }

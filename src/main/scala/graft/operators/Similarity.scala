@@ -202,4 +202,84 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Bounded-degree neighbor graph for graph-based ANN: every corpus
+    * vector keeps directed edges to its top-`d` SAME-LSH-BUCKET
+    * neighbors by (rounded) cosine, ties on id. Bucketing bounds the
+    * pair generation (per-bucket work, never all-pairs — the
+    * [[lshTopK]] argument); the degree cap bounds the graph to d·|C|
+    * edges, which is what makes beam search over it cheap. At 100 TB
+    * this build is one bucket-keyed shuffle + a per-node top-d window;
+    * production systems refine such an LSH-seeded graph with NN-Descent
+    * rounds, which would slot in here as extra (join + window) passes.
+    */
+  def lshKnnEdges(corpus: DataFrame /* cid, ce */ , d: Int, nPlanes: Int,
+      dim: Int): DataFrame = {
+    NativeExpressions.register(corpus.sparkSession)
+    val planes = hyperplanes(nPlanes, dim)
+    val cb = corpus.withColumn("bucket",
+        VectorFunctions.hyperplaneBucket(col("ce"), planes))
+      .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val a = cb.select(col("cid").as("u"), col("ce").as("ue"),
+      col("cn").as("un"), col("bucket"))
+    val b = cb.select(col("cid").as("v"), col("ce").as("ve"),
+      col("cn").as("vn"), col("bucket"))
+    val scored = a.join(b, Seq("bucket")).filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"),
+        round(expr("vec_dot(ue, ve)") / (col("un") * col("vn")), 6).as("cos"))
+    val w = Window.partitionBy("u").orderBy(col("cos").desc, col("v"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= d)
+      .select(col("u"), col("v"))
+  }
+
+  /** Greedy beam search over a bounded-degree neighbor graph — the
+    * HNSW/DiskANN-family QUERY pattern, completing the ANN set next to
+    * [[lshTopK]] (hash), [[ivfTopK]] (coarse quantizer), and PQ (code
+    * compression). All queries start at a fixed entry point (the
+    * minimum corpus id — the deterministic stand-in for HNSW's top
+    * layer entry); each of `rounds` unrolled steps expands the current
+    * beam through its out-edges, scores the candidate set, and keeps
+    * the best `beam` per query (rounded cosine, ties on id).
+    *
+    * Scale shape: the per-query candidate set is ≤ beam·(d+1) BY
+    * CONSTRUCTION — independent of corpus size — so each round is one
+    * broadcast of |Q|·beam·(d+1) candidate rows hash-joined against the
+    * corpus scan (corpus never shuffles), plus a window whose groups
+    * are capped at beam·(d+1) rows (bounded-GROUP-SIZE, so the
+    * bounded-cardinality-partition trap does not apply). Frontiers are
+    * persisted: each feeds two lineage paths (edge expansion + union).
+    */
+  def beamTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      edges: DataFrame, // u, v
+      k: Int,
+      beam: Int,
+      rounds: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val entry = corpus.agg(min("cid").as("cid"))
+    // 1-row bounded build side (the q13 class of sanctioned cross join)
+    var frontier = queries.select(col("qid")).crossJoin(broadcast(entry))
+      .withColumn("cos", lit(null).cast("double"))
+    for (_ <- 1 to rounds) {
+      val f = frontier.persist()
+      val expanded = f.join(edges, f("cid") === edges("u"))
+        .select(col("qid"), col("v").as("cid"))
+        .unionByName(f.select("qid", "cid")).distinct()
+      val withQ = expanded.join(q, "qid")
+      val scored = c.join(broadcast(withQ), "cid")
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      frontier = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam).select(col("qid"), col("cid"), col("cos"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    frontier.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+  }
 }

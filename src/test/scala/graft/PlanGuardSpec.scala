@@ -65,7 +65,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q239_llm_quantile_normalize", // Ranks scalar + 1-row global-count frame
     "q240_llm_budget_waterfill",   // 1-row budget + uncapped-prefix scalars (bounded domain dim)
     "q241_ts_forecast_smape",      // 1-row max-hour scalar (backtest horizon)
-    "q244_basket_association"      // 1-row basket-count scalar (lift normalizer)
+    "q244_basket_association",     // 1-row basket-count scalar (lift normalizer)
+    "q255_llm_ann_beam"            // 1-row fixed-entry-point seed; beam rounds
+                                   // are bounded candidate broadcasts (≤ |Q|·beam·(d+1))
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,

@@ -11,19 +11,31 @@ class StreamingSpec extends SparkTestBase {
 
   private def streamEvents = {
     Events.load(spark, sf) // ensure ns-read conf fallback
-    spark.readStream
+    val src = spark.readStream
       .schema(Tables.load(spark, sf, "events").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // branch on the inferred type like sources.Events: the fixture's ts
+    // has shipped as BOTH parquet ns (reads as Long under the legacy
+    // conf) and µs (reads as a timestamp directly) across rounds
+    // watermarks demand TIMESTAMP (not NTZ); session TZ is UTC so the
+    // cast is value-preserving
+    if (src.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else src.withColumn("ts", col("ts").cast("timestamp"))
   }
+
+  /** Batch twin with ts coerced to the same TIMESTAMP type the stream
+    * carries, so window-start strings compare equal. */
+  private def batchEvents =
+    Events.load(spark, sf).withColumn("ts", col("ts").cast("timestamp"))
 
   test("streaming tumbling counts == batch tumbling counts") {
     val streamed = EventStreams.runToMemory(
       EventStreams.tumblingCounts(streamEvents), "t_tumbling")
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
       .orderBy("ws", "event_type").collect().map(_.toString)
-    val batch = Events.load(spark, sf)
+    val batch = batchEvents
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
@@ -36,7 +48,7 @@ class StreamingSpec extends SparkTestBase {
       EventStreams.sessionCounts(streamEvents), "t_session")
       .select(col("user_id"), col("sw.start").as("ss"), col("n_events"))
       .orderBy("user_id", "ss").collect().map(_.toString)
-    val batch = Events.load(spark, sf)
+    val batch = batchEvents
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("ss"), col("n_events"))

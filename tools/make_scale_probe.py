@@ -5,13 +5,24 @@ per replica (join cardinalities stay sane) while text/embeddings/events
 payloads duplicate verbatim — deliberately duplication-heavy, the worst
 case for near-dup operators.
 
-Usage: python3 tools/make_scale_probe.py <base_sf_dir> <out_dir> [N=10]
+With --skew, fact-side foreign keys are additionally remapped onto a
+zipf(1) (log-uniform-rank) distribution over the FULL replicated key
+domain — dimension keys stay unique and dense, so joins stay valid but
+a handful of keys carry most of the fact rows. Replication alone keeps
+key frequencies uniform; --skew is how the big joins/windows get
+measured under the hot-key condition AQE/salting exists for. The remap
+is a deterministic per-ROW hash (not per-value), so row mass follows
+the zipf shape exactly and reruns are reproducible.
+
+Usage: python3 tools/make_scale_probe.py <base_sf_dir> <out_dir> [N=10] [--skew]
 Driver-side tool (duckdb), not part of the library.
 """
 import sys, os, duckdb
 
-base, out = sys.argv[1], sys.argv[2]
-n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+args = [a for a in sys.argv[1:] if a != "--skew"]
+skew = "--skew" in sys.argv
+base, out = args[0], args[1]
+n = int(args[2]) if len(args) > 2 else 10
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -39,9 +50,29 @@ for tbl, keys in SHIFT.items():
         con.sql(f"COPY (SELECT * FROM '{src}') TO '{out}/{tbl}.parquet' (FORMAT parquet)")
         continue
     spans = {k: con.sql(f"SELECT MAX({k}) + 1 FROM '{src}'").fetchone()[0] for k in keys}
-    sel = ", ".join(
-        f"{c} + r.r * {spans[c]} AS {c}" if c in spans else c for c in cols)
+
+    def shifted(c):
+        return f"{c} + r.r * {spans[c]}" if c in spans else c
+
+    # fk -> per-row seed expr (unique per row so row MASS is zipf-shaped)
+    SKEW = {
+        "orders": {"o_custkey": "o_orderkey * {n} + r.r"},
+        "lineitem": {"l_suppkey": "l_orderkey * 16 + l_linenumber + r.r",
+                     "l_custkey": "l_orderkey * 16 + l_linenumber + r.r + 7"},
+        "events": {"user_id": "event_id * {n} + r.r"},
+    }.get(tbl, {}) if skew else {}
+
+    def render(c):
+        if c in SKEW and c in spans:
+            dom = spans[c] * n - 1  # replicated dims cover 1..span*n-1
+            seed = SKEW[c].format(n=n)
+            # rank = dom**u, u~U[0,1): P(rank<=k) = ln k / ln dom (zipf-1)
+            return (f"GREATEST(1, CAST(pow({dom}, "
+                    f"(hash({seed}) % 1000003) / 1000003.0) AS BIGINT)) AS {c}")
+        return f"{shifted(c)} AS {c}"
+
+    sel = ", ".join(render(c) for c in cols)
     con.sql(f"""COPY (SELECT {sel} FROM '{src}', (SELECT unnest(range(0, {n})) AS r) r)
       TO '{out}/{tbl}.parquet' (FORMAT parquet)""")
-    print(tbl, "x", n)
+    print(tbl, "x", n, "(skewed: " + ",".join(SKEW) + ")" if SKEW else "")
 print("done ->", out)
