@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
 object Probe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // At constrained heap, partition count is the sizing knob (CLAUDE.md:
+    // size shuffle partitions so working sets fit executor memory)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -59,6 +62,32 @@ object Probe {
         println(s"===== PLAN $q =====")
         println(all(q)(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      spark.stop(); return
+    }
+    if (args.drop(1).headOption.contains("plansexec")) {
+      // EXECUTED adaptive plans (AQE decisions — skew-join splits,
+      // runtime join strategy switches — exist only post-execution).
+      // The noop save runs its own QueryExecution, so capture it via a
+      // listener: its executedPlan IS final once onSuccess fires.
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val ltn = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          plans.add(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ltn)
+      for (q <- args.drop(2)) {
+        plans.clear()
+        noop(all(q)(spark, dir))
+        // listener delivery is async; QueryExecutionListener rides the
+        // shared bus with no public drain — a beat is enough here
+        Thread.sleep(1500)
+        println(s"===== EXEC PLAN $q =====")
+        plans.forEach(p => println(p.take(8000)))
       }
       spark.stop(); return
     }

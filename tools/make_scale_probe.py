@@ -58,7 +58,9 @@ for tbl, keys in SHIFT.items():
     SKEW = {
         "orders": {"o_custkey": "o_orderkey * {n} + r.r"},
         "lineitem": {"l_suppkey": "l_orderkey * 16 + l_linenumber + r.r",
-                     "l_custkey": "l_orderkey * 16 + l_linenumber + r.r + 7"},
+                     "l_custkey": "l_orderkey * 16 + l_linenumber + r.r + 7",
+                     "l_partkey": "l_orderkey * 16 + l_linenumber + r.r + 13",
+                     "l_orderkey": "l_orderkey * 16 + l_linenumber + r.r + 29"},
         "events": {"user_id": "event_id * {n} + r.r"},
     }.get(tbl, {}) if skew else {}
 
