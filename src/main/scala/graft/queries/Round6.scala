@@ -130,7 +130,34 @@ object Round6 {
         Similarity.beamTopK(qs, corpus, edges, k = 3, beam = 4, rounds = 2)
           .orderBy("qid", "rnk")
       },
-      Some {
+      Some(beamOracle)),
+
+    // ---- dedup-first graph-ANN build (duplication-robust twin) ---------
+    // Same output, same oracle as q255 — the EDGE BUILD runs dedup-
+    // first (Similarity.lshKnnEdgesDeduped): one dot per unique vector
+    // pair per bucket, per-member top-d reconstructed through the
+    // duplicate groups via the provably-sufficient top-(d+1)-groups
+    // cap. The round-6 probe measured the all-copies build at 454 s /
+    // 11.7×/decade on the 100-copies 100× fixture; this is the
+    // production shape for duplicated corpora (q159/q188/q257 family).
+    "q258_llm_ann_beam_dedup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val edges = Similarity.lshKnnEdgesDeduped(corpus, d = 4, nPlanes = 6,
+          dim = 64).persist()
+        Similarity.beamTopK(qs, corpus, edges, k = 3, beam = 4, rounds = 2)
+          .orderBy("qid", "rnk")
+      },
+      Some(beamOracle))
+  )
+
+  /** Shared by q255/q258: replays the LSH-seeded kNN edge build and
+    * both beam rounds as CTEs (identical for both queries — the dedup-
+    * first build produces the identical edge set by construction). */
+  private lazy val beamOracle: String = {
         val bucket = bucketSql(Similarity.hyperplanes(6, 64))
         s"""WITH cb AS (SELECT vec_id AS cid, $bucket AS bucket
             FROM (SELECT vec_id, embedding AS e FROM embeddings)),
@@ -169,6 +196,5 @@ object Round6 {
             PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s2)
         SELECT qid, cid, cos, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 3 ORDER BY qid, rnk"""
-      })
-  )
+  }
 }

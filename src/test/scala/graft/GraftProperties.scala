@@ -111,6 +111,17 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("lshKnnEdgesDeduped == lshKnnEdges on dup-heavy corpora") =
+    forAll(dupEmbeddings) { rows =>
+      import spark.implicits._
+      // 8-dim vectors; same hyperplane recipe at dim=8
+      val df = rows.map { case (id, _, v) => (id, v) }.toDF("cid", "ce")
+      def es(e: org.apache.spark.sql.DataFrame) =
+        e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      es(operators.Similarity.lshKnnEdges(df, d = 3, nPlanes = 3, dim = 8)) ==
+        es(operators.Similarity.lshKnnEdgesDeduped(df, d = 3, nPlanes = 3, dim = 8))
+    }
+
   property("cosinePairsDeduped == cosinePairs on dup-heavy corpora") =
     forAll(dupEmbeddings) { rows =>
       import spark.implicits._
