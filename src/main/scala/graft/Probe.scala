@@ -25,6 +25,12 @@ object Probe {
     // the capture shows which broadcasts are *forced* vs *estimated*.
     sys.env.get("SPARK_GRAFT_AUTOBC").foreach(v =>
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    // SPARK_GRAFT_CONF="k=v;k=v" — arbitrary session-conf overrides for
+    // probe experiments (e.g. AQE skew-split thresholds)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // Per-query spill/peak-memory aggregates for the constrained-heap
     // probes: did the spill path actually engage under -Xmx pressure?

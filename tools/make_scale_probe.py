@@ -19,8 +19,14 @@ Driver-side tool (duckdb), not part of the library.
 """
 import sys, os, duckdb
 
-args = [a for a in sys.argv[1:] if a != "--skew"]
-skew = "--skew" in sys.argv
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+skew = any(a.startswith("--skew") for a in sys.argv)
+# --skew-hot=0.3 sends that row fraction to key 1 (the AQE skew-split
+# trigger condition); remaining rows stay zipf(1)
+hot = 0.0
+for a in sys.argv:
+    if a.startswith("--skew-hot="):
+        hot = float(a.split("=", 1)[1])
 base, out = args[0], args[1]
 n = int(args[2]) if len(args) > 2 else 10
 os.makedirs(out, exist_ok=True)
@@ -69,8 +75,12 @@ for tbl, keys in SHIFT.items():
             dom = spans[c] * n - 1  # replicated dims cover 1..span*n-1
             seed = SKEW[c].format(n=n)
             # rank = dom**u, u~U[0,1): P(rank<=k) = ln k / ln dom (zipf-1)
-            return (f"GREATEST(1, CAST(pow({dom}, "
-                    f"(hash({seed}) % 1000003) / 1000003.0) AS BIGINT)) AS {c}")
+            z = (f"GREATEST(1, CAST(pow({dom}, "
+                 f"(hash({seed}) % 1000003) / 1000003.0) AS BIGINT))")
+            if hot > 0:  # route a fixed row fraction onto key 1
+                z = (f"CASE WHEN (hash({seed} + 1) % 1000003) / 1000003.0 "
+                     f"< {hot} THEN 1 ELSE {z} END")
+            return f"{z} AS {c}"
         return f"{shifted(c)} AS {c}"
 
     sel = ", ".join(render(c) for c in cols)
