@@ -87,4 +87,73 @@ object Ranks {
       (sum(col(c)).over(wl) + col(s"o_$c")).as(s"cum_$c"))
     withCums.select(d.columns.map(col).toSeq ++ cums: _*)
   }
+
+  /** Exact per-ROW running sums that never sort a HOT partition key in
+    * one task — the skew-robust form of
+    * `sum(v).over(partitionBy(part).orderBy(ord).rowsBetween(start,
+    * current))`. The round-6 skew probe measured the plain window at
+    * 1.6× under a zipf hot key (a window partition is indivisible —
+    * AQE splits skewed JOINS, never window sorts).
+    *
+    * HYBRID scheme: keys with ≥ `hotThreshold` rows (a BOUNDED set —
+    * at most |rows|/hotThreshold keys exist, so the key list
+    * broadcasts) take the two-phase path: range-bin by `ordNum` (any
+    * numeric expression monotone non-decreasing in the window order's
+    * LEADING key — equal keys share a bin, so bin order refines to the
+    * true order), run the window within (part, bin), prefix-sum the
+    * per-(part, bin) totals, add the offset. Everything else takes the
+    * plain window — binning EVERY group would multiply data-sized
+    * shuffles for groups that fit in one task anyway (measured: 52 s
+    * vs 23 s at 100× when all 1.5M customers were binned). Addition of
+    * integral/decimal values is exact and associative, so both paths
+    * are BIT-IDENTICAL to the plain window (property-tested with the
+    * threshold forcing both paths).
+    *
+    * Appends `run_<c>` for each value column. Value columns must be
+    * integral or decimal (exactness); `ordCols` must totally order
+    * rows within `part` (unique tie-break — the retry-determinism
+    * rule).
+    */
+  def runningSumsBinned(d: DataFrame, part: String, ordNum: String,
+      ordCols: Seq[String], vals: Seq[String], bins: Int = 64,
+      hotThreshold: Long = 1000000L): DataFrame = {
+    val outCols = d.columns.map(col).toSeq
+    val wPlain = Window.partitionBy(col(part)).orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hotKeys = d.groupBy(col(part)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hotThreshold)
+      .select(col(part), lit(1).as("hot"))
+    // two lineage paths (cold + hot) read this — persist (CLAUDE.md rule)
+    val flagged = d.join(broadcast(hotKeys), Seq(part), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coldOut = flagged.filter(col("hot").isNull)
+      .select(outCols ++ vals.map(c => sum(col(c)).over(wPlain).as(s"run_$c")): _*)
+    val hot = flagged.filter(col("hot") === 1).select(outCols: _*)
+    // hot path: global order-key range (1-row scalar broadcast, the
+    // cumSums shape). A hot key concentrated on ONE order value stays
+    // in one bin — at that point the order key itself is the skew and
+    // no row-order-preserving scheme can split it.
+    val mm = hot.agg(min(ordNum).as("lo"), max(ordNum).as("hi"))
+    val binned = hot.crossJoin(broadcast(mm)).withColumn("bin",
+      expr(s"""CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
+        (CAST(`$ordNum` AS DOUBLE) - CAST(lo AS DOUBLE)) /
+        (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * $bins) AS INT),
+        ${bins - 1}) END"""))
+      .drop("lo", "hi")
+    val tot = binned.groupBy(col(part), col("bin"))
+      .agg(sum(vals.head).as(s"t_${vals.head}"),
+        vals.tail.map(c => sum(c).as(s"t_$c")): _*)
+    val wb = Window.partitionBy(col(part)).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tot.select(Seq(col(part), col("bin")) ++ vals.map(c =>
+      sum(col(s"t_$c")).over(wb).as(s"o_$c")): _*)
+    val wl = Window.partitionBy(col(part), col("bin"))
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hotOut = binned.join(offs, Seq(part, "bin"))
+      .select(outCols ++ vals.map(c =>
+        (sum(col(c)).over(wl) +
+          coalesce(col(s"o_$c"), lit(0))).as(s"run_$c")): _*)
+    coldOut.unionByName(hotOut)
+  }
 }

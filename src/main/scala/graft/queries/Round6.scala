@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.Similarity
+import graft.operators.{Ranks, Similarity}
 import graft.sources.Tables
 import graft.util.Det
 
@@ -151,7 +151,38 @@ object Round6 {
         Similarity.beamTopK(qs, corpus, edges, k = 3, beam = 4, rounds = 2)
           .orderBy("qid", "rnk")
       },
-      Some(beamOracle))
+      Some(beamOracle)),
+
+    // ---- skew-robust running sum (two-phase distributed prefix sum) ----
+    // q23's running totals computed WITHOUT one sort task per customer:
+    // the round-6 skew probe showed windows are the one class AQE
+    // cannot rescue under a hot key (1.6× at 100×, indivisible
+    // partition). Ranks.runningSumsBinned range-bins each customer's
+    // rows by order date, runs the window within (customer, bin), and
+    // prefix-sums the ≤64-row per-customer bin spine — a hot customer
+    // spreads over 64 tasks. Decimal addition is associative, so the
+    // result is bit-identical: SAME oracle as q23.
+    "q259_win_running_sum_binned" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice").cast(Det.D6).as("v"), lit(1L).as("one"),
+            datediff(col("o_orderdate"), lit("1990-01-01")).as("odnum"))
+        Ranks.runningSumsBinned(o, "o_custkey", "odnum",
+            Seq("o_orderdate", "o_orderkey"), Seq("v", "one"), bins = 64,
+            hotThreshold = 100000L)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("run_v").cast("double").as("run_value"),
+            col("run_one").cast("long").as("run_n"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS run_value,
+        COUNT(*) OVER w AS run_n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
   )
 
   /** Shared by q255/q258: replays the LSH-seeded kNN edge build and

@@ -111,6 +111,36 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("runningSumsBinned == plain running window (bins force splits)") =
+    forAll(Gen.nonEmptyListOf(for {
+      p <- Gen.chooseNum(0L, 2L)  // few partitions -> hot groups
+      o <- Gen.chooseNum(0L, 50L) // order key with ties
+      v <- Gen.chooseNum(-100L, 100L)
+    } yield (p, o, v))) { rows =>
+      import spark.implicits._
+      // unique tie-break: row index as the secondary order column
+      val df = rows.zipWithIndex.map { case ((p, o, v), i) =>
+        (p, o, i.toLong, v)
+      }.toDF("p", "o", "i", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy("o", "i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val plain = df.select(col("p"), col("o"), col("i"),
+          sum("v").over(w).as("run_v"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      // hotThreshold = 5 forces BOTH paths: small groups plain, big
+      // groups through the bin/offset machinery
+      val binned = operators.Ranks
+        .runningSumsBinned(df, "p", "o", Seq("o", "i"), Seq("v"), bins = 4,
+          hotThreshold = 5L)
+        .select(col("p"), col("o"), col("i"), col("run_v"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      plain == binned
+    }
+
   property("lshKnnEdgesDeduped == lshKnnEdges on dup-heavy corpora") =
     forAll(dupEmbeddings) { rows =>
       import spark.implicits._

@@ -66,8 +66,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q240_llm_budget_waterfill",   // 1-row budget + uncapped-prefix scalars (bounded domain dim)
     "q241_ts_forecast_smape",      // 1-row max-hour scalar (backtest horizon)
     "q244_basket_association",     // 1-row basket-count scalar (lift normalizer)
-    "q255_llm_ann_beam"            // 1-row fixed-entry-point seed; beam rounds
+    "q255_llm_ann_beam",           // 1-row fixed-entry-point seed; beam rounds
                                    // are bounded candidate broadcasts (≤ |Q|·beam·(d+1))
+    "q258_llm_ann_beam_dedup",     // same beamTopK entry seed as q255
+    "q259_win_running_sum_binned"  // Ranks 1-row order-range scalar (cumSums shape)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
