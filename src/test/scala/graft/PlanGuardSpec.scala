@@ -69,7 +69,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q255_llm_ann_beam",           // 1-row fixed-entry-point seed; beam rounds
                                    // are bounded candidate broadcasts (≤ |Q|·beam·(d+1))
     "q258_llm_ann_beam_dedup",     // same beamTopK entry seed as q255
-    "q259_win_running_sum_binned"  // Ranks 1-row order-range scalar (cumSums shape)
+    "q259_win_running_sum_binned", // Ranks 1-row order-range scalar (cumSums shape)
+    "q260_llm_bigram_lm",          // 1-row vocabulary-size scalar (V)
+    "q261_mix_priority_sample",    // 1-row tau scalar over the bounded top-(k+1)
+    "q263_dq_audit",               // three 1-row metric frames joined for the report
+    "q268_eval_chi2_drift"         // 1-row contingency-totals frame
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
