@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Round-6 third batch: diversity-aware re-ranking (MMR — the RAG
+  * retrieval finisher), hashed-feature linear classifier scoring (the
+  * fastText-inference quality-filter shape), and CCNet-style line-level
+  * dedup. Determinism per SURVEY.md §2.3: cosines rounded to 6dp before
+  * any comparison (q46 recipe), classifier margins computed in exact
+  * int64 with ONE terminal double division, lambda = 1/2 so every MMR
+  * combination step is halving + subtraction (IEEE-exact, bit-portable),
+  * total orders with unique tie-breaks everywhere.
+  */
+object Round6c {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  /** Rounded cosine between two Array[Float] embedding columns (q46/q264
+    * recipe: +,*,/,sqrt are IEEE-exact; round(...,6) is the cross-engine
+    * equality surface). */
+  private def cosCol(x: String, y: String): Column = round(
+    expr(s"""aggregate(zip_with($x, $y, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""") /
+      (sqrt(expr(s"""aggregate(transform($x, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")) *
+        sqrt(expr(s"""aggregate(transform($y, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))), 6)
+
+  /** DuckDB rounded-cosine fragment between embedding aliases (requires
+    * the dimension unnest alias `i` in scope; embeddings are 64-dim). */
+  private def cosSql(x: String, y: String): String =
+    s"""round(SUM(CAST($x.embedding[i.i] AS DOUBLE) * CAST($y.embedding[i.i] AS DOUBLE)) /
+      (sqrt(SUM(CAST($x.embedding[i.i] AS DOUBLE) * CAST($x.embedding[i.i] AS DOUBLE))) *
+       sqrt(SUM(CAST($y.embedding[i.i] AS DOUBLE) * CAST($y.embedding[i.i] AS DOUBLE)))), 6)"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- MMR diverse top-k re-ranking (the RAG retrieval finisher) -----
+    // Maximal Marginal Relevance (Carbonell–Goldstein): from the top-12
+    // cosine candidates for a query vector, iteratively select 5 results
+    // maximizing lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s) with
+    // lambda = 1/2 — chosen so every score combination is a halving plus
+    // a subtraction of 6dp-rounded cosines (exponent arithmetic; bit-
+    // identical cross-engine without further rounding). Scale shape: the
+    // candidate set is top-k BOUNDED BY CONSTRUCTION (TakeOrdered — no
+    // global sort shuffle), so the 12x12 pairwise-sim table and the five
+    // selection rounds cost O(k^2) regardless of corpus size; the only
+    // corpus-sized work is the initial relevance scan against one
+    // broadcast query vector. This is the standard finishing stage on
+    // top of any of the ANN families (q46/q47/q77/q222/q255).
+    "q269_llm_mmr_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("eq")).withColumn("one", lit(1))
+        val cand = emb.filter(col("vec_id") =!= 0).withColumn("one", lit(1))
+          .join(broadcast(qv), Seq("one"))
+          .select(col("vec_id"), col("embedding"),
+            cosCol("embedding", "eq").as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(12)
+          .persist()
+        val a = cand.select(col("vec_id").as("va"), col("embedding").as("ea"))
+          .withColumn("one", lit(1))
+        val b = cand.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+          .withColumn("one", lit(1))
+        val sims = a.join(broadcast(b), Seq("one"))
+          .filter(col("va") =!= col("vb"))
+          .select(col("va"), col("vb"), cosCol("ea", "eb").as("sim"))
+          .persist()
+        // Each round references the previous selection twice (anti-join +
+        // penalty); persisting the tiny (<=5-row) frame per round cuts the
+        // otherwise-exponential lineage recompute (3^rounds small jobs).
+        var sel: DataFrame = cand
+          .orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), lit(1L).as("rank"), col("rel"),
+            (col("rel") * 0.5).as("mmr"))
+          .persist()
+        for (r <- 2 to 5) {
+          val pen = sims
+            .join(sel.select(col("vec_id").as("vb")), Seq("vb"))
+            .groupBy(col("va").as("vec_id")).agg(max("sim").as("pen"))
+          val pick = cand
+            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .join(pen, Seq("vec_id"))
+            .withColumn("mmr", col("rel") * 0.5 - col("pen") * 0.5)
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"), lit(r.toLong).as("rank"), col("rel"),
+              col("mmr"))
+          sel = sel.unionByName(pick).persist()
+        }
+        sel.select(col("rank"), col("vec_id"), col("rel"), col("mmr"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      rel0 AS (SELECT d.vec_id, ${cosSql("d", "q")} AS rel
+        FROM embeddings d JOIN embeddings q ON q.vec_id = 0
+        CROSS JOIN dims i WHERE d.vec_id <> 0 GROUP BY d.vec_id),
+      cand AS (SELECT vec_id, rel FROM rel0 ORDER BY rel DESC, vec_id LIMIT 12),
+      sims AS (SELECT ca.vec_id AS va, cb.vec_id AS vb, ${cosSql("x", "y")} AS sim
+        FROM cand ca JOIN cand cb ON ca.vec_id <> cb.vec_id
+        JOIN embeddings x ON ca.vec_id = x.vec_id
+        JOIN embeddings y ON cb.vec_id = y.vec_id
+        CROSS JOIN dims i GROUP BY ca.vec_id, cb.vec_id),
+      s1 AS (SELECT vec_id, rel, 0.5 * rel AS mmr FROM cand
+        ORDER BY rel DESC, vec_id LIMIT 1),
+      p2 AS (SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * MAX(s.sim) AS mmr
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+          AND s.vb IN (SELECT vec_id FROM s1)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        GROUP BY c.vec_id, c.rel),
+      s2 AS (SELECT vec_id, rel, mmr FROM p2 ORDER BY mmr DESC, vec_id LIMIT 1),
+      p3 AS (SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * MAX(s.sim) AS mmr
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+          AND s.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        GROUP BY c.vec_id, c.rel),
+      s3 AS (SELECT vec_id, rel, mmr FROM p3 ORDER BY mmr DESC, vec_id LIMIT 1),
+      p4 AS (SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * MAX(s.sim) AS mmr
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+          AND s.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+            UNION SELECT vec_id FROM s3)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+          UNION SELECT vec_id FROM s3)
+        GROUP BY c.vec_id, c.rel),
+      s4 AS (SELECT vec_id, rel, mmr FROM p4 ORDER BY mmr DESC, vec_id LIMIT 1),
+      p5 AS (SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * MAX(s.sim) AS mmr
+        FROM cand c JOIN sims s ON s.va = c.vec_id
+          AND s.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+            UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+          UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)
+        GROUP BY c.vec_id, c.rel),
+      s5 AS (SELECT vec_id, rel, mmr FROM p5 ORDER BY mmr DESC, vec_id LIMIT 1)
+      SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, mmr FROM (
+        SELECT 1 AS rank, * FROM s1 UNION ALL SELECT 2, * FROM s2
+        UNION ALL SELECT 3, * FROM s3 UNION ALL SELECT 4, * FROM s4
+        UNION ALL SELECT 5, * FROM s5)
+      ORDER BY rank""")),
+
+    // ---- hashed-feature linear classifier scoring (fastText shape) -----
+    // The model-based quality filter every production pipeline runs
+    // (CCNet / RefinedWeb / DCLM use a fastText linear classifier): each
+    // document's tokens hash into m = 1024 feature buckets (the PORTABLE
+    // 8-char base-31 polynomial, Lehmer-mixed — exact int64 in both
+    // engines, the q172 recipe) and the margin is the sum of per-bucket
+    // weights. Weights here are a fixed deterministic table derived from
+    // the bucket id (integer in [-1000, 1000] — a stand-in for trained
+    // coefficients, which would arrive as a 1024-row broadcast table in
+    // production; the PLUMBING is what's scored). The margin accumulates
+    // in EXACT int64 (no float sum ordering anywhere); the normalized
+    // margin is one terminal double division. Scale shape: explode +
+    // per-row expressions + one hash aggregation on doc_id — linear, one
+    // shuffle, and the weight "table" is pure arithmetic (zero join; a
+    // learned table would broadcast at 1024 rows).
+    "q270_llm_hash_classifier" -> QueryDef(
+      (s, dir) => {
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+          29791L, 961L, 31L, 1L)
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val poly = pows.zipWithIndex.map { case (c, j) =>
+          ascii(substring(col("w"), j + 1, 1)).cast("long") * lit(c)
+        }.reduce(_ + _)
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .withColumn("b", poly * lit(48271L) % lit(1152921504606846883L) % lit(1024L))
+          .withColumn("wt", col("b") * lit(69621L) % lit(2147483647L) % lit(2001L) - lit(1000L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("wt").as("margin_raw"))
+          .withColumn("margin",
+            col("margin_raw").cast("double") / (lit(1000.0) * col("n_tokens").cast("double")))
+          .withColumn("label", when(col("margin_raw") >= 0, lit("keep")).otherwise(lit("drop")))
+          .select(col("doc_id"), col("n_tokens"), col("margin_raw"),
+            col("margin"), col("label"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      h AS (SELECT doc_id,
+          (list_sum(list_transform(range(1, 9), j ->
+             CASE WHEN j <= length(w) THEN ascii(w[j:j]) ELSE 0 END
+             * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
+           * 48271) % 1152921504606846883 % 1024 AS b
+        FROM tok WHERE length(w) >= 2),
+      f AS (SELECT doc_id, b, b * 69621 % 2147483647 % 2001 - 1000 AS wt FROM h)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(wt) AS BIGINT) AS margin_raw,
+        CAST(SUM(wt) AS DOUBLE) / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS margin,
+        CASE WHEN SUM(wt) >= 0 THEN 'keep' ELSE 'drop' END AS label
+      FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- line-level dedup (CCNet / RefinedWeb / Dolma paragraph pass) --
+    // Remove boilerplate by deleting LINES that repeat across documents
+    // (the pass CCNet runs before document-level dedup). The fixture's
+    // text has no newlines, so a "line" is a deterministic non-
+    // overlapping 5-word chunk (segmentation is row-local — a transform
+    // HOF over the word array, no shuffle). A line is duplicated when it
+    // appears in >= 2 DISTINCT documents; per-doc we report the line
+    // count, duplicated-line count, and retained fraction (one exact
+    // int division — IEEE-exact). Scale shape: linear — explode is a
+    // bounded x(words/5) fan-out, the line-frequency aggregation and the
+    // join back are ONE hash shuffle each on the line key (at 100 TB the
+    // join key would be xxhash64(line) to keep shuffle rows narrow —
+    // collision-free-in-practice and side-consistent like the shingle
+    // family; the string key here keeps the oracle exact).
+    "q271_llm_line_dedup" -> QueryDef(
+      (s, dir) => {
+        val lines = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, (size(w) + 4) div 5 - 1),
+               i -> array_join(slice(w, i * 5 + 1, 5), ' '))""")).as("line"))
+        val freq = lines.groupBy("line")
+          .agg(countDistinct("doc_id").as("dn"))
+        lines.join(freq, Seq("line"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("dn") >= 2, 1L).otherwise(0L)).as("dup_lines"))
+          .withColumn("retained_frac",
+            (col("n_lines") - col("dup_lines")).cast("double") /
+              col("n_lines").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      ln AS (SELECT doc_id, array_to_string(w[i.i * 5 + 1 : i.i * 5 + 5], ' ') AS line
+        FROM d, (SELECT unnest(range(0, 1000)) AS i) i
+        WHERE i.i * 5 + 1 <= len(w)),
+      df AS (SELECT line, COUNT(DISTINCT doc_id) AS dn FROM ln GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines,
+        CAST(COUNT(*) - SUM(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS retained_frac
+      FROM ln JOIN df USING (line) GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -46,6 +46,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q105_stratified_sample",
     "q169_graph_triangles",        // kNN top-10 edge build: 1-row avg threshold
     "q13_join_cross",              // the cross-join operator itself (bounded dims)
+    "q269_llm_mmr_rerank",         // 12x12 pairwise sims + <=5-row selection
+                                   // frames — every NL side is top-k-bounded
+                                   // (TakeOrdered limit 12/1) by construction
     "q46_llm_cosine_topk",         // 5-row query side broadcast (bounded by construction)
     "q77_llm_ann_ivf",             // broadcast coarse centroids (fixed k)
     "q81_llm_tfidf",               // 1-row corpus-size scalar
