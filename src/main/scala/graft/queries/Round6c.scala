@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -233,6 +235,146 @@ object Round6c {
         CAST(SUM(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines,
         CAST(COUNT(*) - SUM(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS retained_frac
-      FROM ln JOIN df USING (line) GROUP BY doc_id ORDER BY doc_id"""))
+      FROM ln JOIN df USING (line) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- SemDeDup, dedup-first (q264's scale twin — SAME oracle) -------
+    // The 10x probe showed q264's intra-cluster pairwise pass quadratic
+    // on a duplication-heavy corpus (fixed k = 32 seeds, cluster
+    // membership grows with replication: 2.3 s -> 78 s at 10x) — the
+    // identical disease q255's edge build had, cured the identical way
+    // (q159/q188/q257/q258 family): group BIT-IDENTICAL embeddings
+    // first (rep = min member id), run the Lloyd assignment and the
+    // intra-cluster cosine pass over UNIQUE vectors only, then
+    // reconstruct the per-member answer through the duplicate groups.
+    // Correctness argument: identical embeddings get identical cluster
+    // assignments and identical cosines, and a member v is pruned by
+    // group A exactly when cos(A, group(v)) >= 0.35 and min(A) < v —
+    // min(A) is then also v's smallest qualifying keeper candidate from
+    // A, so keeper(v) = MIN over qualifying groups of min(A) and
+    // best_cos(v) = MAX over those groups' cosines, including v's own
+    // group at cos 1.0 when v is not its minimum (round(s/(sqrt(s)*
+    // sqrt(s)), 6) = 1.0 — the <=1-ulp sqrt product rounds away).
+    // Unique-pair work is replication-INVARIANT; the member explode is
+    // linear in output.
+    "q272_llm_semdedup_dedup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val g = emb.groupBy(col("embedding"))
+          .agg(min("vec_id").as("rep"),
+            sort_array(collect_list("vec_id")).as("ids"))
+          .persist()
+        val e = g.select(col("rep"), posexplode(col("embedding")))
+          .select(col("rep"), (col("pos") + 1).as("i"),
+            floor(col("col").cast("double") * lit(1000000L)).as("x"))
+        val c0 = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("cid"), posexplode(col("embedding")))
+          .select(col("cid"), (col("pos") + 1).as("i"),
+            floor(col("col").cast("double") * lit(1000000L)).as("c"))
+        val d = e.join(broadcast(c0), Seq("i"))
+          .groupBy("rep", "cid")
+          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+        val asg = d.withColumn("rn", row_number().over(
+            Window.partitionBy("rep").orderBy(col("dist"), col("cid"))))
+          .filter(col("rn") === 1).select(col("rep"), col("cid"))
+        val mem = asg.join(g, Seq("rep")).persist()
+        val a = mem.select(col("cid"), col("rep").as("ga"),
+          col("embedding").as("ea"), col("ids").as("idsa"))
+        val b = mem.select(col("cid"), col("rep").as("gb"),
+          col("embedding").as("eb"), col("ids").as("idsb"))
+        val cross = a.join(b, Seq("cid")).filter(col("ga") =!= col("gb"))
+          .select(col("idsa"), col("idsb"), cosCol("ea", "eb").as("cos"))
+          .filter(col("cos") >= 0.35)
+        val self = mem.filter(size(col("ids")) > 1)
+          .select(col("ids").as("idsa"), col("ids").as("idsb"),
+            cosCol("embedding", "embedding").as("cos"))
+        cross.unionByName(self)
+          .select(element_at(col("idsa"), 1).as("min_a"),
+            explode(col("idsb")).as("vec_id"), col("cos"))
+          .filter(col("vec_id") > col("min_a"))
+          .groupBy("vec_id")
+          .agg(min("min_a").as("keeper"), max("cos").as("best_cos"))
+          .orderBy("vec_id")
+      },
+      Round6b.defs("q264_llm_semdedup").oracle),
+
+    // ---- incremental aggregate maintenance (the IVM / merge pattern) ---
+    // The production incremental-ETL shape: a standing per-month
+    // aggregate STATE (history partition) is combined with a DELTA
+    // partial aggregate (the new slice) by re-aggregating the two
+    // partial-aggregate frames — counts add, decimal sums add
+    // (associative and EXACT, so the merged result is bit-identical to
+    // a from-scratch aggregation: the oracle IS the plain full GROUP
+    // BY), min/max combine. At 100 TB this is the difference between
+    // scanning one day and rescanning years of history: partials are
+    // maintained per ingest partition and merged without touching old
+    // data. Spark executes each partial with map-side combine, and the
+    // merge frame is groups-sized, not data-sized. (The exact-decimal
+    // discipline is what makes this legal for float columns — raw
+    // double sums would NOT merge bit-identically; Det.scala.)
+    "q273_etl_incremental_agg" -> QueryDef(
+      (s, dir) => {
+        val D6 = DecimalType(18, 6)
+        val ord = t(s, dir, "orders")
+          .withColumn("d", col("o_orderdate").cast("date"))
+        def partial(df: DataFrame): DataFrame = df
+          .withColumn("mon", date_format(col("d"), "yyyy-MM"))
+          .groupBy("mon").agg(
+            count(lit(1)).as("pn"),
+            sum(col("o_totalprice").cast(D6)).as("pt"),
+            min("o_totalprice").as("pmn"), max("o_totalprice").as("pmx"))
+        val cut = lit("2001-01-01").cast("date")
+        val state = partial(ord.filter(col("d") < cut))
+        val delta = partial(ord.filter(col("d") >= cut))
+        state.unionByName(delta)
+          .groupBy("mon").agg(
+            sum("pn").as("n_orders"),
+            sum("pt").cast("double").as("total_price"),
+            min("pmn").as("min_price"), max("pmx").as("max_price"))
+          .orderBy("mon")
+      },
+      Some(s"""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        ${graft.util.Det.dsumSql("o_totalprice")} AS total_price,
+        MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- k-anonymity audit with a generalization ladder ----------------
+    // The privacy audit next to PII redaction (q87): quasi-identifiers
+    // (lang, source, length-bin) must not isolate fewer than k = 5
+    // documents. Local recoding down a 2-step generalization ladder
+    // (Samarati's lattice, simplified): level 0 = (lang, source,
+    // n_chars div 100); docs whose level-0 group is smaller than k
+    // re-group at the coarser level 1 = (lang, n_chars div 500) AMONG
+    // THE ESCALATED DOCS ONLY; still-small groups are suppressed
+    // (level 2). Output: per-doc anonymization level. Scale shape:
+    // group sizes via unbounded-frame window counts — one hash
+    // shuffle per ladder level, no joins, and QI-group cardinality
+    // GROWS with data (no bounded-partition window trap).
+    "q274_privacy_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        val d0 = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            expr("n_chars div 100").as("b0"), expr("n_chars div 500").as("b1"))
+        val c0 = d0.withColumn("n0",
+          count(lit(1)).over(Window.partitionBy("lang", "source", "b0")))
+        val l0 = c0.filter(col("n0") >= 5)
+          .select(col("doc_id"), lit(0L).as("anon_level"))
+        val c1 = c0.filter(col("n0") < 5).withColumn("n1",
+          count(lit(1)).over(Window.partitionBy("lang", "b1")))
+        val l1 = c1.filter(col("n1") >= 5)
+          .select(col("doc_id"), lit(1L).as("anon_level"))
+        val l2 = c1.filter(col("n1") < 5)
+          .select(col("doc_id"), lit(2L).as("anon_level"))
+        l0.unionByName(l1).unionByName(l2).orderBy("doc_id")
+      },
+      Some("""WITH d0 AS (SELECT doc_id, lang, source,
+          n_chars // 100 AS b0, n_chars // 500 AS b1 FROM documents),
+      c0 AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, source, b0) AS n0 FROM d0),
+      c1 AS (SELECT *, COUNT(*) OVER (PARTITION BY lang, b1) AS n1
+        FROM c0 WHERE n0 < 5)
+      SELECT doc_id, CAST(0 AS BIGINT) AS anon_level FROM c0 WHERE n0 >= 5
+      UNION ALL SELECT doc_id, 1 FROM c1 WHERE n1 >= 5
+      UNION ALL SELECT doc_id, 2 FROM c1 WHERE n1 < 5
+      ORDER BY doc_id"""))
   )
 }

@@ -167,6 +167,26 @@ object GraftProperties extends Properties("graft") {
       allPairs == deduped
     }
 
+  // SemDeDup's two physical strategies (q264 all-pairs vs q272
+  // dedup-first through bit-identical groups) must agree row-for-row on
+  // corpora with duplicate vectors; ids are spread (*7) so some exceed
+  // the 32-seed cutoff and duplicate SEEDS occur too
+  property("semdedup dedup-first == all-pairs on dup-heavy corpora") =
+    forAll(dupEmbeddings) { rows =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("semdd").toString
+      rows.map { case (id, l, v) => (id * 7, l.map(_.toInt), v) }
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val all = queries.Round6b.defs("q264_llm_semdedup").fn(spark, dir)
+        .collect().map(key).toSeq.sortBy(_._1)
+      val dd = queries.Round6c.defs("q272_llm_semdedup_dedup").fn(spark, dir)
+        .collect().map(key).toSeq.sortBy(_._1)
+      all == dd
+    }
+
   // random word corpora with planted near-duplicates: the prefix-filtered
   // set-similarity join (PPJoin family) must emit exactly the pairs the
   // full inverted-index join emits — the prefix filter is lossless
