@@ -375,6 +375,84 @@ object Round6c {
       SELECT doc_id, CAST(0 AS BIGINT) AS anon_level FROM c0 WHERE n0 >= 5
       UNION ALL SELECT doc_id, 1 FROM c1 WHERE n1 >= 5
       UNION ALL SELECT doc_id, 2 FROM c1 WHERE n1 < 5
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- ANN recall@k evaluation (index-quality monitoring) ------------
+    // The metric every production ANN deployment tracks: per-query
+    // recall of the LSH index (q47's exact configuration: 6 fixed-seed
+    // hyperplanes) against brute-force top-5 (q46's kernel) over the
+    // same 50-query set. recall@5 = |exact ∩ ann| / 5 — set membership
+    // only, so the score is exact even though the two rankings'
+    // cosines differ in which candidates they see. Scale shape: the
+    // query set is bounded (broadcast side of both kernels); the exact
+    // side is the one corpus-sized pass (that is the COST of measuring
+    // recall — run it on a sampled query set, which is what the
+    // bounded qid < 50 slice models); the hit-join and per-query
+    // aggregation are k-bounded. Completes the ANN family
+    // (q46/q47/q77/q222/q255) with its evaluation loop.
+    "q275_llm_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
+          .select(col("qid"), col("cid")).persist()
+        val ann = graft.operators.Similarity
+          .lshTopK(qs, corpus, k = 5, nPlanes = 6, dim = 64)
+          .select(col("qid"), col("cid"))
+        val hits = exact.join(ann, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        exact.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+          .orderBy("qid")
+      },
+      Some {
+        val planes = graft.operators.Similarity.hyperplanes(6, 64)
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          val lst = p.map(_.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+             d -> $lst[d] * CAST(e[d] AS DOUBLE)), (a, b) -> a + b) >= 0
+             THEN 1 ELSE 0 END) * ${1 << i}"""
+        }.mkString(" + ")
+        s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < 50),
+        ex0 AS (SELECT qs.qid, e.vec_id AS cid,
+            round(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
+              (sqrt(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(qs.qe[i.i] AS DOUBLE))) *
+               sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
+          FROM qs, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+          WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
+        exr AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM ex0) WHERE rnk <= 5),
+        q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
+        c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        qb AS (SELECT id, $bucket AS bucket FROM q2),
+        cb AS (SELECT id, $bucket AS bucket FROM c2),
+        scored AS (SELECT qb.id AS qid, cb.id AS cid,
+            round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+              (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
+               sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
+          FROM qb JOIN cb ON qb.bucket = cb.bucket AND qb.id <> cb.id
+          JOIN embeddings q ON qb.id = q.vec_id
+          JOIN embeddings c ON cb.id = c.vec_id,
+          (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY 1, 2),
+        annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM scored) WHERE rnk <= 5),
+        hits AS (SELECT exr.qid, COUNT(*) AS h
+          FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
+          GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+          CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
+        ORDER BY q.qid"""
+      })
   )
 }

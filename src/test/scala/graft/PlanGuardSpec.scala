@@ -50,6 +50,9 @@ class PlanGuardSpec extends SparkTestBase {
                                    // frames — every NL side is top-k-bounded
                                    // (TakeOrdered limit 12/1) by construction
     "q46_llm_cosine_topk",         // 5-row query side broadcast (bounded by construction)
+    "q275_llm_ann_recall",         // q46's kernel on a 50-row query sample —
+                                   // the exact side of recall monitoring
+                                   // (bounded broadcast by construction)
     "q77_llm_ann_ivf",             // broadcast coarse centroids (fixed k)
     "q81_llm_tfidf",               // 1-row corpus-size scalar
     "q186_emb_hard_negatives",     // bounded anchor-minibatch broadcast
