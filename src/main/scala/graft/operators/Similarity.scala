@@ -203,6 +203,42 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al.): each query probes its own
+    * bucket PLUS every bucket at Hamming distance 1 in sign-bit space
+    * (nPlanes + 1 probes total) — the standard recall fix when the
+    * single-probe recall (measured by the q275 harness) is too low.
+    * Candidate coverage multiplies by a FIXED constant while the corpus
+    * stays bucketed exactly once, so the scale shape is [[lshTopK]]'s
+    * with a (nPlanes+1)× probe-side fan-out; a corpus vector lives in
+    * exactly one bucket and probe buckets are pairwise distinct, so no
+    * (qid, cid) candidate is generated twice — no dedup pass needed.
+    */
+  def lshMultiProbeTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nPlanes: Int,
+      dim: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val planes = hyperplanes(nPlanes, dim)
+    val probes = col("bucket0") +:
+      (0 until nPlanes).map(j => expr(s"bucket0 ^ ${1L << j}"))
+    val qb = queries.withColumn("bucket0",
+        VectorFunctions.hyperplaneBucket(col("qe"), planes))
+      .withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+      .withColumn("bucket", explode(array(probes: _*)))
+    val cb = corpus.withColumn("bucket",
+        VectorFunctions.hyperplaneBucket(col("ce"), planes))
+      .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val scored = qb.join(cb, "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Bounded-degree neighbor graph for graph-based ANN: every corpus
     * vector keeps directed edges to its top-`d` SAME-LSH-BUCKET
     * neighbors by (rounded) cosine, ties on id. Bucketing bounds the

@@ -453,6 +453,84 @@ object Round6c {
           CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
         FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
         ORDER BY q.qid"""
+      }),
+
+    // ---- multi-probe LSH recall (the fix q275's metric demands) --------
+    // q275 measured 0.08 average recall@5 for the 6-plane single-probe
+    // index — the monitoring loop's answer is multi-probe LSH (Lv et
+    // al.): probe the query's own bucket plus all 6 Hamming-distance-1
+    // buckets. Candidate coverage multiplies by a FIXED 7× (probe-side
+    // fan-out only; the corpus stays bucketed once), and this query
+    // scores the improved recall through the SAME harness so the
+    // before/after pair (q275 vs q276) is the documented
+    // evaluate-then-fix cycle. Scale shape identical to q47 with a
+    // constant probe multiplier.
+    "q276_llm_ann_multiprobe" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
+          .select(col("qid"), col("cid")).persist()
+        val ann = graft.operators.Similarity
+          .lshMultiProbeTopK(qs, corpus, k = 5, nPlanes = 6, dim = 64)
+          .select(col("qid"), col("cid"))
+        val hits = exact.join(ann, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        exact.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+          .orderBy("qid")
+      },
+      Some {
+        val planes = graft.operators.Similarity.hyperplanes(6, 64)
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          val lst = p.map(_.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+             d -> $lst[d] * CAST(e[d] AS DOUBLE)), (a, b) -> a + b) >= 0
+             THEN 1 ELSE 0 END) * ${1 << i}"""
+        }.mkString(" + ")
+        s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < 50),
+        ex0 AS (SELECT qs.qid, e.vec_id AS cid,
+            round(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
+              (sqrt(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(qs.qe[i.i] AS DOUBLE))) *
+               sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
+          FROM qs, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+          WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
+        exr AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM ex0) WHERE rnk <= 5),
+        q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
+        c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+        qb0 AS (SELECT id, $bucket AS bucket0 FROM q2),
+        qb AS (SELECT id, CASE WHEN j.j = 0 THEN bucket0
+            ELSE xor(bucket0, 1 << (j.j - 1)) END AS bucket
+          FROM qb0, (SELECT unnest(range(0, 7)) AS j) j),
+        cb AS (SELECT id, $bucket AS bucket FROM c2),
+        scored AS (SELECT qb.id AS qid, cb.id AS cid,
+            round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+              (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
+               sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
+          FROM qb JOIN cb ON qb.bucket = cb.bucket AND qb.id <> cb.id
+          JOIN embeddings q ON qb.id = q.vec_id
+          JOIN embeddings c ON cb.id = c.vec_id,
+          (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY 1, 2),
+        annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM scored) WHERE rnk <= 5),
+        hits AS (SELECT exr.qid, COUNT(*) AS h
+          FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
+          GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+          CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
+        ORDER BY q.qid"""
       })
   )
 }

@@ -53,6 +53,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q275_llm_ann_recall",         // q46's kernel on a 50-row query sample —
                                    // the exact side of recall monitoring
                                    // (bounded broadcast by construction)
+    "q276_llm_ann_multiprobe",     // same exact-side kernel as q275
     "q77_llm_ann_ivf",             // broadcast coarse centroids (fixed k)
     "q81_llm_tfidf",               // 1-row corpus-size scalar
     "q186_emb_hard_negatives",     // bounded anchor-minibatch broadcast
