@@ -531,6 +531,47 @@ object Round6c {
           CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
         FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
         ORDER BY q.qid"""
-      })
+      }),
+
+    // ---- streaming per-key rate quota (ingest admission control) -------
+    // Admit at most 3 events per (user, day), first-come-first-served —
+    // the ingest-time quota/rate-limit operator (abuse control, per-user
+    // sampling caps, cost control on event firehoses). State = a
+    // MapState entry per (user, active day) holding the admitted count
+    // (EventStreams.RateQuotaProcessor); within a micro-batch admission
+    // follows (sec, event_id) — the §2.3 deterministic tie-break — and
+    // the catch-up run delivers one batch, so the stream agrees exactly
+    // with the batch row_number() <= 3 oracle. Scored on the admitted
+    // set's per-user count and exact-decimal value sum.
+    "q277_stream_rate_quota" -> QueryDef(
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val old = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val sink = try {
+          val src = graft.streaming.EventStreams.eventFileStream(s, dir)
+            .withColumn("sec", unix_timestamp(col("tss")))
+          EventTime.withShufflePartitions(s, 8) {
+            graft.streaming.EventStreams.runToMemory(
+              graft.streaming.EventStreams.rateQuota(src, maxPerDay = 3).toDF(),
+              "q277_stream_rate_quota_sink", mode = "append")
+          }
+        } finally old match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        sink.groupBy("user_id")
+          .agg(count(lit(1)).as("n_admitted"),
+            graft.util.Det.dsum(col("value")).as("v_sum"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH r AS (SELECT user_id, event_id, value,
+          row_number() OVER (PARTITION BY user_id, ${graft.util.Det.epochSecSql("ts")} // 86400
+            ORDER BY ${graft.util.Det.epochSecSql("ts")}, event_id) AS rn
+        FROM events)
+      SELECT user_id, COUNT(*) AS n_admitted,
+        ${graft.util.Det.dsumSql("value")} AS v_sum
+      FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -374,6 +374,62 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  case class QuotaIn(user_id: Long, day: Long, sec: Long, event_id: Long,
+      value: Double)
+  case class QuotaOut(user_id: Long, sec: Long, event_id: Long, value: Double)
+
+  /** Ingest-time per-key rate limiting (admission control): admit at
+    * most `maxPerDay` events per (user, day), first-come-first-served.
+    * State is a MapState keyed by day holding the admitted count — one
+    * entry updates per row, entries are bounded by the ingest horizon
+    * (in production a TTL evicts old days; the quota decision for a
+    * closed day never changes, so eviction is safe). Within a
+    * micro-batch rows are admitted in (sec, event_id) order — the
+    * deterministic tie-break §2.3 requires; across batches admission is
+    * arrival-order, which IS rate-limiter semantics (a quota consumed
+    * at ingest time is never retroactively reassigned).
+    */
+  class RateQuotaProcessor(maxPerDay: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QuotaIn, QuotaOut] {
+    @transient private var used: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      used = getHandle.getMapState[Long, Long]("used",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[QuotaIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[QuotaOut] = {
+      val out = Seq.newBuilder[QuotaOut]
+      rows.toSeq.sortBy(r => (r.sec, r.event_id)).foreach { r =>
+        val u = if (used.containsKey(r.day)) used.getValue(r.day) else 0L
+        if (u < maxPerDay) {
+          used.updateValue(r.day, u + 1)
+          out += QuotaOut(r.user_id, r.sec, r.event_id, r.value)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Admitted-event stream under a per-(user, day) quota; see
+    * [[RateQuotaProcessor]].
+    */
+  def rateQuota(events: DataFrame, maxPerDay: Long): Dataset[QuotaOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        expr("sec DIV 86400").as("day"), col("sec"), col("event_id"),
+        col("value"))
+      .as[QuotaIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RateQuotaProcessor(maxPerDay),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class KeyCount(k: Long, n: Long)
 
   /** Per-key running count whose state carries a processing-time TTL —

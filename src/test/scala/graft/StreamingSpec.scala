@@ -499,4 +499,40 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("rate quota: MapState admission persists across micro-batches and days") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (user_id, sec, event_id, value); day = sec div 86400
+      val ms = MemoryStream[(Long, Long, Long, Double)]
+      val src = ms.toDF().toDF("user_id", "sec", "event_id", "value")
+      val q = EventStreams.rateQuota(src, maxPerDay = 2).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_rate_quota").start()
+      try {
+        // batch 1: user 1 day 0 — 3 events arrive out of event-time
+        // order; the TWO earliest by (sec, event_id) must be admitted
+        ms.addData(Seq((1L, 300L, 13L, 3.0), (1L, 100L, 11L, 1.0),
+          (1L, 200L, 12L, 2.0)))
+        q.processAllAvailable()
+        // batch 2: same user+day — quota ALREADY CONSUMED in batch 1,
+        // even by an earlier event-time arrival (FCFS, not retroactive);
+        // a new day has its own fresh MapState entry
+        ms.addData(Seq((1L, 50L, 10L, 9.0), (1L, 86500L, 14L, 4.0)))
+        q.processAllAvailable()
+        val got = spark.table("t_rate_quota").collect()
+          .map(r => r.getLong(2)).toSet
+        assert(got == Set(11L, 12L, 14L), s"admitted $got")
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
