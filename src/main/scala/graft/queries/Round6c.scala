@@ -572,6 +572,83 @@ object Round6c {
         FROM events)
       SELECT user_id, COUNT(*) AS n_admitted,
         ${graft.util.Det.dsumSql("value")} AS v_sum
-      FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""))
+      FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- IVF recall@k (the third row of the index-quality table) -------
+    // Same harness as q275/q276, third index family: recall@5 of the
+    // q77 IVF configuration (nlist = 16 first-vector centroids, nprobe
+    // = 1) against brute force. With q275 (single-probe LSH) and q276
+    // (multi-probe LSH) this gives the side-by-side an operator
+    // actually tunes from: which index family, at which parameter, on
+    // THIS corpus. Scale shape identical to q275 — bounded query set,
+    // one corpus-sized exact pass (the measurement's cost), k-bounded
+    // joins.
+    "q278_llm_ann_ivf_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
+          .select(col("qid"), col("cid")).persist()
+        val ann = graft.operators.Similarity
+          .ivfTopK(qs, corpus, k = 5, nlist = 16)
+          .select(col("qid"), col("cid"))
+        val hits = exact.join(ann, Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        exact.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+          .orderBy("qid")
+      },
+      Some("""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < 50),
+      ex0 AS (SELECT qs.qid, e.vec_id AS cid,
+          round(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
+            (sqrt(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(qs.qe[i.i] AS DOUBLE))) *
+             sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
+        FROM qs, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
+      exr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM ex0) WHERE rnk <= 5),
+      cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
+      c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+      qa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      qa AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM qa0) WHERE r = 1),
+      ca0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM c2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      ca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM ca0) WHERE r = 1),
+      scored AS (SELECT qa.id AS qid, ca.id AS cid,
+          round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
+            (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
+             sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id AND qa.id <> ca.id
+        JOIN embeddings q ON qa.id = q.vec_id
+        JOIN embeddings c ON ca.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= 5),
+      hits AS (SELECT exr.qid, COUNT(*) AS h
+        FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
+        GROUP BY 1)
+      SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
+      ORDER BY q.qid"""))
   )
 }

@@ -54,6 +54,8 @@ class PlanGuardSpec extends SparkTestBase {
                                    // the exact side of recall monitoring
                                    // (bounded broadcast by construction)
     "q276_llm_ann_multiprobe",     // same exact-side kernel as q275
+    "q278_llm_ann_ivf_recall",     // same exact-side kernel as q275; IVF
+                                   // side broadcasts the 16-row centroids
     "q77_llm_ann_ivf",             // broadcast coarse centroids (fixed k)
     "q81_llm_tfidf",               // 1-row corpus-size scalar
     "q186_emb_hard_negatives",     // bounded anchor-minibatch broadcast
