@@ -36,6 +36,90 @@ object Round6c {
       (sqrt(SUM(CAST($x.embedding[i.i] AS DOUBLE) * CAST($x.embedding[i.i] AS DOUBLE))) *
        sqrt(SUM(CAST($y.embedding[i.i] AS DOUBLE) * CAST($y.embedding[i.i] AS DOUBLE)))), 6)"""
 
+  /** Shared recall@5 harness (q275/q276/q278): per-query recall of an
+    * ANN index's top-5 against brute-force top-5 over the bounded
+    * 50-query sample. Set-membership metric — exact even though the
+    * approximate rankings see different candidates. The exact side is
+    * the one corpus-sized pass (the COST of measuring recall; run it on
+    * a sampled query set, which the qid < 50 slice models); the hit
+    * join and aggregation are k-bounded. Helpers are declared BEFORE
+    * `defs` (object-init order, CLAUDE.md).
+    */
+  private def recallHarness(s: SparkSession, dir: String,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
+      .select(col("qid"), col("cid")).persist()
+    val hits = exact
+      .join(ann(qs, corpus).select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+      .orderBy("qid")
+  }
+
+  /** Oracle prefix shared by the recall queries: the 50-query sample
+    * (`qs`), brute-force pairs (`ex0`), and exact top-5 (`exr`). */
+  private val exactRecallCte: String =
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < 50),
+      ex0 AS (SELECT qs.qid, e.vec_id AS cid, ${cosSql("qs2", "e")} AS cos
+        FROM qs, embeddings e, embeddings qs2,
+          (SELECT unnest(range(1, 65)) AS i) i
+        WHERE e.vec_id <> qs.qid AND qs2.vec_id = qs.qid GROUP BY 1, 2),
+      exr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM ex0) WHERE rnk <= 5),
+      q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
+      c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings)"""
+
+  /** Oracle tail shared by the recall queries: expects a CTE `annr`
+    * with the index's (qid, cid) top-5. */
+  private val recallTailSql: String =
+    """hits AS (SELECT exr.qid, COUNT(*) AS h
+        FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
+        GROUP BY 1)
+      SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
+      ORDER BY q.qid"""
+
+  /** DuckDB fragment for the q47-recipe hyperplane bucket of a list
+    * column aliased `e` (exact double literals; list_reduce fold order
+    * matches Spark's HOF aggregate). */
+  private val lshBucketSql: String = {
+    val planes = graft.operators.Similarity.hyperplanes(6, 64)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.map(_.toString).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+         d -> $lst[d] * CAST(e[d] AS DOUBLE)), (a, b) -> a + b) >= 0
+         THEN 1 ELSE 0 END) * ${1 << i}"""
+    }.mkString(" + ")
+  }
+
+  /** The ANN-side scored/annr CTE pair shared by the two LSH recall
+    * oracles: join the (id, bucket) frames, score rounded cosine,
+    * take per-query top-5. */
+  private def annScoredSql(qbCte: String): String =
+    s"""$qbCte,
+      cb AS (SELECT id, $lshBucketSql AS bucket FROM c2),
+      scored AS (SELECT qb.id AS qid, cb.id AS cid, ${cosSql("q", "c")} AS cos
+        FROM qb JOIN cb ON qb.bucket = cb.bucket AND qb.id <> cb.id
+        JOIN embeddings q ON qb.id = q.vec_id
+        JOIN embeddings c ON cb.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= 5)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- MMR diverse top-k re-ranking (the RAG retrieval finisher) -----
@@ -391,69 +475,12 @@ object Round6c {
     // aggregation are k-bounded. Completes the ANN family
     // (q46/q47/q77/q222/q255) with its evaluation loop.
     "q275_llm_ann_recall" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val corpus = emb
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
-          .select(col("qid"), col("cid")).persist()
-        val ann = graft.operators.Similarity
-          .lshTopK(qs, corpus, k = 5, nPlanes = 6, dim = 64)
-          .select(col("qid"), col("cid"))
-        val hits = exact.join(ann, Seq("qid", "cid"))
-          .groupBy("qid").agg(count(lit(1)).as("h"))
-        exact.select(col("qid")).distinct()
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("h"), lit(0L)).as("n_hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
-          .orderBy("qid")
-      },
-      Some {
-        val planes = graft.operators.Similarity.hyperplanes(6, 64)
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          val lst = p.map(_.toString).mkString("[", ", ", "]")
-          s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
-             d -> $lst[d] * CAST(e[d] AS DOUBLE)), (a, b) -> a + b) >= 0
-             THEN 1 ELSE 0 END) * ${1 << i}"""
-        }.mkString(" + ")
-        s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-          WHERE vec_id < 50),
-        ex0 AS (SELECT qs.qid, e.vec_id AS cid,
-            round(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
-              (sqrt(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(qs.qe[i.i] AS DOUBLE))) *
-               sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
-          FROM qs, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
-          WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
-        exr AS (SELECT qid, cid FROM (SELECT qid, cid,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-          FROM ex0) WHERE rnk <= 5),
-        q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
-        c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
-        qb AS (SELECT id, $bucket AS bucket FROM q2),
-        cb AS (SELECT id, $bucket AS bucket FROM c2),
-        scored AS (SELECT qb.id AS qid, cb.id AS cid,
-            round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
-              (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
-               sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
-          FROM qb JOIN cb ON qb.bucket = cb.bucket AND qb.id <> cb.id
-          JOIN embeddings q ON qb.id = q.vec_id
-          JOIN embeddings c ON cb.id = c.vec_id,
-          (SELECT unnest(range(1, 65)) AS i) i
-          GROUP BY 1, 2),
-        annr AS (SELECT qid, cid FROM (SELECT qid, cid,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-          FROM scored) WHERE rnk <= 5),
-        hits AS (SELECT exr.qid, COUNT(*) AS h
-          FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
-          GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
-          CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-        FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
-        ORDER BY q.qid"""
-      }),
+      (s, dir) => recallHarness(s, dir, (qs, corpus) =>
+        graft.operators.Similarity.lshTopK(qs, corpus, k = 5,
+          nPlanes = 6, dim = 64)),
+      Some(s"""$exactRecallCte,
+      ${annScoredSql(s"qb AS (SELECT id, $lshBucketSql AS bucket FROM q2)")},
+      $recallTailSql""")),
 
     // ---- multi-probe LSH recall (the fix q275's metric demands) --------
     // q275 measured 0.08 average recall@5 for the 6-plane single-probe
@@ -466,72 +493,15 @@ object Round6c {
     // evaluate-then-fix cycle. Scale shape identical to q47 with a
     // constant probe multiplier.
     "q276_llm_ann_multiprobe" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val corpus = emb
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
-          .select(col("qid"), col("cid")).persist()
-        val ann = graft.operators.Similarity
-          .lshMultiProbeTopK(qs, corpus, k = 5, nPlanes = 6, dim = 64)
-          .select(col("qid"), col("cid"))
-        val hits = exact.join(ann, Seq("qid", "cid"))
-          .groupBy("qid").agg(count(lit(1)).as("h"))
-        exact.select(col("qid")).distinct()
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("h"), lit(0L)).as("n_hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
-          .orderBy("qid")
-      },
-      Some {
-        val planes = graft.operators.Similarity.hyperplanes(6, 64)
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          val lst = p.map(_.toString).mkString("[", ", ", "]")
-          s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
-             d -> $lst[d] * CAST(e[d] AS DOUBLE)), (a, b) -> a + b) >= 0
-             THEN 1 ELSE 0 END) * ${1 << i}"""
-        }.mkString(" + ")
-        s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-          WHERE vec_id < 50),
-        ex0 AS (SELECT qs.qid, e.vec_id AS cid,
-            round(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
-              (sqrt(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(qs.qe[i.i] AS DOUBLE))) *
-               sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
-          FROM qs, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
-          WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
-        exr AS (SELECT qid, cid FROM (SELECT qid, cid,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-          FROM ex0) WHERE rnk <= 5),
-        q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
-        c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
-        qb0 AS (SELECT id, $bucket AS bucket0 FROM q2),
-        qb AS (SELECT id, CASE WHEN j.j = 0 THEN bucket0
-            ELSE xor(bucket0, 1 << (j.j - 1)) END AS bucket
-          FROM qb0, (SELECT unnest(range(0, 7)) AS j) j),
-        cb AS (SELECT id, $bucket AS bucket FROM c2),
-        scored AS (SELECT qb.id AS qid, cb.id AS cid,
-            round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
-              (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
-               sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
-          FROM qb JOIN cb ON qb.bucket = cb.bucket AND qb.id <> cb.id
-          JOIN embeddings q ON qb.id = q.vec_id
-          JOIN embeddings c ON cb.id = c.vec_id,
-          (SELECT unnest(range(1, 65)) AS i) i
-          GROUP BY 1, 2),
-        annr AS (SELECT qid, cid FROM (SELECT qid, cid,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-          FROM scored) WHERE rnk <= 5),
-        hits AS (SELECT exr.qid, COUNT(*) AS h
-          FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
-          GROUP BY 1)
-        SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
-          CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-        FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
-        ORDER BY q.qid"""
-      }),
+      (s, dir) => recallHarness(s, dir, (qs, corpus) =>
+        graft.operators.Similarity.lshMultiProbeTopK(qs, corpus, k = 5,
+          nPlanes = 6, dim = 64)),
+      Some(s"""$exactRecallCte,
+      ${annScoredSql(s"""qb0 AS (SELECT id, $lshBucketSql AS bucket0 FROM q2),
+      qb AS (SELECT id, CASE WHEN j.j = 0 THEN bucket0
+          ELSE xor(bucket0, 1 << (j.j - 1)) END AS bucket
+        FROM qb0, (SELECT unnest(range(0, 7)) AS j) j)""")},
+      $recallTailSql""")),
 
     // ---- streaming per-key rate quota (ingest admission control) -------
     // Admit at most 3 events per (user, day), first-come-first-served —
@@ -584,41 +554,11 @@ object Round6c {
     // one corpus-sized exact pass (the measurement's cost), k-bounded
     // joins.
     "q278_llm_ann_ivf_recall" -> QueryDef(
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val qs = emb.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val corpus = emb
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
-          .select(col("qid"), col("cid")).persist()
-        val ann = graft.operators.Similarity
-          .ivfTopK(qs, corpus, k = 5, nlist = 16)
-          .select(col("qid"), col("cid"))
-        val hits = exact.join(ann, Seq("qid", "cid"))
-          .groupBy("qid").agg(count(lit(1)).as("h"))
-        exact.select(col("qid")).distinct()
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("h"), lit(0L)).as("n_hits"),
-            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
-          .orderBy("qid")
-      },
-      Some("""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-          WHERE vec_id < 50),
-      ex0 AS (SELECT qs.qid, e.vec_id AS cid,
-          round(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) /
-            (sqrt(SUM(CAST(qs.qe[i.i] AS DOUBLE) * CAST(qs.qe[i.i] AS DOUBLE))) *
-             sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)))), 6) AS cos
-        FROM qs, embeddings e, (SELECT unnest(range(1, 65)) AS i) i
-        WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
-      exr AS (SELECT qid, cid FROM (SELECT qid, cid,
-          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-        FROM ex0) WHERE rnk <= 5),
+      (s, dir) => recallHarness(s, dir, (qs, corpus) =>
+        graft.operators.Similarity.ivfTopK(qs, corpus, k = 5, nlist = 16)),
+      Some(s"""$exactRecallCte,
       cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
         FROM embeddings WHERE vec_id < 16),
-      q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
-      c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
       qa0 AS (SELECT q.id, c.centroid_id,
           round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
         FROM q2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
@@ -631,10 +571,7 @@ object Round6c {
       ca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
           row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
         FROM ca0) WHERE r = 1),
-      scored AS (SELECT qa.id AS qid, ca.id AS cid,
-          round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)) /
-            (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))) *
-             sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)))), 6) AS cos
+      scored AS (SELECT qa.id AS qid, ca.id AS cid, ${cosSql("q", "c")} AS cos
         FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id AND qa.id <> ca.id
         JOIN embeddings q ON qa.id = q.vec_id
         JOIN embeddings c ON ca.id = c.vec_id,
@@ -643,12 +580,6 @@ object Round6c {
       annr AS (SELECT qid, cid FROM (SELECT qid, cid,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM scored) WHERE rnk <= 5),
-      hits AS (SELECT exr.qid, COUNT(*) AS h
-        FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
-        GROUP BY 1)
-      SELECT q.qid, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
-        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
-      FROM (SELECT DISTINCT qid FROM exr) q LEFT JOIN hits h ON q.qid = h.qid
-      ORDER BY q.qid"""))
+      $recallTailSql"""))
   )
 }
