@@ -500,6 +500,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("rate quota: state recovers from a checkpoint restart (quota never re-granted)") {
+    // The durability claim behind q277: a quota consumed before a
+    // restart must stay consumed after it. Drain batch 1 through a
+    // checkpoint (RocksDB state snapshot), append a file with an
+    // EARLIER event-time row for the same (user, day), restart from the
+    // same checkpoint — the late row must NOT be admitted (FCFS is not
+    // retroactive), while a new day's row is.
+    import spark.implicits._
+    val dataDir = graft.util.Scratch.dir("t_quota_data")
+    val ckpt = graft.util.Scratch.dir("t_quota_ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def writeBatch(rows: Seq[(Long, Long, Long, Double)]): Unit =
+        rows.toDF("user_id", "sec", "event_id", "value").coalesce(1)
+          .write.mode("append").parquet(dataDir)
+      writeBatch(Seq((1L, 100L, 1L, 1.0), (1L, 200L, 2L, 2.0),
+        (1L, 300L, 3L, 3.0)))
+      val schema = spark.read.parquet(dataDir).schema
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def drain(): Unit = {
+        val src = spark.readStream.schema(schema).parquet(dataDir)
+        val q = EventStreams.rateQuota(src, maxPerDay = 2).toDF()
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = df.collect().map(_.getLong(2))
+            admitted.synchronized { admitted ++= ids }; ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      assert(admitted.sorted == Seq(1L, 2L), s"first drain admitted $admitted")
+      // day-0 quota is FULL; event_id 0 arrives later with an earlier
+      // event time — must be rejected after the restart. Day 1 is fresh.
+      writeBatch(Seq((1L, 50L, 0L, 9.0), (1L, 86500L, 4L, 4.0)))
+      drain()
+      assert(admitted.sorted == Seq(1L, 2L, 4L),
+        s"post-restart admitted $admitted")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("rate quota: MapState admission persists across micro-batches and days") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
