@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only tuning sweep for the ANN recall work (not part of the driver
+  * contract): prints avg recall@5 + wall time for each index config at
+  * the given SF dir, using the same exact-vs-ann set-membership metric
+  * as the q275-family recall harness.
+  */
+object TuneRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = graft.operators.Similarity.cosineTopK(qs, corpus, k = 5)
+      .select(col("qid"), col("cid")).persist()
+    exact.count()
+
+    def recall(name: String)(ann: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val a = ann.select(col("qid"), col("cid"))
+      val hits = exact.join(a, Seq("qid", "cid")).count()
+      val nq = exact.select("qid").distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"TUNE $name: recall@5=${hits.toDouble / (5.0 * nq)}%.3f time=$secs%.1f s")
+    }
+
+    import graft.operators.Similarity._
+    recall("ivf nlist=16 nprobe=1")(ivfTopKProbe(qs, corpus, 5, 16, 1))
+    recall("ivf nlist=16 nprobe=2")(ivfTopKProbe(qs, corpus, 5, 16, 2))
+    recall("ivf nlist=16 nprobe=4")(ivfTopKProbe(qs, corpus, 5, 16, 4))
+    recall("ivf nlist=16 nprobe=6")(ivfTopKProbe(qs, corpus, 5, 16, 6))
+    recall("ivf nlist=16 nprobe=8")(ivfTopKProbe(qs, corpus, 5, 16, 8))
+    recall("ivf nlist=32 nprobe=4")(ivfTopKProbe(qs, corpus, 5, 32, 4))
+    recall("ivf nlist=32 nprobe=8")(ivfTopKProbe(qs, corpus, 5, 32, 8))
+    recall("mt-lsh p=6 L=4")(lshMultiTableTopK(qs, corpus, 5, 6, 64, 4))
+    recall("mt-lsh p=6 L=8")(lshMultiTableTopK(qs, corpus, 5, 6, 64, 8))
+    recall("mt-lsh p=4 L=4")(lshMultiTableTopK(qs, corpus, 5, 4, 64, 4))
+    recall("mt-lsh p=4 L=8")(lshMultiTableTopK(qs, corpus, 5, 4, 64, 8))
+    recall("mt-lsh p=5 L=6")(lshMultiTableTopK(qs, corpus, 5, 5, 64, 6))
+    spark.stop()
+  }
+}

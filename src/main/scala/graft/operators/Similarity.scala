@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -157,6 +157,92 @@ object Similarity {
     val cb = assign(corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")), "ce")
     val scored = qb.join(cb, "centroid_id")
       .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** IVF with multi-probe (`nprobe` > 1): identical index to [[ivfTopK]]
+    * — every corpus vector lives in exactly ONE bucket (its nearest
+    * centroid) — but each query probes its `nprobe` nearest centroids
+    * instead of only the first. This is THE standard recall knob for an
+    * IVF index (the q275-family harness measured nprobe=1 at 0.46
+    * average recall@5 — not production-usable): scanned-corpus fraction
+    * grows ~nprobe/nlist while the index build cost is unchanged, and
+    * because corpus buckets are disjoint and probe centroids are
+    * pairwise distinct, no (qid, cid) candidate is generated twice — no
+    * dedup pass. Ranking stays on the rounded dot (q46 recipe) so the
+    * probe-set boundary is engine-portable and the recall queries carry
+    * exact oracles.
+    */
+  def ivfTopKProbe(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val centroids = broadcast(
+      corpus.orderBy("cid").limit(nlist)
+        .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+
+    def assign(df: DataFrame, vec: String, nKeep: Int): DataFrame = {
+      val scored = df.crossJoin(centroids)
+        .withColumn("__d", round(expr(s"vec_dot($vec, centroid)"), 6))
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("__d").desc, col("centroid_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nKeep)
+        .drop("__d", "__r", "centroid")
+    }
+
+    val qb = assign(queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")),
+      "qe", nprobe)
+    val cb = assign(corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")),
+      "ce", 1)
+    val scored = qb.join(cb, "centroid_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Multi-table LSH top-k (the classic L-table OR-construction): build
+    * `nTables` INDEPENDENT hyperplane tables (seeds 42, 43, …, so table
+    * 0 is exactly [[lshTopK]]'s) and take the union of same-bucket
+    * candidates across tables before scoring. Where multi-probe widens
+    * one table's probe set, extra tables re-draw the partition itself —
+    * recall compounds as 1-(1-p)^L. Cost shape: the corpus is bucketed
+    * L times (that IS the multi-table index: L·|C| narrow (key, id)
+    * index rows — at 100 TB each table is one more shuffle-light pass
+    * over vectors already in memory), candidates are deduped on
+    * (qid, cid) BEFORE any dot product is computed, and scoring joins
+    * the bounded query set broadcast + one hash join on cid.
+    */
+  def lshMultiTableTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nPlanes: Int,
+      dim: Int,
+      nTables: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    def tableKeys(vec: String): Column = array((0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed = 42L + t)
+      VectorFunctions.hyperplaneBucket(col(vec), planes) +
+        lit(t.toLong * (1L << nPlanes))
+    }: _*)
+    val qb = queries.select(col("qid"), explode(tableKeys("qe")).as("tb"))
+    val cb = corpus.select(col("cid"), explode(tableKeys("ce")).as("tb"))
+    val cand = qb.join(cb, "tb").filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val scored = cand.join(broadcast(q), "qid").join(c, "cid")
       .select(col("qid"), col("cid"),
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))

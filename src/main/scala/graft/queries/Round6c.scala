@@ -31,7 +31,7 @@ object Round6c {
 
   /** DuckDB rounded-cosine fragment between embedding aliases (requires
     * the dimension unnest alias `i` in scope; embeddings are 64-dim). */
-  private def cosSql(x: String, y: String): String =
+  private[queries] def cosSql(x: String, y: String): String =
     s"""round(SUM(CAST($x.embedding[i.i] AS DOUBLE) * CAST($y.embedding[i.i] AS DOUBLE)) /
       (sqrt(SUM(CAST($x.embedding[i.i] AS DOUBLE) * CAST($x.embedding[i.i] AS DOUBLE))) *
        sqrt(SUM(CAST($y.embedding[i.i] AS DOUBLE) * CAST($y.embedding[i.i] AS DOUBLE)))), 6)"""
@@ -45,7 +45,7 @@ object Round6c {
     * join and aggregation are k-bounded. Helpers are declared BEFORE
     * `defs` (object-init order, CLAUDE.md).
     */
-  private def recallHarness(s: SparkSession, dir: String,
+  private[queries] def recallHarness(s: SparkSession, dir: String,
       ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 50)
@@ -67,7 +67,7 @@ object Round6c {
 
   /** Oracle prefix shared by the recall queries: the 50-query sample
     * (`qs`), brute-force pairs (`ex0`), and exact top-5 (`exr`). */
-  private val exactRecallCte: String =
+  private[queries] val exactRecallCte: String =
     s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
         WHERE vec_id < 50),
       ex0 AS (SELECT qs.qid, e.vec_id AS cid, ${cosSql("qs2", "e")} AS cos
@@ -82,7 +82,7 @@ object Round6c {
 
   /** Oracle tail shared by the recall queries: expects a CTE `annr`
     * with the index's (qid, cid) top-5. */
-  private val recallTailSql: String =
+  private[queries] val recallTailSql: String =
     """hits AS (SELECT exr.qid, COUNT(*) AS h
         FROM exr JOIN annr ON exr.qid = annr.qid AND exr.cid = annr.cid
         GROUP BY 1)

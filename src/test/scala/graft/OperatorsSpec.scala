@@ -205,6 +205,54 @@ class OperatorsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("ivfTopKProbe: probing all centroids recovers brute force") {
+    // nprobe = nlist means every query sees every (disjoint) corpus
+    // bucket — the candidate set IS the corpus, so the approximate
+    // top-k must equal cosineTopK exactly.
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+    val q = vecs.take(4).map { case (i, v) => (i + 100L, v) }.toDF("qid", "qe")
+    val c = vecs.toDF("cid", "ce")
+    val exact = Similarity.cosineTopK(q, c, 3)
+      .select("qid", "cid", "rnk").collect().map(_.toString).sorted
+    val all = Similarity.ivfTopKProbe(q, c, 3, nlist = 5, nprobe = 5)
+      .select("qid", "cid", "rnk").collect().map(_.toString).sorted
+    assert(all.sameElements(exact))
+  }
+
+  test("ivfTopKProbe: nprobe=1 equals ivfTopK") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+    val q = Seq((999L, vecs(7)._2)).toDF("qid", "qe")
+    val c = vecs.toDF("cid", "ce")
+    val one = Similarity.ivfTopKProbe(q, c, 3, nlist = 4, nprobe = 1)
+      .collect().map(_.toString).sorted
+    val base = Similarity.ivfTopK(q, c, 3, nlist = 4)
+      .collect().map(_.toString).sorted
+    assert(one.sameElements(base))
+  }
+
+  test("lshMultiTableTopK: one table equals lshTopK; best cos monotone in L") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 5 + j * 2).toFloat)))
+    val q = vecs.take(6).toDF("qid", "qe")
+    val c = vecs.toDF("cid", "ce")
+    // table 0 uses seed 42 = lshTopK's planes, so L=1 is identical
+    val mt1 = Similarity.lshMultiTableTopK(q, c, 3, 4, 8, nTables = 1)
+      .collect().map(_.toString).sorted
+    val single = Similarity.lshTopK(q, c, 3, 4, 8)
+      .collect().map(_.toString).sorted
+    assert(mt1.sameElements(single))
+    // more tables only ADD candidates, so each query's best found
+    // cosine is non-decreasing in L
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rnk") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b1 = best(Similarity.lshMultiTableTopK(q, c, 3, 4, 8, 1))
+    val b4 = best(Similarity.lshMultiTableTopK(q, c, 3, 4, 8, 4))
+    b1.foreach { case (qid, cos) => assert(b4.getOrElse(qid, -2.0) >= cos) }
+  }
+
   test("Hierarchy.depths: clean chains resolve; dangling and cyclic get sentinel") {
     // 1 -> 0 (root, d=1); 2 -> 1 (d=2); 3 -> 9 (dangling: 9 not an id);
     // 4 -> 5, 5 -> 4 (cycle, never finishes); 6 -> NULL (null parent);
