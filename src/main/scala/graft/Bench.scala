@@ -50,10 +50,13 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // A throwing query records -1 (NOT a silent timing): correctness
+    // scoring catches real breakage, but the bench artifact must not be
+    // able to hide a bench-only regression behind a fast failure.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { run(fn); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => name -> -1.0 }
     }
     // The recording harness keeps only a bounded TAIL of this line, so
     // the diagnostics that matter must sit at the END: per-query times
@@ -67,8 +70,11 @@ object Bench {
     val slow = sorted.takeRight(20).reverse
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs,"slowest":$slow,"total":${ms(total)}}""")
+    // total sums SUCCESSFUL runs only; n_failed makes a -1 impossible to
+    // miss even when the bounded tail truncates the per-query map
+    val total = results.values.filter(_ >= 0).sum
+    val nFailed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"slowest":$slow,"total":${ms(total)}}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -155,5 +155,171 @@ object Ranks {
         (sum(col(c)).over(wl) +
           coalesce(col(s"o_$c"), lit(0))).as(s"run_$c")): _*)
     coldOut.unionByName(hotOut)
+  }
+
+  /** Range-bin a frame by `ordNum` over per-`part` [min, max] when
+    * `part` is non-empty, else over the global range (1-row broadcast).
+    * `ordNum` must be monotone NON-DECREASING in the window order's
+    * leading key (pass a negated expression for DESC leading keys), so
+    * rows tied on the leading key always share a bin. */
+  private def binByOrd(d: DataFrame, part: Seq[String], ordNum: String,
+      bins: Int): DataFrame = {
+    val binExpr = expr(s"""CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
+      (CAST(($ordNum) AS DOUBLE) - CAST(lo AS DOUBLE)) /
+      (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * $bins) AS INT),
+      ${bins - 1}) END""")
+    if (part.isEmpty) {
+      val mm = d.agg(min(expr(ordNum)).as("lo"), max(expr(ordNum)).as("hi"))
+      d.crossJoin(broadcast(mm)).withColumn("bin", binExpr).drop("lo", "hi")
+    } else {
+      val mm = d.groupBy(part.map(col): _*)
+        .agg(min(expr(ordNum)).as("lo"), max(expr(ordNum)).as("hi"))
+      d.join(mm, part).withColumn("bin", binExpr).drop("lo", "hi")
+    }
+  }
+
+  /** Skew-robust `row_number` / `rank` / `dense_rank` — the rank-family
+    * member of the two-phase scheme ([[runningSumsBinned]] covers
+    * running aggregates; the round-6 skew probe named windows-over-hot-
+    * keys the one class AQE cannot split, because a window partition is
+    * indivisible). HYBRID like runningSumsBinned: keys with ≥
+    * `hotThreshold` rows are range-binned by `ordNum` and ranked within
+    * (part, bin) plus a prefix offset from the bounded per-(part, bin)
+    * spine; cold keys take the plain window.
+    *
+    * Why per-op offsets compose exactly (tie groups NEVER span bins —
+    * equal leading keys share a bin by the [[binByOrd]] contract):
+    *   - row_number: local row_number + (rows in earlier bins);
+    *   - rank = 1 + rows strictly before the current tie group =
+    *     local rank + (rows in earlier bins);
+    *   - dense_rank: local dense_rank + (DISTINCT tie groups in
+    *     earlier bins).
+    * Appends `rn`, `rnk`, `drnk` (long). `tieCols` are the PLAIN value
+    * expressions underlying `ordCols` (sort direction stripped — a tie
+    * group is direction-independent); `ordCols` must totally order
+    * rows within `part` for rn to be retry-deterministic (rnk/drnk are
+    * tie-safe by definition).
+    */
+  def rankedBinned(d: DataFrame, part: String, ordNum: String,
+      ordCols: Seq[Column], tieCols: Seq[Column], bins: Int = 64,
+      hotThreshold: Long = 1000000L): DataFrame = {
+    val outCols = d.columns.map(col).toSeq
+    val wPlain = Window.partitionBy(col(part)).orderBy(ordCols: _*)
+    def ranks(w: org.apache.spark.sql.expressions.WindowSpec) = Seq(
+      row_number().over(w).cast("long"), rank().over(w).cast("long"),
+      dense_rank().over(w).cast("long"))
+    val hotKeys = d.groupBy(col(part)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hotThreshold)
+      .select(col(part), lit(1).as("hot"))
+    val flagged = d.join(broadcast(hotKeys), Seq(part), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coldOut = flagged.filter(col("hot").isNull)
+      .select(outCols ++ ranks(wPlain).zip(Seq("rn", "rnk", "drnk"))
+        .map { case (c, n) => c.as(n) }: _*)
+    val hot = flagged.filter(col("hot") === 1).select(outCols: _*)
+    val binned = binByOrd(hot, Seq(part), ordNum, bins)
+    // bounded spine: per-(part, bin) row count + distinct tie-group
+    // count (a tie group = one full ordCols tuple)
+    val tot = binned.groupBy(col(part), col("bin"))
+      .agg(count(lit(1)).as("t_n"),
+        countDistinct(struct(tieCols: _*)).as("t_g"))
+    val wb = Window.partitionBy(col(part)).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = tot.select(col(part), col("bin"),
+      coalesce(sum(col("t_n")).over(wb), lit(0L)).as("o_n"),
+      coalesce(sum(col("t_g")).over(wb), lit(0L)).as("o_g"))
+    val wl = Window.partitionBy(col(part), col("bin")).orderBy(ordCols: _*)
+    val hotOut = binned.join(offs, Seq(part, "bin"))
+      .select(outCols ++ Seq(
+        (row_number().over(wl).cast("long") + col("o_n")).as("rn"),
+        (rank().over(wl).cast("long") + col("o_n")).as("rnk"),
+        (dense_rank().over(wl).cast("long") + col("o_g")).as("drnk")): _*)
+    coldOut.unionByName(hotOut)
+  }
+
+  /** Skew-robust `lag(1)` / `lead(1)` — the analytic member of the
+    * two-phase family. Hot keys are range-binned; every row takes its
+    * neighbor from within its own (part, bin) window except the bin-
+    * BOUNDARY rows, which patch from a bounded per-(part, bin) spine of
+    * first/last rows (the previous/next NON-EMPTY bin's edge row via a
+    * lag/lead over the spine itself). Appends `lag_<c>` / `lead_<c>`
+    * for each value column, bit-identical to the plain
+    * `lag(c, 1) over (partition by part order by ordCols)` (nulls at
+    * partition edges included). `ordCols` must totally order rows
+    * within `part` — with ties the plain window's neighbor is itself
+    * attempt-dependent under retry (the RetryDeterminismSpec rule), so
+    * the contract loses nothing.
+    */
+  def lagLeadBinned(d: DataFrame, part: String, ordNum: String,
+      ordCols: Seq[Column], valCols: Seq[String], bins: Int = 64,
+      hotThreshold: Long = 1000000L): DataFrame = {
+    val outCols = d.columns.map(col).toSeq
+    val wPlain = Window.partitionBy(col(part)).orderBy(ordCols: _*)
+    def edges(w: org.apache.spark.sql.expressions.WindowSpec) =
+      valCols.flatMap(c => Seq(lag(col(c), 1).over(w).as(s"lag_$c"),
+        lead(col(c), 1).over(w).as(s"lead_$c")))
+    val hotKeys = d.groupBy(col(part)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hotThreshold)
+      .select(col(part), lit(1).as("hot"))
+    val flagged = d.join(broadcast(hotKeys), Seq(part), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coldOut = flagged.filter(col("hot").isNull)
+      .select(outCols ++ edges(wPlain): _*)
+    val hot = flagged.filter(col("hot") === 1).select(outCols: _*)
+    val wl = Window.partitionBy(col(part), col("bin")).orderBy(ordCols: _*)
+    // last-in-bin flag via bin size (not a reversed sort: ordCols may
+    // already carry explicit sort directions that cannot be re-flipped)
+    val wBin = Window.partitionBy(col(part), col("bin"))
+    val binned = binByOrd(hot, Seq(part), ordNum, bins)
+      .withColumn("__rf", row_number().over(wl))
+      .withColumn("__rl",
+        count(lit(1)).over(wBin) - col("__rf") + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSpine = Window.partitionBy(col(part)).orderBy("bin")
+    // previous non-empty bin's LAST row values, keyed by this bin
+    val patchPrev = binned.filter(col("__rl") === 1)
+      .select(Seq(col(part), col("bin")) ++
+        valCols.map(c => col(c).as(s"__l_$c")): _*)
+      .select(Seq(col(part), col("bin")) ++ valCols.map(c =>
+        lag(col(s"__l_$c"), 1).over(wSpine).as(s"__prev_$c")): _*)
+    // next non-empty bin's FIRST row values, keyed by this bin
+    val patchNext = binned.filter(col("__rf") === 1)
+      .select(Seq(col(part), col("bin")) ++
+        valCols.map(c => col(c).as(s"__f_$c")): _*)
+      .select(Seq(col(part), col("bin")) ++ valCols.map(c =>
+        lead(col(s"__f_$c"), 1).over(wSpine).as(s"__next_$c")): _*)
+    val hotOut = binned
+      .join(patchPrev, Seq(part, "bin"))
+      .join(patchNext, Seq(part, "bin"))
+      .select(outCols ++ valCols.flatMap(c => Seq(
+        when(col("__rf") === 1, col(s"__prev_$c"))
+          .otherwise(lag(col(c), 1).over(wl)).as(s"lag_$c"),
+        when(col("__rl") === 1, col(s"__next_$c"))
+          .otherwise(lead(col(c), 1).over(wl)).as(s"lead_$c"))): _*)
+    coldOut.unionByName(hotOut)
+  }
+
+  /** Skew-robust `ntile(n)` built on [[rankedBinned]]'s row numbers
+    * plus per-`part` totals: Spark's ntile assigns the first
+    * `cnt % n` buckets `ceil(cnt / n)` rows and the rest
+    * `floor(cnt / n)` — a pure expression of (rn, cnt), so no second
+    * window pass. The payoff case is the GLOBAL ntile (pass a constant
+    * `part` column): the plain form is a data-sized single-partition
+    * sort (the q25 caveat); this form never sorts more than one range
+    * bin per task. Appends `tile` (long).
+    */
+  def ntileBinned(d: DataFrame, part: String, ordNum: String,
+      ordCols: Seq[Column], tieCols: Seq[Column], n: Int, bins: Int = 64,
+      hotThreshold: Long = 1000000L): DataFrame = {
+    val outCols = d.columns.map(col).toSeq
+    val cnt = d.groupBy(col(part)).agg(count(lit(1)).as("__cnt"))
+    rankedBinned(d, part, ordNum, ordCols, tieCols, bins, hotThreshold)
+      .join(cnt, Seq(part))
+      .withColumn("tile", expr(
+        s"""CAST(CASE WHEN rn <= (__cnt DIV $n + 1) * (__cnt % $n)
+           THEN (rn - 1) DIV (__cnt DIV $n + 1) + 1
+           ELSE __cnt % $n + (rn - 1 - (__cnt DIV $n + 1) * (__cnt % $n))
+             DIV (__cnt DIV $n) + 1 END AS BIGINT)"""))
+      .select(outCols :+ col("tile"): _*)
   }
 }

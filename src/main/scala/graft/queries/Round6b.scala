@@ -38,6 +38,35 @@ object Round6b {
 
   private val D9 = DecimalType(18, 9)
 
+  /** Row-local trigram shingler shared by q265's static index, its
+    * streaming probe side, and StreamingSpec's bounded-state test:
+    * distinct xxhash64 trigram hashes per document, exploded with the
+    * per-doc shingle count. Row-local by construction (a transform HOF
+    * + explode — streaming-safe with no stateful pre-aggregation).
+    */
+  def shingledDocs(df: DataFrame, idAs: String, nAs: String): DataFrame = df
+    .withColumn("w", split(col("text"), " "))
+    .withColumn("sh", array_distinct(expr(
+      """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+         (x, i) -> xxhash64(concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3))))""")))
+    .filter(size(col("sh")) > 0)
+    .select(col("doc_id").as(idAs), col("lang"),
+      size(col("sh")).cast("long").as(nAs), explode(col("sh")).as("gh"))
+
+  /** Per-micro-batch near-dup scoring for q265: join one batch of probe
+    * shingles against the static inverted index, aggregate intersection
+    * counts, keep Jaccard >= 0.5. Globally complete per batch because
+    * a probe doc's shingles never span batches and the corpus side is
+    * static — the reason q265 needs NO stateful streaming operator.
+    */
+  def scoreNearDupBatch(batch: DataFrame, idx: DataFrame): DataFrame = batch
+    .join(idx, Seq("gh", "lang"))
+    .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
+    .withColumn("jaccard",
+      col("inter") / (col("na") + col("nb") - col("inter")))
+    .filter(col("jaccard") >= 0.5)
+    .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- bigram-LM fluency scoring (CCNet-style quality filter) --------
@@ -324,45 +353,55 @@ object Round6b {
     // ---- streaming near-dup detection (stream-static, q210's twin) -----
     // The PRODUCTION ingest-time shape of q210: new documents arrive as
     // a stream, each micro-batch is shingled ROW-LOCALLY (the trigram
-    // xxhash64 array via a transform HOF — no stateful pre-aggregation,
-    // so the only stateful op is the pair aggregation itself), joined
-    // stream-static against the standing corpus's inverted shingle
-    // index, and near-dup alerts (Jaccard >= 0.5, lang-blocked) come
-    // out of a complete-mode aggregation. Same split, same semantics,
-    // SAME ORACLE as batch q210 — stream and batch must agree. BOTH
-    // sides use the identical HOF shingler (the streaming-safe
-    // re-expression of Dedup.shingleIndex — note the Generator joins
-    // words with '\0', so its hashes are not reproducible from SQL
-    // string ops; hashing here only needs to be collision-free and
-    // side-consistent, as everywhere in the dedup family).
+    // xxhash64 array via a transform HOF), joined stream-static against
+    // the standing corpus's inverted shingle index, and near-dup alerts
+    // (Jaccard >= 0.5, lang-blocked) MERGE idempotently into an alerts
+    // table inside foreachBatch — the q223 monotonic-sink pattern.
+    // ZERO stateful streaming operators: a probe document's shingles
+    // all live in its own micro-batch (the explode is row-local) and
+    // pairs are (probe, corpus-doc) with a STATIC corpus side, so
+    // per-batch aggregation is already globally complete — the round-6
+    // complete-mode pair aggregation carried every pair ever seen as
+    // resident state for nothing (the round-6 verdict's one
+    // scale-killer; StreamingSpec now pins stateOperators to empty
+    // across a multi-batch run). Retried batches recompute the same
+    // deterministic scores and the NOT-MATCHED-only MERGE absorbs
+    // them. Same split, same semantics, SAME ORACLE as batch q210 —
+    // stream and batch must agree. BOTH sides use the identical HOF
+    // shingler (the streaming-safe re-expression of Dedup.shingleIndex
+    // — note the Generator joins words with '\0', so its hashes are
+    // not reproducible from SQL string ops; hashing here only needs to
+    // be collision-free and side-consistent, as everywhere in the
+    // dedup family).
     "q265_stream_neardup" -> QueryDef(
       (s, dir) => {
-        def shingled(df: DataFrame, idAs: String, nAs: String): DataFrame = df
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("sh", array_distinct(expr(
-            """transform(slice(w, 1, greatest(size(w) - 2, 0)),
-               (x, i) -> xxhash64(concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3))))""")))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id").as(idAs), col("lang"),
-            size(col("sh")).cast("long").as(nAs), explode(col("sh")).as("gh"))
         val docsSchema = t(s, dir, "documents").schema
-        val idx = shingled(t(s, dir, "documents")
+        val idx = Round6b.shingledDocs(t(s, dir, "documents")
           .filter(pmod(col("doc_id") * lit(2654435761L), lit(10L)) =!= 0), "db", "nb")
+          .persist()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.neardup_alerts")
+        s.sql("CREATE TABLE graftmem.neardup_alerts (da BIGINT, db BIGINT, jaccard DOUBLE)")
         val src = s.readStream.schema(docsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        val probe = shingled(src
+        val probe = Round6b.shingledDocs(src
           .filter(pmod(col("doc_id") * lit(2654435761L), lit(10L)) === 0), "da", "na")
-        val pairs = probe.join(idx, Seq("gh", "lang"))
-          .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("inter"))
-        val out = EventTime.withShufflePartitions(s, 8) {
-          graft.streaming.EventStreams.runToMemory(
-            pairs, "q265_stream_neardup_sink")
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              Round6b.scoreNearDupBatch(batch, idx)
+                .createOrReplaceTempView("q265_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.neardup_alerts t USING q265_batch b
+                  ON t.da = b.da AND t.db = b.db
+                  WHEN NOT MATCHED THEN INSERT (da, db, jaccard)
+                    VALUES (b.da, b.db, b.jaccard)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         }
-        out.withColumn("jaccard",
-            col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-          .orderBy("da", "db")
+        q.awaitTermination()
+        idx.unpersist()
+        s.sql("SELECT da, db, jaccard FROM graftmem.neardup_alerts ORDER BY da, db")
       },
       Some("""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g

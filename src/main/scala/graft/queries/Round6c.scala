@@ -312,7 +312,8 @@ object Round6c {
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       ln AS (SELECT doc_id, array_to_string(w[i.i * 5 + 1 : i.i * 5 + 5], ' ') AS line
-        FROM d, (SELECT unnest(range(0, 1000)) AS i) i
+        FROM d, (SELECT unnest(range(0,
+          (SELECT MAX(len(w)) FROM d) // 5 + 1)) AS i) i
         WHERE i.i * 5 + 1 <= len(w)),
       df AS (SELECT line, COUNT(DISTINCT doc_id) AS dn FROM ln GROUP BY 1)
       SELECT doc_id, COUNT(*) AS n_lines,
@@ -368,9 +369,14 @@ object Round6c {
         val cross = a.join(b, Seq("cid")).filter(col("ga") =!= col("gb"))
           .select(col("idsa"), col("idsb"), cosCol("ea", "eb").as("cos"))
           .filter(col("cos") >= 0.35)
+        // the threshold must apply to the self frame too: cos(e,e) of an
+        // all-zero vector is NaN, which q264's pairwise form drops
+        // (NaN >= 0.35 is false) — a no-op for nonzero vectors whose
+        // rounded self-cos is 1.0 (ADVICE r6)
         val self = mem.filter(size(col("ids")) > 1)
           .select(col("ids").as("idsa"), col("ids").as("idsb"),
             cosCol("embedding", "embedding").as("cos"))
+          .filter(col("cos") >= 0.35)
         cross.unionByName(self)
           .select(element_at(col("idsa"), 1).as("min_a"),
             explode(col("idsb")).as("vec_id"), col("cos"))
@@ -515,6 +521,16 @@ object Round6c {
     // set's per-user count and exact-decimal value sum.
     "q277_stream_rate_quota" -> QueryDef(
       (s, dir) => {
+        // Agreement with the GLOBAL row_number() <= 3 oracle relies on
+        // the AvailableNow catch-up delivering ALL events in ONE
+        // micro-batch: cross-batch FCFS admission is batch-boundary-
+        // dependent (earlier batches consume quota first regardless of
+        // event time — exactly what the MapState multi-batch test
+        // pins). The fixture contract is a single events.parquet FILE
+        // and no file-limit option; assert it so a fixture change fails
+        // loudly here instead of as a confusing hash mismatch (ADVICE r6).
+        require(new java.io.File(dir, "events.parquet").isFile,
+          s"q277 oracle assumes a single-file events fixture delivered in one micro-batch; $dir/events.parquet is not a regular file")
         val key = "spark.sql.streaming.stateStore.providerClass"
         val old = s.conf.getOption(key)
         s.conf.set(key,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
+import graft.operators.Ranks
 import graft.sources.Tables
 
 /** Round-7 batch: closing the ANN recall gap the round-6 harness
@@ -123,6 +124,79 @@ object Round7 {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
           FROM scored) WHERE rnk <= 5),
         ${Round6c.recallTailSql}"""
-      }))
+      })),
+
+    // ---- skew-robust ranking windows (q21's hybrid twin, SAME oracle) --
+    // The round-6 skew probe named windows-over-hot-keys the one class
+    // AQE cannot mitigate (a window partition is indivisible); q259
+    // covered running sums — this extends the two-phase bin/offset
+    // scheme to row_number/rank/dense_rank (Ranks.rankedBinned). Tie
+    // groups never span bins (equal leading keys share a range bin), so
+    // local ranks + bounded per-(part,bin) spine offsets compose
+    // EXACTLY — scored against q21's unmodified oracle. The threshold
+    // here (20 rows) deliberately sends part of the fixture down EACH
+    // path so the union of both is what the oracle checks; production
+    // uses ~1e6 (only keys too big for one task pay the binning).
+    "q281_win_rank_binned" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        Ranks.rankedBinned(o, "o_custkey", "-o_totalprice",
+            Seq(col("o_totalprice").desc, col("o_orderkey")),
+            Seq(col("o_totalprice"), col("o_orderkey")),
+            bins = 16, hotThreshold = 20L)
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Relational.defs("q21_win_rank").oracle),
+
+    // ---- skew-robust lag/lead (q22's hybrid twin, SAME oracle) ---------
+    // The analytic member of the family: hot keys bin by the leading
+    // order key, every row reads its neighbor inside its own (part,
+    // bin) window except bin-boundary rows, which patch from a bounded
+    // per-bin first/last-row spine (previous/next NON-EMPTY bin via
+    // lag/lead over the spine itself). Nulls at true partition edges
+    // fall out naturally (the spine lag is null at the first bin).
+    // Scored against q22's unmodified oracle with a both-paths
+    // threshold, like q281.
+    "q282_win_lag_binned" -> QueryDef(
+      (s, dir) => {
+        val e = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("sec"))
+        Ranks.lagLeadBinned(e, "user_id", "sec",
+            Seq(col("sec"), col("event_id")),
+            Seq("event_type", "sec", "event_id"),
+            bins = 16, hotThreshold = 60L)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("lag_event_type").as("prev_type"),
+            (col("sec") - col("lag_sec")).as("gap_sec"),
+            col("lead_event_id").as("next_id"))
+          .orderBy("event_id")
+      },
+      Relational.defs("q22_win_lag_lead").oracle),
+
+    // ---- distributed global ntile (q25's twin, SAME oracle) ------------
+    // q25's own comment concedes its plan: a GLOBAL ntile is a
+    // data-sized single-partition sort. This twin computes the same
+    // tiles with Ranks.ntileBinned over a constant partition key forced
+    // down the binned path (the global window IS the degenerate hot
+    // key): range-bin by the order key, local row_number per bin +
+    // bounded spine offsets, then ntile as a pure (rn, count)
+    // expression replaying Spark's uneven-bucket rule — no task ever
+    // sorts more than one range bin. PlanGuard's single-partition-
+    // exchange guard is the reason this shape exists.
+    "q283_win_ntile_binned" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), lit(0).as("g"))
+        Ranks.ntileBinned(c, "g", "-c_acctbal",
+            Seq(col("c_acctbal").desc, col("c_custkey")),
+            Seq(col("c_acctbal"), col("c_custkey")), n = 4,
+            bins = 32, hotThreshold = 1L)
+          .select(col("c_custkey"), col("c_acctbal"), col("tile"))
+          .orderBy("c_custkey")
+      },
+      Relational.defs("q25_win_ntile").oracle)
   )
 }

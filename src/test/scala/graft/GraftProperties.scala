@@ -141,6 +141,86 @@ object GraftProperties extends Properties("graft") {
       plain == binned
     }
 
+  // shared generator for the window-family bit-identity properties:
+  // few partitions (hot groups), an order key WITH ties, a unique
+  // tie-break index, and DESC leading order to exercise the
+  // direction-carrying ordCols path
+  private val winRows = Gen.nonEmptyListOf(for {
+    p <- Gen.chooseNum(0L, 2L)
+    o <- Gen.chooseNum(0L, 50L)
+    v <- Gen.chooseNum(-100L, 100L)
+  } yield (p, o, v))
+
+  property("rankedBinned == plain rank windows (bins force splits)") =
+    forAll(winRows) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex.map { case ((p, o, v), i) =>
+        (p, o, i.toLong, v)
+      }.toDF("p", "o", "i", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy(col("o").desc, col("i"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))
+      val plain = df.select(col("p"), col("o"), col("i"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      val binned = operators.Ranks
+        .rankedBinned(df, "p", "-o", Seq(col("o").desc, col("i")),
+          Seq(col("o"), col("i")), bins = 4, hotThreshold = 5L)
+        .select(col("p"), col("o"), col("i"),
+          col("rn"), col("rnk"), col("drnk"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      plain == binned
+    }
+
+  property("lagLeadBinned == plain lag/lead (bin-boundary patches)") =
+    forAll(winRows) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex.map { case ((p, o, v), i) =>
+        (p, o, i.toLong, v)
+      }.toDF("p", "o", "i", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy(col("o"), col("i"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4))
+      val plain = df.select(col("p"), col("o"), col("i"),
+          lag(col("v"), 1).over(w).as("lag_v"),
+          lead(col("v"), 1).over(w).as("lead_v"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      val binned = operators.Ranks
+        .lagLeadBinned(df, "p", "o", Seq(col("o"), col("i")), Seq("v"),
+          bins = 4, hotThreshold = 5L)
+        .select(col("p"), col("o"), col("i"), col("lag_v"), col("lead_v"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      plain == binned
+    }
+
+  property("ntileBinned == plain ntile (uneven buckets, forced bins)") =
+    forAll(winRows, Gen.chooseNum(1, 7)) { (rows, n) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex.map { case ((p, o, v), i) =>
+        (p, o, i.toLong, v)
+      }.toDF("p", "o", "i", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy(col("o"), col("i"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val plain = df.select(col("p"), col("o"), col("i"),
+          ntile(n).over(w).cast("long").as("tile"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      val binned = operators.Ranks
+        .ntileBinned(df, "p", "o", Seq(col("o"), col("i")),
+          Seq(col("o"), col("i")), n, bins = 4, hotThreshold = 5L)
+        .select(col("p"), col("o"), col("i"), col("tile"))
+        .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
+      plain == binned
+    }
+
   property("lshKnnEdgesDeduped == lshKnnEdges on dup-heavy corpora") =
     forAll(dupEmbeddings) { rows =>
       import spark.implicits._
@@ -174,17 +254,30 @@ object GraftProperties extends Properties("graft") {
   property("semdedup dedup-first == all-pairs on dup-heavy corpora") =
     forAll(dupEmbeddings) { rows =>
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("semdd").toString
-      rows.map { case (id, l, v) => (id * 7, l.map(_.toInt), v) }
-        .toDF("vec_id", "label", "embedding")
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      def key(r: org.apache.spark.sql.Row) =
-        (r.getLong(0), r.getLong(1), r.getDouble(2))
-      val all = queries.Round6b.defs("q264_llm_semdedup").fn(spark, dir)
-        .collect().map(key).toSeq.sortBy(_._1)
-      val dd = queries.Round6c.defs("q272_llm_semdedup_dedup").fn(spark, dir)
-        .collect().map(key).toSeq.sortBy(_._1)
-      all == dd
+      // per-iteration scratch is cleaned up and the query fns' internal
+      // persists released — a ScalaCheck run must not accumulate disk
+      // or executor storage memory across iterations (ADVICE r6)
+      val dirPath = java.nio.file.Files.createTempDirectory("semdd")
+      try {
+        val dir = dirPath.toString
+        rows.map { case (id, l, v) => (id * 7, l.map(_.toInt), v) }
+          .toDF("vec_id", "label", "embedding")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val all = queries.Round6b.defs("q264_llm_semdedup").fn(spark, dir)
+          .collect().map(key).toSeq.sortBy(_._1)
+        val dd = queries.Round6c.defs("q272_llm_semdedup_dedup").fn(spark, dir)
+          .collect().map(key).toSeq.sortBy(_._1)
+        all == dd
+      } finally {
+        spark.catalog.clearCache() // both query fns persist internally
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dirPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
 
   // random word corpora with planted near-duplicates: the prefix-filtered

@@ -583,4 +583,54 @@ class StreamingSpec extends SparkTestBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("q265 near-dup pipeline: zero resident state, any batch split") {
+    // The round-6 verdict's one scale-killer was q265's complete-mode
+    // pair aggregation (state keyed by every pair ever seen). The
+    // rebuilt pipeline scores each micro-batch against the static index
+    // inside foreachBatch — this test drives the SAME helpers over a
+    // 3-batch MemoryStream split and pins both claims: (a) the union of
+    // per-batch alerts equals the one-shot batch computation (batch
+    // boundaries don't change the answer), and (b) every progress
+    // reports ZERO stateful operators — resident state cannot grow with
+    // stream length because there isn't any.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+    def slot(id: Long): Long = {
+      val m = (id * 2654435761L) % 10; if (m < 0) m + 10 else m
+    }
+    val idx = queries.Round6b.shingledDocs(
+      docs.filter(pmod(col("doc_id") * lit(2654435761L), lit(10L)) =!= 0),
+      "db", "nb").persist()
+    val probeRows = docs.as[(Long, String, String)].collect()
+      .filter(r => slot(r._1) == 0)
+    assert(probeRows.length >= 3, "fixture must provide >= 3 probe docs")
+    val expected = queries.Round6b.scoreNearDupBatch(
+      queries.Round6b.shingledDocs(
+        probeRows.toSeq.toDF("doc_id", "text", "lang"), "da", "na"),
+      idx).collect().map(_.toString).toSet
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val probe = queries.Round6b.shingledDocs(
+      ms.toDF().toDF("doc_id", "text", "lang"), "da", "na")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = probe.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        queries.Round6b.scoreNearDupBatch(batch, idx).collect()
+          .foreach(r => got.add(r.toString))
+        ()
+    }.start()
+    try {
+      probeRows.grouped(math.max(1, probeRows.length / 3)).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+      assert(q.recentProgress.nonEmpty)
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "near-dup pipeline must carry no stateful streaming operator")
+    } finally { q.stop(); idx.unpersist() }
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == expected)
+  }
 }
