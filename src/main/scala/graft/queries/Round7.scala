@@ -143,7 +143,6 @@ object Round7 {
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         Ranks.rankedBinned(o, "o_custkey", "-o_totalprice",
             Seq(col("o_totalprice").desc, col("o_orderkey")),
-            Seq(col("o_totalprice"), col("o_orderkey")),
             bins = 16, hotThreshold = 20L)
           .filter(col("rn") <= 3)
           .orderBy("o_custkey", "rn")
@@ -191,8 +190,7 @@ object Round7 {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_acctbal"), lit(0).as("g"))
         Ranks.ntileBinned(c, "g", "-c_acctbal",
-            Seq(col("c_acctbal").desc, col("c_custkey")),
-            Seq(col("c_acctbal"), col("c_custkey")), n = 4,
+            Seq(col("c_acctbal").desc, col("c_custkey")), n = 4,
             bins = 32, hotThreshold = 1L)
           .select(col("c_custkey"), col("c_acctbal"), col("tile"))
           .orderBy("c_custkey")

@@ -169,7 +169,7 @@ object GraftProperties extends Properties("graft") {
         .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
       val binned = operators.Ranks
         .rankedBinned(df, "p", "-o", Seq(col("o").desc, col("i")),
-          Seq(col("o"), col("i")), bins = 4, hotThreshold = 5L)
+          bins = 4, hotThreshold = 5L)
         .select(col("p"), col("o"), col("i"),
           col("rn"), col("rnk"), col("drnk"))
         .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
@@ -214,8 +214,8 @@ object GraftProperties extends Properties("graft") {
           ntile(n).over(w).cast("long").as("tile"))
         .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
       val binned = operators.Ranks
-        .ntileBinned(df, "p", "o", Seq(col("o"), col("i")),
-          Seq(col("o"), col("i")), n, bins = 4, hotThreshold = 5L)
+        .ntileBinned(df, "p", "o", Seq(col("o"), col("i")), n,
+          bins = 4, hotThreshold = 5L)
         .select(col("p"), col("o"), col("i"), col("tile"))
         .collect().map(key).sortBy(k => (k._1, k._2, k._3)).toSeq
       plain == binned

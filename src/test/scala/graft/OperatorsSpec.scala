@@ -253,6 +253,31 @@ class OperatorsSpec extends SparkTestBase {
     b1.foreach { case (qid, cos) => assert(b4.getOrElse(qid, -2.0) >= cos) }
   }
 
+  test("IndexAdvisor: family thresholds, budget respected, dedup-first flag") {
+    import graft.operators.IndexAdvisor
+    // corpus within budget -> brute force, recall 1.0
+    val b = IndexAdvisor.advise(1000L, 64, 0.0, 0.9, candidateBudget = 2000L)
+    assert(b.family == "brute" && !b.dedupFirst)
+    // production recall, big corpus, ample budget -> IVF at nprobe = nlist/2
+    val ivf = IndexAdvisor.advise(10000000L, 64, 0.05, 0.85, 5000000L)
+    assert(ivf.family == "ivf" &&
+      ivf.params("nprobe") == ivf.params("nlist") / 2 && !ivf.dedupFirst)
+    // same target, budget too small for the IVF ratio -> graph-beam
+    // (corpus-size-independent candidates)
+    val gb = IndexAdvisor.advise(10000000L, 64, 0.0, 0.85, 100000L)
+    assert(gb.family == "graph-beam" && gb.candidatesPerQuery <= 100000L)
+    // mid recall + duplication -> multi-table LSH fitting the budget,
+    // dedup-first prepended
+    val mt = IndexAdvisor.advise(1000000L, 64, 0.2, 0.6, 200000L)
+    assert(mt.family == "lsh-multitable" && mt.dedupFirst &&
+      mt.candidatesPerQuery <= 200000L)
+    // screening tier: cheapest single-table multi-probe within budget
+    val sp = IndexAdvisor.advise(1000000L, 64, 0.0, 0.3, 50000L)
+    assert(sp.family == "lsh-multiprobe" && sp.candidatesPerQuery <= 50000L)
+    // determinism: same stats, same advice
+    assert(IndexAdvisor.advise(1000000L, 64, 0.2, 0.6, 200000L) == mt)
+  }
+
   test("Hierarchy.depths: clean chains resolve; dangling and cyclic get sentinel") {
     // 1 -> 0 (root, d=1); 2 -> 1 (d=2); 3 -> 9 (dangling: 9 not an id);
     // 4 -> 5, 5 -> 4 (cycle, never finishes); 6 -> NULL (null parent);
