@@ -384,8 +384,15 @@ object Round6b {
         s.sql("CREATE TABLE graftmem.neardup_alerts (da BIGINT, db BIGINT, jaccard DOUBLE)")
         val src = s.readStream.schema(docsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // repartition BEFORE the explode: a micro-batch's map parallelism
+        // is otherwise bounded by its input FILE partitions (the 100×
+        // probe caught one 50 MB file funneling the whole shingle
+        // explode + join map side through a single task). Shuffling the
+        // narrow raw-doc rows is cheap; the heavy row-local shingling
+        // then spreads across the session's shuffle partitions.
         val probe = Round6b.shingledDocs(src
-          .filter(pmod(col("doc_id") * lit(2654435761L), lit(10L)) === 0), "da", "na")
+          .filter(pmod(col("doc_id") * lit(2654435761L), lit(10L)) === 0)
+          .repartition(col("doc_id")), "da", "na")
         val q = EventTime.withShufflePartitions(s, 8) {
           probe.writeStream.foreachBatch {
             (batch: DataFrame, _: Long) =>

@@ -195,6 +195,91 @@ object Round7 {
           .select(col("c_custkey"), col("c_acctbal"), col("tile"))
           .orderBy("c_custkey")
       },
-      Relational.defs("q25_win_ntile").oracle)
+      Relational.defs("q25_win_ntile").oracle),
+
+    // ---- end-to-end incremental pipeline (B1 staleness × B5 sync × -----
+    // ---- idempotent MERGE), scored ------------------------------------
+    // The production incremental-ETL composition the orchestration
+    // layer exists for, as ONE scored query: the events fixture arrives
+    // as two append-only ingest files; a PipelineRunner graph (sync →
+    // summary) runs THREE times. Run 1 processes file 1 (checkpointed
+    // AvailableNow file stream → per-batch latest-per-user → the q223
+    // monotonic-guard MERGE, ordered by EVENT TIME so batch boundaries
+    // can't matter); run 2 is triggered by mtime staleness and — the
+    // incremental claim, ASSERTED in the declared semantics — its
+    // stream reads EXACTLY the second file's rows (the checkpoint, not
+    // mtimes, tracks processed files); run 3 finds nothing stale and
+    // skips every job. The final summary target is bit-identical to the
+    // one-shot batch answer: scored against q223's unmodified oracle.
+    // At 100 TB this is the difference between touching one day's files
+    // and rescanning the lake — with the same code path promotable to a
+    // continuous stream by swapping the trigger.
+    "q284_etl_incremental_pipeline" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val root = graft.util.Scratch.dir("q284")
+        val ingest = new java.io.File(root, "ingest")
+        ingest.mkdirs()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.user_latest_inc")
+        s.sql("""CREATE TABLE graftmem.user_latest_inc
+          (user_id BIGINT, last_sec BIGINT, last_eid BIGINT, last_type STRING)""")
+        val ev = graft.sources.Events.load(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+        // append-mode writes keep ingest/_SUCCESS current — the marker
+        // file PipelineRunner's mtime staleness reads; the file stream
+        // ignores _-prefixed files and sees only the new part files
+        def landSlice(m: Int): Long = {
+          val slice = ev.filter(pmod(col("event_id"), lit(2)) === m)
+          slice.coalesce(1).write.mode("append").parquet(ingest.toString)
+          slice.count()
+        }
+        var lastSyncRows = -1L
+        def sync(ss: SparkSession): Unit = {
+          val src = ss.readStream.schema(ev.schema).parquet(ingest.toString)
+          val q = src.writeStream.foreachBatch {
+            (b: DataFrame, _: Long) =>
+              val w = Window.partitionBy("user_id")
+                .orderBy(col("sec").desc, col("event_id").desc)
+              b.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+                .createOrReplaceTempView("q284_batch")
+              b.sparkSession.sql(
+                """MERGE INTO graftmem.user_latest_inc t USING q284_batch b
+                  ON t.user_id = b.user_id
+                  WHEN MATCHED AND (b.sec > t.last_sec OR
+                      (b.sec = t.last_sec AND b.event_id > t.last_eid))
+                    THEN UPDATE SET last_sec = b.sec, last_eid = b.event_id,
+                      last_type = b.event_type
+                  WHEN NOT MATCHED THEN INSERT (user_id, last_sec, last_eid, last_type)
+                    VALUES (b.user_id, b.sec, b.event_id, b.event_type)""")
+              ()
+          }.option("checkpointLocation", s"$root/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          lastSyncRows = q.recentProgress.map(_.numInputRows).sum
+        }
+        val jobs = Seq(
+          graft.pipeline.PipelineJob("sync", "sync_marker", Seq("ingest"))(
+            (ss, _) => { sync(ss); ss.range(1).toDF("ok") }),
+          graft.pipeline.PipelineJob("summary", "summary", Seq("sync_marker"))(
+            (ss, _) => ss.sql(
+              "SELECT user_id, last_sec, last_type FROM graftmem.user_latest_inc")))
+        val runner = new graft.pipeline.PipelineRunner(s, root)
+        landSlice(0)
+        val r1 = runner.run(jobs)
+        require(r1.ran.toSet == Set("sync", "summary"),
+          s"run 1 must build everything, ran=${r1.ran}")
+        Thread.sleep(50) // mtime granularity: the new file must be newer
+        val n1 = landSlice(1)
+        val r2 = runner.run(jobs)
+        require(r2.ran.toSet == Set("sync", "summary"),
+          s"run 2 must be triggered by the new ingest file, ran=${r2.ran}")
+        require(lastSyncRows == n1,
+          s"incremental sync must read ONLY the new file: read $lastSyncRows rows, file 2 has $n1")
+        val r3 = runner.run(jobs)
+        require(r3.ran.isEmpty, s"run 3 must skip everything, ran=${r3.ran}")
+        s.read.parquet(s"$root/summary").orderBy("user_id")
+      },
+      Round5.defs("q223_stream_merge_upsert").oracle)
   )
 }

@@ -249,6 +249,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q284 incremental pipeline: 3-run composition equals batch latest-per-user") {
+    // the query fn itself REQUIREs the incremental contract while it
+    // runs (run 1 builds all; run 2 is mtime-triggered and its stream
+    // reads exactly the new file's rows; run 3 skips everything), so
+    // executing it IS the staleness/restart test — here we additionally
+    // pin the final table to the independent batch computation
+    import org.apache.spark.sql.expressions.Window
+    val got = queries.Round7.defs("q284_etl_incremental_pipeline")
+      .fn(spark, sf).collect().map(_.toString).toSeq
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec").desc, col("event_id").desc)
+    val batch = sources.Events.load(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("sec").as("last_sec"),
+        col("event_type").as("last_type"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(got == batch)
+  }
+
   test("expandClosed: in-flight buckets are excluded by the curfew") {
     val tpl = TimedJobTemplate("hourly", "out-%dt.parquet", Nil)(
       (s, _, dt) => Seq((dt, 1L)).toDF("dt", "n"))
