@@ -49,6 +49,11 @@ object TuneRecall {
     recall("mt-lsh p=4 L=4")(lshMultiTableTopK(qs, corpus, 5, 4, 64, 4))
     recall("mt-lsh p=4 L=8")(lshMultiTableTopK(qs, corpus, 5, 4, 64, 8))
     recall("mt-lsh p=5 L=6")(lshMultiTableTopK(qs, corpus, 5, 5, 64, 6))
+    recall("ivf-lloyd nlist=16 r=1 nprobe=2")(ivfLloydTopK(qs, corpus, 5, 16, 2))
+    recall("ivf-lloyd nlist=16 r=1 nprobe=4")(ivfLloydTopK(qs, corpus, 5, 16, 4))
+    recall("ivf-lloyd nlist=16 r=1 nprobe=8")(ivfLloydTopK(qs, corpus, 5, 16, 8))
+    recall("ivf-lloyd nlist=16 r=2 nprobe=4")(ivfLloydTopK(qs, corpus, 5, 16, 4, rounds = 2))
+    recall("ivf-lloyd nlist=32 r=1 nprobe=8")(ivfLloydTopK(qs, corpus, 5, 32, 8))
     spark.stop()
   }
 }

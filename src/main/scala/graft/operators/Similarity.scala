@@ -211,6 +211,69 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF with a Lloyd-REFINED coarse quantizer: seed centroids from the
+    * first `nlist` corpus vectors, run `rounds` k-means iterations on
+    * the int64-quantized embeddings (the q225 kernel — floor(x·1e6)
+    * coordinates, exact int64 squared distances, floor-mean updates:
+    * bit-portable cross-engine), then probe/assign like [[ivfTopKProbe]]
+    * but ranking on exact quantized L2 (dist ASC, centroid id ties).
+    * The point on the cost/recall frontier: a better-fitting quantizer
+    * buys recall at LOWER nprobe — balanced cells mean a query's true
+    * neighbors concentrate in fewer lists, so the same recall costs
+    * fewer scanned candidates (in production nlist also grows with N,
+    * keeping cells bounded). A centroid that loses every member after a
+    * round simply drops out (its list is empty — standard k-means
+    * behavior; assignment ranks over surviving centroids).
+    */
+  def ivfLloydTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      rounds: Int = 1): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    def quant(df: DataFrame, id: String, vec: String): DataFrame = df
+      .select(col(id), posexplode(col(vec)))
+      .select(col(id), (col("pos") + 1).as("i"),
+        floor(col("col").cast("double") * lit(1000000L)).as("x"))
+    val e = quant(corpus, "cid", "ce")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = corpus.orderBy("cid").limit(nlist).select(col("cid"))
+    var cents = e.join(broadcast(seeds), Seq("cid"))
+      .select(col("cid").as("ccid"), col("i"), col("x").as("c"))
+    def assignAll(): DataFrame = e.join(broadcast(cents), Seq("i"))
+      .groupBy("cid", "ccid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+    for (_ <- 1 to rounds) {
+      val asg = assignAll().withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy(col("dist"), col("ccid"))))
+        .filter(col("rn") === 1).select(col("cid"), col("ccid"))
+      cents = e.join(asg, Seq("cid")).groupBy("ccid", "i")
+        .agg(floor(sum("x").cast("double") / count(lit(1))).as("c"))
+    }
+    cents = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ca = assignAll().withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("dist"), col("ccid"))))
+      .filter(col("rn") === 1).select(col("cid"), col("ccid"))
+    val qa = quant(queries, "qid", "qe").join(broadcast(cents), Seq("i"))
+      .groupBy("qid", "ccid")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("ccid"))))
+      .filter(col("rn") <= nprobe).select(col("qid"), col("ccid"))
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val scored = qa.join(ca, "ccid")
+      .join(broadcast(q), "qid").join(c, "cid")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Multi-table LSH top-k (the classic L-table OR-construction): build
     * `nTables` INDEPENDENT hyperplane tables (seeds 42, 43, …, so table
     * 0 is exactly [[lshTopK]]'s) and take the union of same-bucket

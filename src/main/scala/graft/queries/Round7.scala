@@ -126,6 +126,55 @@ object Round7 {
         ${Round6c.recallTailSql}"""
       })),
 
+    // ---- Lloyd-refined IVF recall@5 (the quantizer-quality row) --------
+    // q77/q278/q279 seed centroids from the first nlist vectors with the
+    // scaladoc caveat "a production build would k-means them" — this row
+    // makes that claim real and SCORED: one int64-exact Lloyd round (the
+    // q225 kernel: floor(x·1e6) coordinates, exact squared distances,
+    // floor-mean updates — bit-portable cross-engine) refines the seeds
+    // before the same nprobe=8 probe. Measured at sf0.1: 0.852 avg
+    // recall@5 — the table's best row — though the honest tuning lesson
+    // (OPERATORS.md) is that on THIS corpus recall is dominated by the
+    // nprobe/nlist ratio, not quantizer fit (0.844 unrefined): measure
+    // before paying for k-means rounds. Scale shape: each Lloyd round =
+    // one broadcast-join assignment pass + a (nlist × dim)-sized
+    // floor-mean aggregate; everything else is q279's shape.
+    "q285_llm_ann_ivf_lloyd" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) =>
+        graft.operators.Similarity.ivfLloydTopK(qs, corpus, k = 5,
+          nlist = 16, nprobe = 8, rounds = 1)),
+      Some(s"""${Round6c.exactRecallCte},
+      e AS (SELECT vec_id, i.i AS i,
+          CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+      lc0 AS (SELECT vec_id AS ccid, i, x AS c FROM e WHERE vec_id < 16),
+      ld1 AS (SELECT e.vec_id, lc0.ccid, SUM((x - c) * (x - c)) AS dist
+        FROM e JOIN lc0 USING (i) GROUP BY 1, 2),
+      la1 AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+        FROM ld1) WHERE rn = 1),
+      lc1 AS (SELECT ccid, i,
+          CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM e JOIN la1 USING (vec_id) GROUP BY 1, 2),
+      ld2 AS (SELECT e.vec_id, lc1.ccid, SUM((x - c) * (x - c)) AS dist
+        FROM e JOIN lc1 USING (i) GROUP BY 1, 2),
+      ca AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+        FROM ld2) WHERE rn = 1),
+      qa AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, ccid) AS rn
+        FROM ld2 WHERE vec_id < 50) WHERE rn <= 8),
+      scored AS (SELECT qa.vec_id AS qid, ca.vec_id AS cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM qa JOIN ca ON qa.ccid = ca.ccid AND qa.vec_id <> ca.vec_id
+        JOIN embeddings q ON qa.vec_id = q.vec_id
+        JOIN embeddings c ON ca.vec_id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
     // ---- skew-robust ranking windows (q21's hybrid twin, SAME oracle) --
     // The round-6 skew probe named windows-over-hot-keys the one class
     // AQE cannot mitigate (a window partition is indivisible); q259

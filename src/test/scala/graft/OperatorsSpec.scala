@@ -232,6 +232,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(one.sameElements(base))
   }
 
+  test("ivfLloydTopK: probing all centroids recovers brute force") {
+    // as with ivfTopKProbe: nprobe = nlist makes the candidate set the
+    // whole corpus regardless of what the Lloyd round did to the cells
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+    val q = vecs.take(4).map { case (i, v) => (i + 100L, v) }.toDF("qid", "qe")
+    val c = vecs.toDF("cid", "ce")
+    val exact = Similarity.cosineTopK(q, c, 3)
+      .select("qid", "cid", "rnk").collect().map(_.toString).sorted
+    val all = Similarity.ivfLloydTopK(q, c, 3, nlist = 5, nprobe = 5)
+      .select("qid", "cid", "rnk").collect().map(_.toString).sorted
+    assert(all.sameElements(exact))
+  }
+
   test("lshMultiTableTopK: one table equals lshTopK; best cos monotone in L") {
     val vecs = (0 until 40).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 5 + j * 2).toFloat)))

@@ -82,7 +82,17 @@ class PlanGuardSpec extends SparkTestBase {
     "q260_llm_bigram_lm",          // 1-row vocabulary-size scalar (V)
     "q261_mix_priority_sample",    // 1-row tau scalar over the bounded top-(k+1)
     "q263_dq_audit",               // three 1-row metric frames joined for the report
-    "q268_eval_chi2_drift"         // 1-row contingency-totals frame
+    "q268_eval_chi2_drift",        // 1-row contingency-totals frame
+    "q279_llm_ann_ivf_probe",      // q275's exact-side kernel (50-row query
+                                   // broadcast) + 16-row centroid broadcast
+    "q280_llm_ann_multitable",     // q275's exact-side kernel; the multi-table
+                                   // candidate join itself is a hash equi-join
+    "q285_llm_ann_ivf_lloyd",      // q275's exact-side kernel; Lloyd passes are
+                                   // hash equi-joins on the dim index
+    "q283_win_ntile_binned"        // constant partition key folds the joins
+                                   // against the 1-row min/max + count
+                                   // AGGREGATE frames to NL (bounded builds —
+                                   // the global-ntile degenerate-hot case)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
