@@ -173,6 +173,31 @@ class RetryDeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("l_quantity").cast("long").as("v"), lit(1L).as("c")))
   }
 
+  test("two-phase windows (rankedBinned / lagLeadBinned / ntileBinned) are retry-deterministic") {
+    // the round-7 window family: hybrid hot/cold dispatch + bin/offset
+    // composition must survive task re-execution bit-identically (the
+    // thresholds force BOTH paths; ordCols carry a unique tie-break —
+    // the rule this very suite's window test discovered)
+    // the fixture carries full-duplicate rows (CLAUDE.md), so the
+    // unique tie-break is a whole-row hash: identical rows may swap
+    // freely (bit-identical output either way), DISTINCT rows are
+    // totally ordered
+    val in = tbl("lineitem").select((col("l_suppkey") % 5).as("g"),
+      col("l_partkey").as("o"),
+      xxhash64(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity")).as("i"),
+      col("l_quantity").cast("long").as("v"))
+    assertRetryDeterministic("rankedBinned")(
+      df => Ranks.rankedBinned(df, "g", "o",
+        Seq(col("o"), col("i")), bins = 4, hotThreshold = 50L), in)
+    assertRetryDeterministic("lagLeadBinned")(
+      df => Ranks.lagLeadBinned(df, "g", "o",
+        Seq(col("o"), col("i")), Seq("v"), bins = 4, hotThreshold = 50L), in)
+    assertRetryDeterministic("ntileBinned")(
+      df => Ranks.ntileBinned(df, "g", "o",
+        Seq(col("o"), col("i")), n = 4, bins = 4, hotThreshold = 50L), in)
+  }
+
   test("simhash + cosine top-k (per-row float folds) are retry-deterministic") {
     assertRetryDeterministic("simHash")(
       df => df.select(col("doc_id"),
