@@ -28,7 +28,7 @@ object LlmOps {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  private[queries] def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(
       (System.identityHashCode(s), dir),
       _ => Dedup.jaccardPairs(t(s, dir, "documents"),

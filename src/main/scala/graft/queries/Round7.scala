@@ -43,6 +43,19 @@ object Round7 {
     }.mkString(" + ")
   }
 
+  /** Shared oracle of q286/q288 — the leakage-free split ground truth
+    * (per-doc component over the >= 0.5 Jaccard graph, Lehmer split
+    * draw); declared BEFORE `defs` (object-init order, CLAUDE.md). */
+  private val leakfreeSplitOracle: String = LlmOps.componentsClosureCte + """,
+      cc AS (SELECT a AS doc_id, least(a, MIN(b)) AS comp FROM r GROUP BY a),
+      d2 AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS grp
+        FROM documents d LEFT JOIN cc USING (doc_id))
+      SELECT doc_id, grp,
+        CASE WHEN (grp % 2147483647) * 48271 % 2147483647 % 100 < 10 THEN 'test'
+             WHEN (grp % 2147483647) * 48271 % 2147483647 % 100 < 20 THEN 'val'
+             ELSE 'train' END AS split
+      FROM d2 ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- IVF multi-probe recall@5 (the recall fix q278 demanded) -------
@@ -329,6 +342,120 @@ object Round7 {
         require(r3.ran.isEmpty, s"run 3 must skip everything, ran=${r3.ran}")
         s.read.parquet(s"$root/summary").orderBy("user_id")
       },
-      Round5.defs("q223_stream_merge_upsert").oracle)
+      Round5.defs("q223_stream_merge_upsert").oracle),
+
+    // ---- leakage-free train/val/test split (near-dup-cluster-aware) ----
+    // The reason dedup GROUPS exist in a training pipeline: a plain
+    // random split leaks near-duplicates across train and eval (the
+    // benchmark-contamination failure mode, in-corpus). This op splits
+    // at the GROUP level: q76's connected components over the ≥ 0.5
+    // Jaccard pair graph (singletons = their own group), then a
+    // deterministic seedless Lehmer hash of the group id draws the
+    // split — every member of a near-dup cluster lands in the same
+    // split BY CONSTRUCTION (a spec test joins the pair graph against
+    // the assignment and asserts zero split-crossing pairs). Scale
+    // shape: the pair graph + CC are the q76/q91 machinery (band
+    // equi-joins, O(log n) star rounds available); the split draw is
+    // one per-row expression; ~80/10/10 in expectation, exact fractions
+    // data-dependent (hash, not quota — quota-exact mixtures are q155's
+    // family).
+    "q286_llm_leakfree_split" -> QueryDef(
+      (s, dir) => {
+        val comps = graft.operators.Dedup
+          .components(LlmOps.jaccardPairsShared(s, dir))
+          .select(col("id").as("doc_id"), col("comp"))
+        t(s, dir, "documents")
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("grp"))
+          .withColumn("pct",
+            expr("(grp % 2147483647) * 48271 % 2147483647 % 100"))
+          .select(col("doc_id"), col("grp"),
+            when(col("pct") < 10, lit("test"))
+              .when(col("pct") < 20, lit("val"))
+              .otherwise(lit("train")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(leakfreeSplitOracle)),
+
+    // ---- leakage-free split, dedup-first (q286's scale twin) -----------
+    // q286 computes the pair graph over ALL docs — the pair-CLASS cost
+    // (a 100-copies corpus multiplies edges ×10,000, the q177 lesson).
+    // This twin groups bit-identical (lang, text) docs first, runs the
+    // Jaccard pair graph + O(log n) star CC over REPRESENTATIVES only,
+    // and expands components through the duplicate groups.
+    // Correctness: a member shares its rep's shingle set and lang, so
+    // a cross-group edge exists iff the rep edge does — full-graph
+    // components ARE the expanded rep components, and the component
+    // minimum is the minimum rep (every doc ≥ its group's rep = min of
+    // the group). Unshingleable docs (< 3 words or null text) are NOT
+    // grouped — q286 gives them no edges, so each stays its own
+    // singleton group here too. SAME oracle as q286; unique-pair CC
+    // work is replication-invariant, the expansion is linear in docs.
+    "q288_llm_leakfree_split_dedup" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val shingleable = col("text").isNotNull &&
+          size(split(col("text"), " ")) >= 3
+        val g = d.filter(shingleable)
+          .groupBy("lang", "text")
+          .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+          .persist()
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          g.select(col("rep").as("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+        val comps = graft.operators.Dedup.componentsStar(pairs)
+          .select(col("id").as("rep"), col("comp"))
+        val members = g.join(comps, Seq("rep"), "left")
+          .select(explode(col("ids")).as("doc_id"),
+            coalesce(col("comp"), col("rep")).as("grp"))
+        val singles = d.filter(!shingleable)
+          .select(col("doc_id"), col("doc_id").as("grp"))
+        members.unionByName(singles)
+          .withColumn("pct",
+            expr("(grp % 2147483647) * 48271 % 2147483647 % 100"))
+          .select(col("doc_id"), col("grp"),
+            when(col("pct") < 10, lit("test"))
+              .when(col("pct") < 20, lit("val"))
+              .otherwise(lit("train")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(leakfreeSplitOracle)),
+
+    // ---- dataset snapshot diff (version audit) -------------------------
+    // The "what changed between v1 and v2" report next to the
+    // time-travel reads (q-series MemDeltaCatalog): per-key status over
+    // a full-outer join with null-safe column comparison. The two
+    // snapshots are deterministic derivations of the fixture (v1 drops
+    // the doc_id%10==3 slice; v2 appends 'X' to the text of the
+    // doc_id%10==7 slice), so added/removed/changed/same are all
+    // exercised and exactly oracled. One hash shuffle per side — and
+    // with both snapshots bucketed by the key the join is zero-shuffle
+    // (the storage-partitioned-join machinery).
+    "q287_etl_dataset_diff" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val v1 = d.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        val v2 = d.withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 7,
+            concat(col("text"), lit("X"))).otherwise(col("text")))
+        graft.operators.Diff.snapshotDiff(v1, v2,
+            keys = Seq("doc_id"), compare = Seq("text", "lang", "n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text, lang, n_chars FROM documents
+        WHERE doc_id % 10 <> 3),
+      v2 AS (SELECT doc_id,
+          CASE WHEN doc_id % 10 = 7 THEN text || 'X' ELSE text END AS text,
+          lang, n_chars FROM documents)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN v1.text IS DISTINCT FROM v2.text
+               OR v1.lang IS DISTINCT FROM v2.lang
+               OR v1.n_chars IS DISTINCT FROM v2.n_chars THEN 'changed'
+             ELSE 'same' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY doc_id"""))
   )
 }

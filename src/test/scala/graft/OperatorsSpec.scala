@@ -267,6 +267,48 @@ class OperatorsSpec extends SparkTestBase {
     b1.foreach { case (qid, cos) => assert(b4.getOrElse(qid, -2.0) >= cos) }
   }
 
+  test("Diff.snapshotDiff: all four statuses, null-safe comparison") {
+    val v1 = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("d"), 40L))
+      .toDF("k", "t", "n")
+    val v2 = Seq((1L, Some("a"), 10L), (2L, Some("B"), 20L),
+      (3L, None: Option[String], 30L), (5L, Some("e"), 50L))
+      .toDF("k", "t", "n")
+    val got = Diff.snapshotDiff(v1, v2, Seq("k"), Seq("t", "n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged; 2 changed; 3 has null==null per column -> same;
+    // 4 only in v1 -> removed; 5 only in v2 -> added
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "same",
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("leak-free split: no near-dup pair crosses splits") {
+    // the q286 invariant: for every >= 0.5 Jaccard pair, both docs get
+    // the same split label (group-level draw makes it structural; this
+    // guards the wiring)
+    val assign = queries.Round7.defs("q286_llm_leakfree_split")
+      .fn(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val pairs = queries.LlmOps.jaccardPairsShared(spark, sf)
+      .select(col("da"), col("db"))
+    val crossing = pairs
+      .join(assign.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("split", "sa"), Seq("da"))
+      .join(assign.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("split", "sb"), Seq("db"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    assert(crossing == 0L, s"$crossing pairs cross split boundaries")
+  }
+
+  test("leak-free split: dedup-first twin is row-identical to the all-docs form") {
+    val a = queries.Round7.defs("q286_llm_leakfree_split")
+      .fn(spark, sf).collect().map(_.toString).toSeq
+    val b = queries.Round7.defs("q288_llm_leakfree_split_dedup")
+      .fn(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("IndexAdvisor: family thresholds, budget respected, dedup-first flag") {
     import graft.operators.IndexAdvisor
     // corpus within budget -> brute force, recall 1.0
