@@ -188,6 +188,69 @@ object Round7 {
         FROM scored) WHERE rnk <= 5),
       ${Round6c.recallTailSql}""")),
 
+    // ---- ANN MRR (the second index-quality number) ---------------------
+    // Recall@k says whether the TRUE neighbors appear; MRR says how
+    // HIGH the single best one lands — the pair every retrieval
+    // deployment tracks together. Per query: the exact top-1 neighbor
+    // (brute force, q46 kernel), its rank inside the production
+    // config's top-10 (q279: IVF nlist=16 nprobe=8), and the
+    // reciprocal rank (1/rank — IEEE-exact for integer ranks; 0 when
+    // the true top-1 is missing from the ANN list). Scale shape is the
+    // recall harness's: one corpus-sized exact pass on the bounded
+    // query sample (the measurement's cost), k-bounded everything else.
+    "q289_llm_ann_mrr" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val exact1 = graft.operators.Similarity.cosineTopK(qs, corpus, k = 1)
+          .select(col("qid"), col("cid").as("true_top1"))
+        val ann = graft.operators.Similarity.ivfTopKProbe(qs, corpus,
+            k = 10, nlist = 16, nprobe = 8)
+          .select(col("qid"), col("cid").as("true_top1"), col("rnk"))
+        exact1.join(ann, Seq("qid", "true_top1"), "left")
+          .select(col("qid"), col("true_top1"),
+            coalesce(col("rnk"), lit(0L)).as("ann_rank"),
+            when(col("rnk").isNotNull,
+              lit(1.0) / col("rnk").cast("double")).otherwise(lit(0.0)).as("rr"))
+          .orderBy("qid")
+      },
+      Some(s"""${Round6c.exactRecallCte},
+      top1 AS (SELECT qid, cid AS true_top1 FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM ex0) WHERE rnk = 1),
+      cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      qa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      qa AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM qa0) WHERE r <= 8),
+      ca0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM c2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      ca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM ca0) WHERE r = 1),
+      scored AS (SELECT qa.id AS qid, ca.id AS cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id AND qa.id <> ca.id
+        JOIN embeddings q ON qa.id = q.vec_id
+        JOIN embeddings c ON ca.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid, rnk FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= 10)
+      SELECT t.qid, t.true_top1,
+        CAST(COALESCE(a.rnk, 0) AS BIGINT) AS ann_rank,
+        CASE WHEN a.rnk IS NOT NULL THEN 1.0 / CAST(a.rnk AS DOUBLE)
+             ELSE 0.0 END AS rr
+      FROM top1 t LEFT JOIN annr a ON t.qid = a.qid AND t.true_top1 = a.cid
+      ORDER BY t.qid""")),
+
     // ---- skew-robust ranking windows (q21's hybrid twin, SAME oracle) --
     // The round-6 skew probe named windows-over-hot-keys the one class
     // AQE cannot mitigate (a window partition is indivisible); q259
