@@ -485,6 +485,53 @@ object Round7 {
       },
       Some(leakfreeSplitOracle)),
 
+    // ---- curriculum ordering + shard interleaving ----------------------
+    // The data-ordering op of curriculum training: rank documents by a
+    // deterministic difficulty score (average word length in exact
+    // integer thousandths — one int division, no floats), cut into 4
+    // curriculum stages, and deal each stage round-robin across 8
+    // shards so every shard sees the same easy→hard progression.
+    // Composition showcase for the round's skew-safe windows: the
+    // stage cut is ntileBinned over a CONSTANT key (the global-ntile
+    // degenerate-hot case — no data-sized single-partition sort) and
+    // the within-stage deal is rankedBinned with stage as the
+    // partition key — a BOUNDED-cardinality partition (4 stages), i.e.
+    // exactly the single-task-per-group trap the hybrid's binned path
+    // exists for (hotThreshold=1 forces it). Output: per-doc stage,
+    // shard, and position-in-shard. Oracle = plain ntile/row_number
+    // windows — bit-identical by the rank-family composition proofs.
+    "q290_llm_curriculum" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            expr("n_chars * 1000 DIV size(split(text, ' '))").as("difficulty"))
+        val staged = Ranks.ntileBinned(
+            d.withColumn("g", lit(0)), "g", "difficulty",
+            Seq(col("difficulty"), col("doc_id")), n = 4,
+            bins = 32, hotThreshold = 1L)
+          .withColumnRenamed("tile", "stage")
+        val dealt = Ranks.rankedBinned(staged, "stage", "difficulty",
+            Seq(col("difficulty"), col("doc_id")),
+            bins = 32, hotThreshold = 1L)
+        dealt.select(col("doc_id"), col("difficulty"), col("stage"),
+            ((col("rn") - 1) % 8).as("shard"),
+            expr("(rn - 1) DIV 8").as("pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+          n_chars * 1000 // len(string_split(text, ' ')) AS difficulty
+        FROM documents),
+      st AS (SELECT doc_id, difficulty,
+          CAST(ntile(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS stage
+        FROM d),
+      r AS (SELECT doc_id, difficulty, stage,
+          row_number() OVER (PARTITION BY stage ORDER BY difficulty, doc_id) AS rn
+        FROM st)
+      SELECT doc_id, difficulty, stage,
+        CAST((rn - 1) % 8 AS BIGINT) AS shard,
+        (rn - 1) // 8 AS pos
+      FROM r ORDER BY doc_id""")),
+
     // ---- dataset snapshot diff (version audit) -------------------------
     // The "what changed between v1 and v2" report next to the
     // time-travel reads (q-series MemDeltaCatalog): per-key status over
