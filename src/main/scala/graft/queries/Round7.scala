@@ -485,6 +485,89 @@ object Round7 {
       },
       Some(leakfreeSplitOracle)),
 
+    // ---- streaming semantic dedup (embedding near-dup at ingest) -------
+    // q265's bounded-state ingest shape applied to EMBEDDINGS: new
+    // vectors arrive as a stream, each micro-batch is assigned to its
+    // nearest of 16 coarse centroids (broadcast, rounded-dot rank — the
+    // q278 quantizer), joined against the standing corpus's IVF cells
+    // (cluster-bucketed comparison, the q264 SemDeDup argument: never
+    // all-pairs), and cosine ≥ 0.35 alerts (the q264 SemDeDup threshold) MERGE idempotently into an
+    // alerts table. ZERO stateful streaming operators — per-batch
+    // completeness holds because assignment is row-local and the corpus
+    // side is static. Exactly oracled: quantizer, cell join, and
+    // rounded cosines all replay in SQL.
+    "q291_stream_semdedup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+        val cents = broadcast(emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+        def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+          val scored = df.crossJoin(cents)
+            .withColumn("__d", round(expr(s"vec_dot($vec, centroid)"), 6))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(id).orderBy(col("__d").desc, col("centroid_id"))
+          scored.withColumn("__r", row_number().over(w))
+            .filter(col("__r") === 1).drop("__d", "__r", "centroid")
+        }
+        graft.plans.NativeExpressions.register(s)
+        val corpus = assign(emb.filter(slot =!= 0)
+            .select(col("vec_id").as("db"), col("embedding").as("eb")), "db", "eb")
+          .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+          .persist()
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.semdedup_alerts")
+        s.sql("CREATE TABLE graftmem.semdedup_alerts (da BIGINT, db BIGINT, cos DOUBLE)")
+        val src = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val probe = src.filter(pmod(col("vec_id") * lit(2654435761L), lit(10L)) === 0)
+          .select(col("vec_id").as("da"), col("embedding").as("ea"))
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              assign(batch, "da", "ea")
+                .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+                .join(corpus, Seq("centroid_id"))
+                .select(col("da"), col("db"),
+                  round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+                .filter(col("cos") >= 0.35)
+                .createOrReplaceTempView("q291_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.semdedup_alerts t USING q291_batch b
+                  ON t.da = b.da AND t.db = b.db
+                  WHEN NOT MATCHED THEN INSERT (da, db, cos)
+                    VALUES (b.da, b.db, b.cos)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        corpus.unpersist()
+        s.sql("SELECT da, db, cos FROM graftmem.semdedup_alerts ORDER BY da, db")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      qa0 AS (SELECT e.vec_id, c.centroid_id,
+          round(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE (e.vec_id * 2654435761) % 10 = 0 GROUP BY 1, 2),
+      qa AS (SELECT vec_id, centroid_id FROM (SELECT vec_id, centroid_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS r
+        FROM qa0) WHERE r = 1),
+      ca0 AS (SELECT e.vec_id, c.centroid_id,
+          round(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE (e.vec_id * 2654435761) % 10 <> 0 GROUP BY 1, 2),
+      ca AS (SELECT vec_id, centroid_id FROM (SELECT vec_id, centroid_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS r
+        FROM ca0) WHERE r = 1),
+      al AS (SELECT qa.vec_id AS da, ca.vec_id AS db, ${Round6c.cosSql("x", "y")} AS cos
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id
+        JOIN embeddings x ON qa.vec_id = x.vec_id
+        JOIN embeddings y ON ca.vec_id = y.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2)
+      SELECT da, db, cos FROM al WHERE cos >= 0.35 ORDER BY da, db""")),
+
     // ---- curriculum ordering + shard interleaving ----------------------
     // The data-ordering op of curriculum training: rank documents by a
     // deterministic difficulty score (average word length in exact
