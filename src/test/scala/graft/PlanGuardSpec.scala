@@ -89,10 +89,16 @@ class PlanGuardSpec extends SparkTestBase {
                                    // candidate join itself is a hash equi-join
     "q285_llm_ann_ivf_lloyd",      // q275's exact-side kernel; Lloyd passes are
                                    // hash equi-joins on the dim index
-    "q283_win_ntile_binned"        // constant partition key folds the joins
+    "q283_win_ntile_binned",       // constant partition key folds the joins
                                    // against the 1-row min/max + count
                                    // AGGREGATE frames to NL (bounded builds —
                                    // the global-ntile degenerate-hot case)
+    "q289_llm_ann_mrr",            // q275's exact-side kernel (50-row query
+                                   // broadcast) + 16-row centroid broadcast
+                                   // (the q279 class)
+    "q290_llm_curriculum"          // ntileBinned over a constant stage key —
+                                   // the q283 fold class (1-row aggregate
+                                   // builds)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
