@@ -615,6 +615,77 @@ object Round7 {
         (rn - 1) // 8 AS pos
       FROM r ORDER BY doc_id""")),
 
+    // ---- Gopher-style in-document repetition signals -------------------
+    // The repetition rules of the Gopher/FineWeb quality suite that the
+    // text-analysis family (q48 length/punct/stopwords) didn't cover:
+    // duplicate-trigram fraction, most-frequent-bigram share, and the
+    // longest same-word run — the signals that catch boilerplate and
+    // keyboard-mash documents. All row-local HOF expressions in EXACT
+    // integer thousandths (no float ratios), and the run length is
+    // computed ORDER-FREE (change-position differences via
+    // transform/filter over index sequences) because a sequential
+    // struct fold would hit DuckDB's struct_pack accumulator-mutation
+    // bug (CLAUDE.md) — the formulation is identical in both engines.
+    // Scale: embarrassingly parallel, whole-stage codegen, zero
+    // shuffles before the output sort.
+    "q292_llm_gopher_repetition" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 3)
+        .withColumn("tris", expr(
+          """transform(sequence(1, n - 2), i -> concat(
+             element_at(w, i), CHAR(1), element_at(w, i + 1), CHAR(1), element_at(w, i + 2)))"""))
+        .withColumn("bis", expr(
+          """transform(sequence(1, n - 1), i -> concat(
+             element_at(w, i), CHAR(1), element_at(w, i + 1)))"""))
+        .withColumn("dup_tri_milli", expr(
+          "(size(tris) - size(array_distinct(tris))) * 1000L DIV size(tris)"))
+        // max bigram frequency = longest run in the SORTED bigram array
+        // (same change-position trick) — O(n log n) per row; the naive
+        // distinct×filter scan is O(n²) and measured 3.4× slower at 10×
+        .withColumn("bs", expr("array_sort(bis)"))
+        .withColumn("bchg", expr(
+          """filter(sequence(1, size(bs)),
+             i -> i = 1 OR element_at(bs, i) != element_at(bs, i - 1))"""))
+        .withColumn("top_bi_milli", expr(
+          """array_max(transform(sequence(1, size(bchg)), j ->
+             (CASE WHEN j < size(bchg) THEN element_at(bchg, j + 1)
+                   ELSE size(bs) + 1 END) - element_at(bchg, j)))
+             * 1000L DIV size(bis)"""))
+        .withColumn("chg", expr(
+          """filter(sequence(1, n),
+             i -> i = 1 OR element_at(w, i) != element_at(w, i - 1))"""))
+        .withColumn("max_run", expr(
+          """array_max(transform(sequence(1, size(chg)), j ->
+             (CASE WHEN j < size(chg) THEN element_at(chg, j + 1)
+                   ELSE n + 1 END) - element_at(chg, j)))""").cast("long"))
+        .select(col("doc_id"), col("n").cast("long").as("n_words"),
+          col("dup_tri_milli"), col("top_bi_milli"), col("max_run"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+          len(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, w, n,
+          list_transform(range(1, n - 1), i ->
+            w[i] || chr(1) || w[i + 1] || chr(1) || w[i + 2]) AS tris,
+          list_transform(range(1, n), i -> w[i] || chr(1) || w[i + 1]) AS bis,
+          list_filter(range(1, n + 1), i -> i = 1 OR w[i] != w[i - 1]) AS chg
+        FROM d WHERE n >= 3),
+      f2 AS (SELECT *, list_sort(bis) AS bs FROM f),
+      f3 AS (SELECT *, list_filter(range(1, len(bs) + 1),
+          i -> i = 1 OR bs[i] != bs[i - 1]) AS bchg FROM f2)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        (len(tris) - len(list_distinct(tris))) * 1000 // len(tris) AS dup_tri_milli,
+        list_max(list_transform(range(1, len(bchg) + 1), j ->
+          (CASE WHEN j < len(bchg) THEN bchg[j + 1] ELSE len(bis) + 1 END)
+          - bchg[j])) * 1000 // len(bis) AS top_bi_milli,
+        CAST(list_max(list_transform(range(1, len(chg) + 1), j ->
+          (CASE WHEN j < len(chg) THEN chg[j + 1] ELSE n + 1 END) - chg[j]))
+          AS BIGINT) AS max_run
+      FROM f3 ORDER BY doc_id""")),
+
     // ---- dataset snapshot diff (version audit) -------------------------
     // The "what changed between v1 and v2" report next to the
     // time-travel reads (q-series MemDeltaCatalog): per-key status over
