@@ -251,6 +251,34 @@ object Round7 {
       FROM top1 t LEFT JOIN annr a ON t.qid = a.qid AND t.true_top1 = a.cid
       ORDER BY t.qid""")),
 
+    // ---- dimension-truncation recall (Matryoshka serving question) -----
+    // The other axis of the index-quality table: instead of scanning
+    // fewer candidates (LSH/IVF), score CHEAPER candidates — rank on
+    // the first 32 of 64 dimensions (the Matryoshka-representation
+    // serving trick: half the memory bandwidth and FLOPs per
+    // comparison) and measure recall@5 against the full-dimension
+    // exact ranking through the SAME harness. Deterministic slice +
+    // the q46 kernel; the truncated side is still a full corpus scan,
+    // so this row isolates the DIMENSION effect from the candidate-
+    // pruning effect the other rows measure. Scale shape = q46's.
+    "q293_llm_ann_matryoshka" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) =>
+        graft.operators.Similarity.cosineTopK(
+          qs.select(col("qid"), expr("slice(qe, 1, 32)").as("qe")),
+          corpus.select(col("cid"), expr("slice(ce, 1, 32)").as("ce")),
+          k = 5)),
+      Some(s"""${Round6c.exactRecallCte},
+      scored AS (SELECT q2.id AS qid, c2.id AS cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM q2 JOIN c2 ON q2.id <> c2.id
+        JOIN embeddings q ON q2.id = q.vec_id
+        JOIN embeddings c ON c2.id = c.vec_id,
+        (SELECT unnest(range(1, 33)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
     // ---- skew-robust ranking windows (q21's hybrid twin, SAME oracle) --
     // The round-6 skew probe named windows-over-hot-keys the one class
     // AQE cannot mitigate (a window partition is indivisible); q259
