@@ -96,9 +96,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q289_llm_ann_mrr",            // q275's exact-side kernel (50-row query
                                    // broadcast) + 16-row centroid broadcast
                                    // (the q279 class)
-    "q290_llm_curriculum"          // ntileBinned over a constant stage key —
+    "q290_llm_curriculum",         // ntileBinned over a constant stage key —
                                    // the q283 fold class (1-row aggregate
                                    // builds)
+    "q293_llm_ann_matryoshka"      // q275's exact-side kernel twice (50-row
+                                   // query broadcast, full- and 32-dim)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
