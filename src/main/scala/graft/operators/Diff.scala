@@ -19,7 +19,9 @@ object Diff {
   /** Per-key status between snapshots: `added` (only in v2), `removed`
     * (only in v1), `changed` (key in both, any compare column
     * IS DISTINCT FROM its twin — null-safe), `same`. Output: key
-    * columns + `status`.
+    * columns + `status`. With an EMPTY `compare` list this is a
+    * key-presence-only diff: `changed` is never emitted (keys present
+    * in both snapshots report `same`).
     */
   def snapshotDiff(v1: DataFrame, v2: DataFrame, keys: Seq[String],
       compare: Seq[String]): DataFrame = {
@@ -30,7 +32,8 @@ object Diff {
       .withColumn("__in_b", lit(1))
     val joined = a.join(b, keys, "full_outer")
     val anyChanged = compare.map(c =>
-      !(col(c) <=> col(s"__b_$c"))).reduce(_ || _)
+      !(col(c) <=> col(s"__b_$c"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
     joined.select(keys.map(col) :+
       when(col("__in_a").isNull, lit("added"))
         .when(col("__in_b").isNull, lit("removed"))

@@ -134,8 +134,10 @@ object Ranks {
     // in one bin — at that point the order key itself is the skew and
     // no row-order-preserving scheme can split it.
     val mm = hot.agg(min(ordNum).as("lo"), max(ordNum).as("hi"))
+    // bin -1 for NULL order keys (nulls-first), same contract as binByOrd
     val binned = hot.crossJoin(broadcast(mm)).withColumn("bin",
-      expr(s"""CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
+      expr(s"""CASE WHEN `$ordNum` IS NULL THEN -1
+        WHEN hi IS NULL OR hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
         (CAST(`$ordNum` AS DOUBLE) - CAST(lo AS DOUBLE)) /
         (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * $bins) AS INT),
         ${bins - 1}) END"""))
@@ -161,10 +163,20 @@ object Ranks {
     * `part` is non-empty, else over the global range (1-row broadcast).
     * `ordNum` must be monotone NON-DECREASING in the window order's
     * leading key (pass a negated expression for DESC leading keys), so
-    * rows tied on the leading key always share a bin. */
+    * rows tied on the leading key always share a bin.
+    *
+    * NULL ordNum rows map to the dedicated bin -1, which sorts BEFORE
+    * every data bin in the spine's `orderBy("bin")` — matching Spark's
+    * default ASC NULLS FIRST window ordering, so callers' (part, bin)
+    * equi-joins keep null-key rows instead of silently dropping them
+    * (a NULL bin would vanish through the inner join). Contract: this
+    * is only correct for ASC-nulls-first leading keys; a DESC leading
+    * key (negated ordNum) puts its nulls LAST in the plain window, so
+    * pass a null-free ordNum expression there. */
   private def binByOrd(d: DataFrame, part: Seq[String], ordNum: String,
       bins: Int): DataFrame = {
-    val binExpr = expr(s"""CASE WHEN hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
+    val binExpr = expr(s"""CASE WHEN ($ordNum) IS NULL THEN -1
+      WHEN hi IS NULL OR hi = lo THEN 0 ELSE LEAST(CAST(FLOOR(
       (CAST(($ordNum) AS DOUBLE) - CAST(lo AS DOUBLE)) /
       (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * $bins) AS INT),
       ${bins - 1}) END""")

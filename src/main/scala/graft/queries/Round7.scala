@@ -486,7 +486,11 @@ object Round7 {
     "q288_llm_leakfree_split_dedup" -> QueryDef(
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val shingleable = col("text").isNotNull &&
+        // lang.isNotNull: q286's pair join blocks on lang, so null-lang
+        // docs get NO edges there (each a singleton). groupBy would
+        // treat NULL langs as EQUAL — two identical-text null-lang docs
+        // would share a group here but not in q286. Keep them singletons.
+        val shingleable = col("text").isNotNull && col("lang").isNotNull &&
           size(split(col("text"), " ")) >= 3
         val g = d.filter(shingleable)
           .groupBy("lang", "text")

@@ -282,6 +282,56 @@ class OperatorsSpec extends SparkTestBase {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("Diff.snapshotDiff: empty compare list is a key-presence-only diff") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "t")
+    val v2 = Seq((2L, "CHANGED"), (3L, "c")).toDF("k", "t")
+    val got = Diff.snapshotDiff(v1, v2, Seq("k"), Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no compare columns -> 'changed' never emitted; key 2 is 'same'
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "added"))
+  }
+
+  test("two-phase windows keep NULL order-key rows (bin -1, nulls first)") {
+    // the ADVICE hazard: a NULL ordNum used to produce a NULL bin that
+    // the (part, bin) equi-join silently dropped. Null keys now map to
+    // bin -1, matching Spark's ASC NULLS FIRST window ordering.
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((0L, Some(5L), 0L, 1L), (0L, None, 1L, 2L),
+      (0L, Some(1L), 2L, 3L), (0L, None, 3L, 4L), (0L, Some(9L), 4L, 5L),
+      (0L, Some(2L), 5L, 6L), (1L, None, 6L, 7L), (1L, Some(3L), 7L, 8L))
+      .toDF("p", "o", "i", "v")
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    val wr = Window.partitionBy("p").orderBy(col("o"), col("i"))
+    val plainRanks = df.select(col("p"), col("o"), col("i"),
+        row_number().over(wr).cast("long").as("rn"),
+        rank().over(wr).cast("long").as("rnk"),
+        dense_rank().over(wr).cast("long").as("drnk"))
+      .collect().map(key).sorted.toSeq
+    val binnedRanks = Ranks.rankedBinned(df, "p", "o",
+        Seq(col("o"), col("i")), bins = 4, hotThreshold = 2L)
+      .select("p", "o", "i", "rn", "rnk", "drnk")
+      .collect().map(key).sorted.toSeq
+    assert(plainRanks == binnedRanks)
+    val plainLag = df.select(col("p"), col("o"), col("i"),
+        lag(col("v"), 1).over(wr).as("lag_v"),
+        lead(col("v"), 1).over(wr).as("lead_v"))
+      .collect().map(key).sorted.toSeq
+    val binnedLag = Ranks.lagLeadBinned(df, "p", "o",
+        Seq(col("o"), col("i")), Seq("v"), bins = 4, hotThreshold = 2L)
+      .select("p", "o", "i", "lag_v", "lead_v")
+      .collect().map(key).sorted.toSeq
+    assert(plainLag == binnedLag)
+    val ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plainRun = df.select(col("p"), col("o"), col("i"),
+        sum("v").over(ws).as("run_v"))
+      .collect().map(key).sorted.toSeq
+    val binnedRun = Ranks.runningSumsBinned(df, "p", "o",
+        Seq("o", "i"), Seq("v"), bins = 4, hotThreshold = 2L)
+      .select("p", "o", "i", "run_v")
+      .collect().map(key).sorted.toSeq
+    assert(plainRun == binnedRun)
+  }
+
   test("leak-free split: no near-dup pair crosses splits") {
     // the q286 invariant: for every >= 0.5 Jaccard pair, both docs get
     // the same split label (group-level draw makes it structural; this
