@@ -35,15 +35,29 @@ object LlmOps {
           "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Data-sized shingle index domain for DuckDB oracles: the lateral
+    * word-position table `i` used by every n-gram / line-split oracle.
+    * A FIXED bound (the old `range(1, 1000)`) silently truncates
+    * shingles past the cap — Spark's side is unbounded, so a fixture
+    * regeneration with longer docs would hash-mismatch 11 queries at
+    * once. Bound by the corpus's own max token count instead (the q271
+    * recipe); COALESCE covers the empty-corpus edge (MAX of nothing is
+    * NULL, and `range(1, NULL)` would be too).
+    * `cte` = the tokenized CTE name in scope, `arr` = its list column.
+    * A `def` (not val) so object-init order can't bite (CLAUDE.md).
+    */
+  private[queries] def shingleIdx(cte: String, arr: String = "w"): String =
+    s"(SELECT unnest(range(1, (SELECT COALESCE(MAX(len($arr)), 0) FROM $cte) + 1)) AS i) i"
+
   /** Recursive-CTE prefix computing the near-dup edge closure `r` —
     * shared verbatim by the per-doc component oracle below (q76/q91)
     * and q123's cluster-size tail, which concatenate their own final
     * SELECT onto it (no string surgery: the tails are appended, so a
     * whitespace drift in the prefix can't silently no-op a replace).
     */
-  private[queries] val componentsClosureCte = """WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+  private[queries] val componentsClosureCte = s"""WITH RECURSIVE sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM sp, ${shingleIdx("sp")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
@@ -102,9 +116,9 @@ object LlmOps {
     "q43_llm_neardup_jaccard" -> QueryDef(
       (s, dir) => jaccardPairsShared(s, dir)
         .orderBy("da", "db"),
-      Some("""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM s, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM s, ${shingleIdx("s")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
@@ -286,9 +300,9 @@ object LlmOps {
             "doc_id", "text", n = 3, minShared = 3L)
           .orderBy("doc_id")
       },
-      Some("""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, source, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM sp, ${shingleIdx("sp")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, source, g FROM sh0),
       bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
       SELECT c.doc_id, COUNT(*) AS n_shared

@@ -329,10 +329,10 @@ object Round3 {
           .filter(col("n_shared") >= 3)
           .orderBy("doc_id")
       },
-      Some("""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      Some(s"""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS w
         FROM documents),
       sh0 AS (SELECT doc_id, source, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM sp, ${LlmOps.shingleIdx("sp")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, source, g FROM sh0),
       tot AS (SELECT doc_id, COUNT(*) AS n_total FROM sh
         WHERE source <> 'src0' GROUP BY doc_id),
@@ -1497,7 +1497,7 @@ object Round3 {
       Some(s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w
         FROM documents),
       bg AS (SELECT doc_id, w[i.i] AS w1, w[i.i+1] AS w2
-        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i
+        FROM sp, ${LlmOps.shingleIdx("sp")}
         WHERE i.i + 1 <= len(w)),
       c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
       c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),

@@ -223,7 +223,7 @@ object Round4b {
       WHERE len(string_split(text, ' ')) >= 3),
     whs AS (SELECT doc_id, list_transform(w, W -> $wh) AS h FROM sp),
     sh0 AS (SELECT doc_id, h[i.i] * 1099511627776 + h[i.i+1] * 1048576 + h[i.i+2] AS x
-      FROM whs, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(h)),
+      FROM whs, ${LlmOps.shingleIdx("whs", "h")} WHERE i.i + 2 <= len(h)),
     sh AS (SELECT DISTINCT doc_id, x FROM sh0),
     us AS (SELECT doc_id, x % 1048573 AS u FROM sh),
     sig AS (SELECT doc_id, $perms FROM us GROUP BY doc_id),
@@ -1310,11 +1310,11 @@ object Round4b {
             (col("n_hit").cast("double") / col("n_cand")).as("precision"),
             (col("n_hit").cast("double") / col("n_truth")).as("recall"))
       },
-      Some(simhashCte + """,
+      Some(simhashCte + s""",
       cd AS (SELECT da, db FROM ham WHERE h <= 3),
       s2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       tr0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM s2, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM s2, ${LlmOps.shingleIdx("s2")} WHERE i.i + 2 <= len(w)),
       trs AS (SELECT DISTINCT doc_id, lang, g FROM tr0),
       trz AS (SELECT doc_id, COUNT(*) AS n FROM trs GROUP BY doc_id),
       trp AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
@@ -1466,13 +1466,13 @@ object Round4b {
             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
           .orderBy("source")
       },
-      Some("""WITH q AS (SELECT * FROM documents
+      Some(s"""WITH q AS (SELECT * FROM documents
         WHERE length(text) >= 40 AND len(string_split(text, ' ')) >= 8),
       ex AS (SELECT * FROM (SELECT *, row_number() OVER (
           PARTITION BY text ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
       sp AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM ex),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM sp, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM sp, ${LlmOps.shingleIdx("sp")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter

@@ -139,9 +139,9 @@ object Round5 {
             blockCols = Seq("lang"))
           .orderBy("da", "db")
       },
-      Some("""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, lang, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM s, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM s, ${LlmOps.shingleIdx("s")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, lang, g FROM sh0),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       p AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
@@ -221,9 +221,9 @@ object Round5 {
             col("n_novel").cast("double") / col("n_sh"))
           .orderBy("doc_id")
       },
-      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       sh0 AS (SELECT doc_id, w[i.i] || '_' || w[i.i+1] || '_' || w[i.i+2] AS g
-        FROM s, (SELECT unnest(range(1, 1000)) AS i) i WHERE i.i + 2 <= len(w)),
+        FROM s, ${LlmOps.shingleIdx("s")} WHERE i.i + 2 <= len(w)),
       sh AS (SELECT DISTINCT doc_id, g FROM sh0),
       f AS (SELECT g, MIN(doc_id) AS first_id FROM sh GROUP BY g)
       SELECT sh.doc_id, COUNT(*) AS n_sh,
