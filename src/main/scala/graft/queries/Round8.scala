@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{IndexAdvisor, Similarity}
+import graft.sources.Tables
+
+/** Round-8 batch: making the round-7 documentation-only claims
+  * executable. The headline is q294 — the first scored query whose ANN
+  * index parameters come FROM [[graft.operators.IndexAdvisor]] computed
+  * off measured corpus statistics, instead of a hardcoded nlist=16:
+  * the "nlist grows with N" scale argument as a wired, oracled code
+  * path. On the driver fixtures the advice resolves to IVF nlist=16
+  * (nu=500, sf0.01) and nlist=32 (nu=2000, sf0.1); on the 10×/100×
+  * replicated probe fixtures the measured duplicate rate trips the
+  * advisor's dedup-first rule, exercising the rep-scoring + group-
+  * expansion path that keeps unique-vector work replication-invariant
+  * (the q264-disease guard, now enforced by construction).
+  */
+object Round8 {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- advisor-driven IVF recall@5 (advice EXECUTED, not prose) ------
+    // Stats → advice → build → score in one query: a 1-row aggregate
+    // measures corpus size and bit-identical duplicate rate (the q206
+    // machinery's numbers), IndexAdvisor.advise picks the family and
+    // parameters (candidate budget = ceil(nu/2), the "accept a half-
+    // corpus scan per query" serving point its >=0.8-recall IVF ratio
+    // implies — under which the advice is provably 'ivf' for any
+    // corpus with >= 2 unique vectors, so the loud require can only
+    // trip on a degenerate fixture), and the advised config runs
+    // through the UNCHANGED q275 recall harness. The oracle replays
+    // the advisor arithmetic in SQL: nlist = the power of two nearest
+    // sqrt(unique n) (exact integer power table — no float log2),
+    // nprobe = nlist/2, centroids = the nlist lowest-id corpus rows.
+    // When the measured dupRate >= 0.1 the advice prepends dedup-first
+    // grouping (reps scored, components expanded through the groups,
+    // re-ranked on (cos DESC, cid) — the q288 expansion recipe), which
+    // the oracle mirrors behind the same SQL-computed flag; on the
+    // replicated probe fixtures this is the path that holds candidate
+    // work flat while the naive form grows copies². Advisor round-trips
+    // dupRate through doubles; its recovered unique count can differ
+    // from COUNT(DISTINCT) only by ±1 (< 1e-9 · n rounding), which
+    // cannot move the power-of-two choice off a geometric midpoint for
+    // any realistic corpus size.
+    "q294_llm_ann_ivf_advised" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        // 1-row advisory stats (an AQE-style plan-choice collect, not a
+        // data-sized driver loop)
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0)
+        val nu = st.getLong(1)
+        val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
+        val adv = IndexAdvisor.advise(n, dim = 64, dupRate,
+          targetRecall = 0.8, candidateBudget = math.max(1L, (nu + 1L) / 2L))
+        require(adv.family == "ivf",
+          s"advisor picked ${adv.family} — the ceil(nu/2) budget admits " +
+            "only ivf for nu >= 2; fixture degenerated to nu < 2")
+        val nlist = adv.params("nlist").toInt
+        val nprobe = adv.params("nprobe").toInt
+        if (!adv.dedupFirst)
+          Similarity.ivfTopKProbe(qs, corpus, k = 5, nlist, nprobe)
+        else {
+          // dedup-first: one hash shuffle groups bit-identical vectors;
+          // reps (unique vectors) carry the index build + scoring, then
+          // the k reps per query expand through their groups and re-rank.
+          // The rep scoring excludes the query's OWN rep (qid = cid at
+          // rep level), but the query's duplicate copies are its nearest
+          // neighbors (cos 1.0) and the exact side returns them — so the
+          // own-group rep is recovered at cos 1.0 before expansion
+          // (dedup'd by max since the scored path may also surface it
+          // when a lower id shares the query's embedding). On a fixture
+          // where the lowest nlist ids are unique-vector reps this is
+          // result-identical to direct scoring of all copies (spec test).
+          val grp = corpus.groupBy(col("ce")).agg(min("cid").as("rep"))
+            .persist() // lineage paths: reps + expansion + own-recovery
+          val reps = grp.select(col("rep").as("cid"), col("ce"))
+          val srk = Similarity.ivfTopKProbe(qs, reps, k = 5, nlist, nprobe)
+            .select(col("qid"), col("cid").as("rep"), col("cos"))
+          val own = qs.join(grp, qs("qe") === grp("ce"))
+            .select(col("qid"), col("rep"), lit(1.0).as("cos"))
+          val cands = srk.unionByName(own)
+            .groupBy("qid", "rep").agg(max("cos").as("cos"))
+          val members = corpus.join(grp, Seq("ce"))
+            .select(col("rep"), col("cid"))
+          val w = Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("cid"))
+          cands.join(members, Seq("rep"))
+            .filter(col("cid") =!= col("qid"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 5)
+            .select("qid", "cid")
+        }
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM embeddings),
+      f AS (SELECT CASE WHEN 1.0 - CAST(nu AS DOUBLE) / n >= 0.1
+                        THEN 1 ELSE 0 END AS dd FROM st),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      np AS (SELECT GREATEST(1, nlist // 2) AS nprobe FROM nl),
+      grp AS (SELECT embedding AS ge, MIN(vec_id) AS rep
+        FROM embeddings GROUP BY embedding),
+      base AS (SELECT vec_id AS id, embedding AS e FROM (
+          SELECT vec_id, embedding,
+            row_number() OVER (PARTITION BY embedding ORDER BY vec_id) AS rn
+          FROM embeddings) WHERE rn = 1 OR (SELECT dd FROM f) = 0),
+      cent AS (SELECT id AS centroid_id, e AS centroid FROM (
+          SELECT id, e, row_number() OVER (ORDER BY id) AS rn FROM base)
+        WHERE rn <= (SELECT nlist FROM nl)),
+      qa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      qa AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM qa0) WHERE r <= (SELECT nprobe FROM np)),
+      ca0 AS (SELECT b.id, c.centroid_id,
+          round(SUM(CAST(b.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM base b, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      ca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM ca0) WHERE r = 1),
+      scored AS (SELECT qa.id AS qid, ca.id AS cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id AND qa.id <> ca.id
+        JOIN embeddings q ON qa.id = q.vec_id
+        JOIN embeddings c ON ca.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      srk AS (SELECT qid, cid, cos FROM (SELECT qid, cid, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM scored) WHERE rnk <= 5),
+      own AS (SELECT q.id AS qid, g.rep, 1.0 AS cos
+        FROM q2 q JOIN grp g ON q.e = g.ge
+        WHERE (SELECT dd FROM f) = 1),
+      cands AS (SELECT qid, rep, MAX(cos) AS cos FROM (
+          SELECT qid, cid AS rep, cos FROM srk
+          UNION ALL SELECT qid, rep, cos FROM own) GROUP BY 1, 2),
+      expd AS (
+        SELECT s.qid, m.vec_id AS cid, s.cos
+          FROM cands s JOIN grp g ON s.rep = g.rep
+          JOIN embeddings m ON m.embedding = g.ge
+          WHERE (SELECT dd FROM f) = 1 AND m.vec_id <> s.qid
+        UNION ALL
+        SELECT qid, cid, cos FROM srk WHERE (SELECT dd FROM f) = 0),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM expd) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}"""))
+  )
+}

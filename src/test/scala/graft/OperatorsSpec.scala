@@ -359,6 +359,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("q294 advisor-driven IVF: dedup-first path on replicated corpus == direct scoring") {
+    // 5x-replicated embeddings (copies verbatim, ids shifted — the
+    // make_scale_probe recipe): dupRate 0.8 trips the advisor's
+    // dedup-first rule, and because group reps keep the ORIGINAL lowest
+    // ids, the advised rep-scored + own-recovered + expanded path must
+    // be row-identical to q279's direct all-copies scoring at the same
+    // (nlist=16, nprobe=8) — the replication-invariance equivalence.
+    import graft.operators.IndexAdvisor
+    val base = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n0 = base.count()
+    val syn = (0 to 4).map(i => base.select(
+        (col("vec_id") + lit(i * n0)).as("vec_id"), col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+    val dirPath = java.nio.file.Files.createTempDirectory("q294syn")
+    try {
+      val dir = dirPath.toString
+      syn.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val adv = IndexAdvisor.advise(5 * n0, 64, 0.8, 0.8, math.max(1L, (n0 + 1) / 2))
+      assert(adv.dedupFirst && adv.family == "ivf" && adv.params("nlist") == 16L)
+      val advisedRows = queries.Round8.defs("q294_llm_ann_ivf_advised")
+        .fn(spark, dir).collect()
+      val direct = queries.Round7.defs("q279_llm_ann_ivf_probe")
+        .fn(spark, dir).collect().map(_.toString).toSeq
+      assert(advisedRows.map(_.toString).toSeq == direct)
+      // recall on the replicated corpus must stay production-grade (the
+      // own-group recovery: a query's own copies are its exact top
+      // neighbors and the dedup path must still return them)
+      val rec = advisedRows.map(_.getDouble(2)).sum / advisedRows.length
+      assert(rec >= 0.8, s"replicated-corpus recall $rec < 0.8")
+    } finally {
+      spark.catalog.clearCache() // harness + dedup path persist internally
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("IndexAdvisor: family thresholds, budget respected, dedup-first flag") {
     import graft.operators.IndexAdvisor
     // corpus within budget -> brute force, recall 1.0

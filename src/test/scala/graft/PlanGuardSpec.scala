@@ -99,8 +99,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q290_llm_curriculum",         // ntileBinned over a constant stage key —
                                    // the q283 fold class (1-row aggregate
                                    // builds)
-    "q293_llm_ann_matryoshka"      // q275's exact-side kernel twice (50-row
+    "q293_llm_ann_matryoshka",     // q275's exact-side kernel twice (50-row
                                    // query broadcast, full- and 32-dim)
+    "q294_llm_ann_ivf_advised"     // q279 class (50-row query + advised-nlist
+                                   // centroid broadcasts) + 1-row corpus-stats
+                                   // scalar feeding IndexAdvisor
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
