@@ -158,6 +158,65 @@ object Round8 {
       annr AS (SELECT qid, cid FROM (SELECT qid, cid,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM expd) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- Matryoshka two-stage serving (the q293 fix) -------------------
+    // q293 honestly measured naive 32-dim truncation at 0.212 recall@5 —
+    // don't serve that. The standard fix is two-stage: score the WHOLE
+    // corpus on the truncated prefix (half the memory bandwidth + FLOPs
+    // per candidate), keep a top-m pool, then re-rank only the pool at
+    // full dimension. Rerank recall EQUALS pool containment (any exact-
+    // top-5 member in the pool out-ranks the rest at full dim), so m is
+    // the dial: on this ISOTROPIC synthetic corpus the prefix carries no
+    // concentrated variance (the reason q293's direct number was 0.212),
+    // and a measured m-sweep needs m ≈ n/10 — m = max(100, n/10),
+    // recall@5 0.908 (sf0.01) / 0.876 (sf0.1) at (32·n + 64·m)/(64·n) =
+    // 0.6× the full-scan FLOPs per query. Matryoshka-TRAINED embeddings
+    // front-load variance and serve from much smaller pools; the
+    // two-stage plumbing and the honest m-vs-recall tradeoff are what
+    // this row pins. Scale shape: stage 1 is the q46 broadcast-query
+    // scan (cheaper per pair), stage 2 is m-bounded hash joins back to
+    // the full vectors — nothing data-sized is re-ranked.
+    "q295_llm_ann_matryoshka_rerank" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        // 1-row sizing stat (same AQE-style plan choice as q294)
+        val m = math.max(100L, corpus.count() / 10L).toInt
+        val pool = Similarity.cosineTopK(
+            qs.select(col("qid"), expr("slice(qe, 1, 32)").as("qe")),
+            corpus.select(col("cid"), expr("slice(ce, 1, 32)").as("ce")),
+            k = m)
+          .select("qid", "cid")
+        graft.plans.NativeExpressions.register(s)
+        val re = pool.join(qs, Seq("qid")).join(corpus, Seq("cid"))
+          .select(col("qid"), col("cid"),
+            round(expr("vec_dot(qe, ce)") /
+              (expr("sqrt(vec_dot(qe, qe))") *
+                expr("sqrt(vec_dot(ce, ce))")), 6).as("cos"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+        re.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select("qid", "cid")
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      tr AS (SELECT q2.id AS qid, c2.id AS cid, ${Round6c.cosSql("q", "c")} AS tcos
+        FROM q2 JOIN c2 ON q2.id <> c2.id
+        JOIN embeddings q ON q2.id = q.vec_id
+        JOIN embeddings c ON c2.id = c.vec_id,
+        (SELECT unnest(range(1, 33)) AS i) i
+        GROUP BY 1, 2),
+      pool AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, cid) AS rnk
+        FROM tr) WHERE rnk <= (SELECT GREATEST(100, COUNT(*) // 10)
+                               FROM embeddings)),
+      re AS (SELECT pool.qid, pool.cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM pool
+        JOIN embeddings q ON pool.qid = q.vec_id
+        JOIN embeddings c ON pool.cid = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM re) WHERE rnk <= 5),
       ${Round6c.recallTailSql}"""))
   )
 }

@@ -101,9 +101,12 @@ class PlanGuardSpec extends SparkTestBase {
                                    // builds)
     "q293_llm_ann_matryoshka",     // q275's exact-side kernel twice (50-row
                                    // query broadcast, full- and 32-dim)
-    "q294_llm_ann_ivf_advised"     // q279 class (50-row query + advised-nlist
+    "q294_llm_ann_ivf_advised",    // q279 class (50-row query + advised-nlist
                                    // centroid broadcasts) + 1-row corpus-stats
                                    // scalar feeding IndexAdvisor
+    "q295_llm_ann_matryoshka_rerank" // q293 class (50-row query broadcast on
+                                   // the 32-dim stage; rerank is m-bounded
+                                   // hash joins)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
