@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark-native re-expression: a job is a DataFrame transformation from
   * named parquet inputs to one parquet target; Spark's own DAG handles
   * intra-job parallelism, this runner handles the cross-job graph:
-  * topo order, mtime staleness (skip when target newer than all deps —
-  * builder's staleness rule), and cache_time debounce.
+  * topo order, content-fingerprint staleness (skip when every dep's
+  * file listing matches what the target was built from — builder's
+  * mtime rule de-clocked; see [[PipelineRunner.isStale]]), and
+  * cache_time debounce.
   */
 final case class PipelineJob(
     name: String,
@@ -103,6 +105,56 @@ class PipelineRunner(spark: SparkSession, root: String) {
     if (Files.exists(p)) Some(Files.getLastModifiedTime(p).toMillis) else None
   }
 
+  /** Content fingerprint of a committed target dir: MD5 over the sorted
+    * (name, size) listing of its DATA files (markers and hidden files
+    * excluded). Wall-clock-free — a rebuild (fresh part-file UUIDs), an
+    * append, or a hand-landed file all change the listing, and mtime
+    * granularity can never race the staleness decision. None until the
+    * dir is committed (`_SUCCESS` present), mirroring the mtime rule.
+    */
+  private def fingerprint(path: String): Option[String] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir.resolve("_SUCCESS"))) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(dir)
+      try {
+        val entries = listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .toSeq.sorted
+          .map(n => s"$n:${Files.size(dir.resolve(n))}")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Some(md.digest(entries.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      } finally listing.close()
+    }
+  }
+
+  /** Dep fingerprints recorded at build time, one `dep\tfp` line per
+    * committed dep, in the target's `_GRAFT_DEPS` marker. */
+  private def readDepFingerprints(tp: String): Option[Map[String, String]] = {
+    val p = Paths.get(tp, "_GRAFT_DEPS")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").split("\n")
+      .filter(_.nonEmpty).map { l =>
+        val Array(d, f) = l.split("\t", 2); d -> f
+      }.toMap)
+  }
+
+  /** Run one job and commit the dep-fingerprint marker. The overwrite
+    * removes any previous marker with the old target, so a write that
+    * succeeds without reaching the marker leaves the target on the
+    * mtime fallback (never silently fresh against stale deps). */
+  private def execute(job: PipelineJob): Unit = {
+    val inputs = job.deps.map(d => d -> spark.read.parquet(s"$root/$d")).toMap
+    job.run(spark, inputs).write.mode("overwrite").parquet(targetPath(job))
+    val lines = job.deps.flatMap(d =>
+      fingerprint(s"$root/$d").map(f => s"$d\t$f"))
+    Files.write(Paths.get(targetPath(job), "_GRAFT_DEPS"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
   /** One job per target — duplicates would be silently collapsed by
     * the target-keyed maps below (some jobs never running).
     */
@@ -133,17 +185,30 @@ class PipelineRunner(spark: SparkSession, root: String) {
     out.toSeq
   }
 
-  /** Builder staleness rule: run iff target missing, or any dep target
-    * is newer (max dep mtime > target mtime), unless within cache_time.
+  /** Builder staleness rule, de-clocked: run iff target missing, or any
+    * committed dep's CONTENT fingerprint differs from the one recorded
+    * when the target was last built. No wall clock in the decision — a
+    * bare mtime touch does NOT rebuild (use [[runForced]] to
+    * invalidate); conversely a dep whose files changed ALWAYS rebuilds,
+    * however fast the change landed (the old mtime rule missed both
+    * hand-landed files and sub-granularity updates). Targets built
+    * before fingerprints existed (no `_GRAFT_DEPS` marker) fall back to
+    * the builder mtime rule; cache_time keeps its wall-clock contract
+    * (debounce is inherently a time rule).
     */
   def isStale(job: PipelineJob, now: Long): Boolean = {
-    mtime(targetPath(job)) match {
+    val tp = targetPath(job)
+    mtime(tp) match {
       case None => true
       case Some(tm) =>
         if (job.cacheTimeMs > 0 && now - tm < job.cacheTimeMs) false
-        else {
-          val depTimes = job.deps.flatMap(d => mtime(s"$root/$d"))
-          depTimes.nonEmpty && depTimes.max > tm
+        else readDepFingerprints(tp) match {
+          case Some(rec) =>
+            job.deps.flatMap(d => fingerprint(s"$root/$d").map(d -> _))
+              .exists { case (d, f) => !rec.get(d).contains(f) }
+          case None =>
+            val depTimes = job.deps.flatMap(d => mtime(s"$root/$d"))
+            depTimes.nonEmpty && depTimes.max > tm
         }
     }
   }
@@ -183,10 +248,7 @@ class PipelineRunner(spark: SparkSession, root: String) {
             var ok = false
             while (!ok) {
               try {
-                val inputs = job.deps
-                  .map(d => d -> spark.read.parquet(s"$root/$d")).toMap
-                job.run(spark, inputs).write.mode("overwrite")
-                  .parquet(targetPath(job))
+                execute(job)
                 ok = true
               } catch {
                 case e: Throwable if attempt < maxRetries => attempt += 1
@@ -284,8 +346,7 @@ class PipelineRunner(spark: SparkSession, root: String) {
     topoSort(jobs).foreach { job =>
       if (dirty(job.target) || isStale(job, now) ||
           job.deps.exists(ranTargets.contains)) {
-        val inputs = job.deps.map(d => d -> spark.read.parquet(s"$root/$d")).toMap
-        job.run(spark, inputs).write.mode("overwrite").parquet(targetPath(job))
+        execute(job)
         ran += job.name
         ranTargets += job.target
       } else skipped += job.name
@@ -304,8 +365,7 @@ class PipelineRunner(spark: SparkSession, root: String) {
     topoSort(jobs).foreach { job =>
       // a job is also stale transitively if a dep target just re-ran
       if (isStale(job, now) || job.deps.exists(ranTargets.contains)) {
-        val inputs = job.deps.map(d => d -> spark.read.parquet(s"$root/$d")).toMap
-        job.run(spark, inputs).write.mode("overwrite").parquet(targetPath(job))
+        execute(job)
         ran += job.name
         ranTargets += job.target
       } else skipped += job.name

@@ -358,10 +358,11 @@ object Round7 {
     // summary) runs THREE times. Run 1 processes file 1 (checkpointed
     // AvailableNow file stream → per-batch latest-per-user → the q223
     // monotonic-guard MERGE, ordered by EVENT TIME so batch boundaries
-    // can't matter); run 2 is triggered by mtime staleness and — the
-    // incremental claim, ASSERTED in the declared semantics — its
-    // stream reads EXACTLY the second file's rows (the checkpoint, not
-    // mtimes, tracks processed files); run 3 finds nothing stale and
+    // can't matter); run 2 is triggered by the ingest dir's changed
+    // content FINGERPRINT (de-clocked staleness — no mtime, no sleeps)
+    // and — the incremental claim, ASSERTED in the declared semantics —
+    // its stream reads EXACTLY the second file's rows (the checkpoint
+    // tracks processed files); run 3 finds nothing stale and
     // skips every job. The final summary target is bit-identical to the
     // one-shot batch answer: scored against q223's unmodified oracle.
     // At 100 TB this is the difference between touching one day's files
@@ -379,9 +380,10 @@ object Round7 {
           (user_id BIGINT, last_sec BIGINT, last_eid BIGINT, last_type STRING)""")
         val ev = graft.sources.Events.load(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
-        // append-mode writes keep ingest/_SUCCESS current — the marker
-        // file PipelineRunner's mtime staleness reads; the file stream
-        // ignores _-prefixed files and sees only the new part files
+        // append-mode writes keep ingest/_SUCCESS present (the commit
+        // marker fingerprint staleness requires) and each landing adds
+        // a part file — changing the dep's content fingerprint; the
+        // file stream ignores _-prefixed files and sees only part files
         def landSlice(m: Int): Long = {
           val slice = ev.filter(pmod(col("event_id"), lit(2)) === m)
           slice.coalesce(1).write.mode("append").parquet(ingest.toString)
@@ -422,7 +424,6 @@ object Round7 {
         val r1 = runner.run(jobs)
         require(r1.ran.toSet == Set("sync", "summary"),
           s"run 1 must build everything, ran=${r1.ran}")
-        Thread.sleep(50) // mtime granularity: the new file must be newer
         val n1 = landSlice(1)
         val r2 = runner.run(jobs)
         require(r2.ran.toSet == Set("sync", "summary"),

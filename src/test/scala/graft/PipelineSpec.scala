@@ -33,13 +33,31 @@ class PipelineSpec extends SparkTestBase {
     val r2 = runner.run(jobs)
     assert(r2.ran.isEmpty && r2.skipped.size == 3)
 
-    // touch the root target: everything downstream must rebuild
-    Thread.sleep(1100) // fs mtime granularity
+    // staleness is CONTENT-based (de-clocked): a bare mtime touch does
+    // NOT rebuild — forced invalidation is runForced's job, not the
+    // clock's. No sleeps needed anywhere: granularity can't race it.
     Files.setLastModifiedTime(
       java.nio.file.Paths.get(s"$root/src.parquet/_SUCCESS"),
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000))
     val r3 = runner.run(jobs)
-    assert(r3.ran == Seq("derived", "agg") && r3.skipped == Seq("src"))
+    assert(r3.ran.isEmpty && r3.skipped.size == 3)
+
+    // a hand-landed file in a dep dir changes its fingerprint and
+    // rebuilds everything downstream (the old mtime rule MISSED this —
+    // the round-7 gotcha — because _SUCCESS's own mtime never moved)
+    Files.write(
+      java.nio.file.Paths.get(s"$root/src.parquet/part-extra.parquet"),
+      Files.readAllBytes(new java.io.File(s"$root/src.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath))
+    val r4 = runner.run(jobs)
+    assert(r4.ran == Seq("derived", "agg") && r4.skipped == Seq("src"))
+    // the landed rows flowed through (src now has > 2 rows and agg
+    // re-aggregated exactly what src holds)
+    val srcRows = spark.read.parquet(s"$root/src.parquet").count()
+    assert(srcRows > 2L)
+    assert(spark.read.parquet(s"$root/agg.parquet")
+      .agg(sum("count")).head().getLong(0) == srcRows)
   }
 
   test("backfill: templates expand over buckets; buildRequest runs one ancestor chain") {
@@ -251,8 +269,8 @@ class PipelineSpec extends SparkTestBase {
 
   test("q284 incremental pipeline: 3-run composition equals batch latest-per-user") {
     // the query fn itself REQUIREs the incremental contract while it
-    // runs (run 1 builds all; run 2 is mtime-triggered and its stream
-    // reads exactly the new file's rows; run 3 skips everything), so
+    // runs (run 1 builds all; run 2 is fingerprint-triggered and its
+    // stream reads exactly the new file's rows; run 3 skips all), so
     // executing it IS the staleness/restart test — here we additionally
     // pin the final table to the independent batch computation
     import org.apache.spark.sql.expressions.Window
