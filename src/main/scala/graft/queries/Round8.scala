@@ -217,6 +217,51 @@ object Round8 {
       annr AS (SELECT qid, cid FROM (SELECT qid, cid,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM re) WHERE rnk <= 5),
-      ${Round6c.recallTailSql}"""))
+      ${Round6c.recallTailSql}""")),
+
+    // ---- version-audit diff over committed catalog state ---------------
+    // q287 diffs two SYNTHETIC snapshots; this row makes the diff a true
+    // version audit over COMMITTED state: the documents fixture is
+    // loaded into a MemCatalog table, edited with row-level DML (DELETE
+    // / UPDATE / INSERT — each commit snapshots a version, q157's
+    // machinery), and Diff.snapshotDiff compares `VERSION AS OF 1` (the
+    // full seed) against the current table — the "what changed since
+    // the last release" report straight off the catalog's own history,
+    // no side copies. Oracle replays the deterministic edit pattern on
+    // the fixture (q287's oracle shape). Scale shape: one full-outer
+    // hash join; with snapshots storage-partitioned by the key it is
+    // zero-shuffle (pinned by StoragePartitionedJoinSpec's plan test).
+    "q296_etl_version_diff" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.doc_versions")
+        s.sql("""CREATE TABLE graftmem.doc_versions
+          (doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT)""")
+        d.select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .createOrReplaceTempView("q296_seed")
+        s.sql("INSERT INTO graftmem.doc_versions SELECT * FROM q296_seed") // v1
+        s.sql("DELETE FROM graftmem.doc_versions WHERE doc_id % 10 = 3")   // v2
+        s.sql("""UPDATE graftmem.doc_versions SET text = text || 'X'
+          WHERE doc_id % 10 = 7""")                                        // v3
+        s.sql("""INSERT INTO graftmem.doc_versions
+          SELECT doc_id + 1000000, text, lang, n_chars FROM q296_seed
+          WHERE doc_id % 100 = 1""")                                       // v4
+        graft.operators.Diff.snapshotDiff(
+            s.sql("SELECT * FROM graftmem.doc_versions VERSION AS OF 1"),
+            s.table("graftmem.doc_versions"),
+            keys = Seq("doc_id"), compare = Seq("text", "lang", "n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CASE WHEN doc_id % 10 = 3 THEN 'removed'
+             WHEN doc_id % 10 = 7 THEN 'changed'
+             ELSE 'same' END AS status
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+      FROM documents WHERE doc_id % 100 = 1
+      ORDER BY doc_id"""))
   )
 }

@@ -73,6 +73,51 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graftmem.spjb")
   }
 
+  test("snapshotDiff over co-partitioned snapshots runs with zero shuffle") {
+    // pins Diff.scala's scale claim: with both snapshots storage-
+    // partitioned by the key, the full-outer diff join introduces no
+    // hash exchange on either side (plus the negative control proving
+    // the plan came from the reported partitioning, not luck)
+    spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graftmem.diffa")
+    spark.sql("DROP TABLE IF EXISTS graftmem.diffb")
+    spark.sql("CREATE TABLE graftmem.diffa (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE graftmem.diffb (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    (1L to 12L).map(i => (i, i * 10L)).toDF("k", "v")
+      .createOrReplaceTempView("diffa_seed")
+    // k=12 removed, k=13 added, k=5 changed, rest same
+    (1L to 13L).filter(_ != 12L)
+      .map(i => (i, if (i == 5L) 99L else i * 10L)).toDF("k", "v")
+      .createOrReplaceTempView("diffb_seed")
+    spark.sql("INSERT INTO graftmem.diffa SELECT * FROM diffa_seed")
+    spark.sql("INSERT INTO graftmem.diffb SELECT * FROM diffb_seed")
+    def diff() = graft.operators.Diff.snapshotDiff(
+      spark.table("graftmem.diffa"), spark.table("graftmem.diffb"),
+      keys = Seq("k"), compare = Seq("v"))
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = diff()
+      val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(12L) == "removed" && got(13L) == "added" &&
+        got(5L) == "changed" && got(1L) == "same" && got.size == 13)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned snapshot diff still shuffles:\n$plan")
+    }
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = diff()
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    }
+    spark.sql("DROP TABLE IF EXISTS graftmem.diffa")
+    spark.sql("DROP TABLE IF EXISTS graftmem.diffb")
+  }
+
   test("partitioned table still supports row-level DELETE and time travel") {
     spark.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
     spark.sql("DROP TABLE IF EXISTS graftmem.spjc")
