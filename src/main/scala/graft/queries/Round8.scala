@@ -24,6 +24,65 @@ object Round8 {
   private def t(s: SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** q297's per-batch scorer: dedup-first near-dup scoring of one
+    * micro-batch of raw probe DOCUMENTS against a rep-level corpus
+    * index. Bit-identical (lang, text) probes are grouped, only the
+    * reps are shingled and joined, and the rep pairs expand through
+    * BOTH groups — identical text means identical shingle set, so every
+    * expanded (da, db) carries exactly the jaccard the direct scorer
+    * computes (q265's per-batch-union property, now replication-
+    * invariant in the unique-payload count). `idx` is the rep-level
+    * inverted shingle index, `cmem` the corpus rep→member map.
+    */
+  def scoreNearDupBatchDeduped(batch: DataFrame, idx: DataFrame,
+      cmem: DataFrame): DataFrame = {
+    val g = batch.groupBy("lang", "text")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+    // repartition before the heavy row-local shingling (q265's
+    // one-file-one-task map-bound fix, applied to the rep frame)
+    val shing = Round6b.shingledDocs(
+      g.select(col("rep").as("doc_id"), col("lang"), col("text"))
+        .repartition(col("doc_id")), "pa", "na")
+    val repPairs = shing.join(idx, Seq("gh", "lang"))
+      .groupBy("pa", "pb", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("pa"), col("pb"), round(col("jaccard"), 6).as("jaccard"))
+    val pmem = g.select(col("rep").as("pa"), explode(col("ids")).as("da"))
+    repPairs.join(pmem, Seq("pa")).join(cmem, Seq("pb"))
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** q298's per-batch scorer: dedup-first semantic-dedup scoring of one
+    * micro-batch of raw probe EMBEDDINGS (da, ea) against rep-level IVF
+    * cells. Bit-identical vectors share a nearest centroid (the rounded
+    * dot and centroid-id tie-break are value-deterministic) and a
+    * cosine, so rep scoring + two-sided expansion reproduces the direct
+    * scorer's (da, db, cos) rows exactly. `corpusReps` carries
+    * (centroid_id, pb, eb, nb), `cmem` the corpus rep→member map.
+    */
+  def scoreSemDedupBatchDeduped(batch: DataFrame, cents: DataFrame,
+      corpusReps: DataFrame, cmem: DataFrame): DataFrame = {
+    val g = batch.groupBy("ea")
+      .agg(min("da").as("rep"), collect_list("da").as("ids"))
+    val reps = g.select(col("rep").as("pa"), col("ea"))
+    val scored = reps.crossJoin(cents)
+      .withColumn("__d", round(expr("vec_dot(ea, centroid)"), 6))
+    val w = Window.partitionBy("pa")
+      .orderBy(col("__d").desc, col("centroid_id"))
+    val assigned = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).drop("__d", "__r", "centroid")
+      .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+    val repPairs = assigned.join(corpusReps, Seq("centroid_id"))
+      .select(col("pa"), col("pb"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+    val pmem = g.select(col("rep").as("pa"), explode(col("ids")).as("da"))
+    repPairs.join(pmem, Seq("pa")).join(cmem, Seq("pb"))
+      .select(col("da"), col("db"), col("cos"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- advisor-driven IVF recall@5 (advice EXECUTED, not prose) ------
@@ -262,6 +321,115 @@ object Round8 {
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, 'added' AS status
       FROM documents WHERE doc_id % 100 = 1
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- streaming near-dup ingest, dedup-first (q265's scale twin) ----
+    // q265 scores every probe COPY against every corpus COPY — the
+    // streaming pair class whose 100× probe was excluded by design
+    // (duplication multiplies candidate pairs by copies²). This twin
+    // completes the dedup-first family on the ingest path: the corpus
+    // index holds one rep per bit-identical (lang, text) payload, each
+    // micro-batch groups ITS payloads before shingling, rep pairs are
+    // scored once, and the expansion through both groups happens inside
+    // foreachBatch — SAME oracle as q265, zero stateful streaming
+    // operators, unique-payload work replication-invariant (the
+    // candidate join no longer sees copies at all; only the answer-
+    // sized expansion does).
+    "q297_stream_neardup_dedup" -> QueryDef(
+      (s, dir) => {
+        val docsSchema = t(s, dir, "documents").schema
+        val slot = pmod(col("doc_id") * lit(2654435761L), lit(10L))
+        val cgrp = t(s, dir, "documents").filter(slot =!= 0)
+          .groupBy("lang", "text")
+          .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+          .persist() // two lineage paths: rep index + member expansion
+        val idx = Round6b.shingledDocs(
+          cgrp.select(col("rep").as("doc_id"), col("lang"), col("text")),
+          "pb", "nb").persist()
+        val cmem = cgrp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.neardup_alerts_dd")
+        s.sql("""CREATE TABLE graftmem.neardup_alerts_dd
+          (da BIGINT, db BIGINT, jaccard DOUBLE)""")
+        val src = s.readStream.schema(docsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val probe = src.filter(slot === 0)
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              scoreNearDupBatchDeduped(batch, idx, cmem)
+                .createOrReplaceTempView("q297_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.neardup_alerts_dd t USING q297_batch b
+                  ON t.da = b.da AND t.db = b.db
+                  WHEN NOT MATCHED THEN INSERT (da, db, jaccard)
+                    VALUES (b.da, b.db, b.jaccard)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        idx.unpersist(); cgrp.unpersist()
+        s.sql("SELECT da, db, jaccard FROM graftmem.neardup_alerts_dd ORDER BY da, db")
+      },
+      Round6b.defs("q265_stream_neardup").oracle),
+
+    // ---- streaming semantic dedup, dedup-first (q291's scale twin) -----
+    // Same cure for q291's inherited cell-size hazard (the verdict's
+    // "copies² per cell" note): corpus cells hold one rep per
+    // bit-identical embedding, each micro-batch groups its vectors
+    // before the quantizer runs, rep pairs are scored cell-bucketed,
+    // and both groups expand inside foreachBatch. Identical vectors
+    // share assignment and cosine by value-determinism, so the SAME
+    // oracle scores it; with this twin the whole ingest family matches
+    // the batch family's dedup-first coverage.
+    "q298_stream_semdedup_dedup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+        graft.plans.NativeExpressions.register(s)
+        val cents = broadcast(emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+        val cgrp = emb.filter(slot =!= 0)
+          .select(col("vec_id").as("db"), col("embedding").as("eb"))
+          .groupBy("eb")
+          .agg(min("db").as("rep"), collect_list("db").as("ids"))
+          .persist() // two lineage paths: rep cells + member expansion
+        val repsAssigned = {
+          val r = cgrp.select(col("rep").as("pb"), col("eb"))
+          val scored = r.crossJoin(cents)
+            .withColumn("__d", round(expr("vec_dot(eb, centroid)"), 6))
+          val w = Window.partitionBy("pb")
+            .orderBy(col("__d").desc, col("centroid_id"))
+          scored.withColumn("__r", row_number().over(w))
+            .filter(col("__r") === 1).drop("__d", "__r", "centroid")
+            .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+        }.persist()
+        val cmem = cgrp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.semdedup_alerts_dd")
+        s.sql("""CREATE TABLE graftmem.semdedup_alerts_dd
+          (da BIGINT, db BIGINT, cos DOUBLE)""")
+        val src = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val probe = src.filter(pmod(col("vec_id") * lit(2654435761L), lit(10L)) === 0)
+          .select(col("vec_id").as("da"), col("embedding").as("ea"))
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              scoreSemDedupBatchDeduped(batch, cents, repsAssigned, cmem)
+                .createOrReplaceTempView("q298_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.semdedup_alerts_dd t USING q298_batch b
+                  ON t.da = b.da AND t.db = b.db
+                  WHEN NOT MATCHED THEN INSERT (da, db, cos)
+                    VALUES (b.da, b.db, b.cos)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        repsAssigned.unpersist(); cgrp.unpersist()
+        s.sql("SELECT da, db, cos FROM graftmem.semdedup_alerts_dd ORDER BY da, db")
+      },
+      Round7.defs("q291_stream_semdedup").oracle)
   )
 }

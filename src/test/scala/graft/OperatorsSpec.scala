@@ -398,6 +398,53 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q298 dedup-first semdedup scorer == direct scoring on dup-heavy vectors") {
+    // bit-identical vectors share assignment (rounded dot + centroid-id
+    // tie-break) and cosine, so rep scoring + two-sided expansion must
+    // reproduce the direct all-copies scorer row-for-row on a 3x
+    // replicated corpus — the q264-disease guard for the ingest path
+    graft.plans.NativeExpressions.register(spark)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val all = (0 to 2).map(i => emb.select(
+        (col("vec_id") + lit(10000000L * i)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _) // shift multiple of 10 keeps each copy's slot
+    val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+    val cents = broadcast(emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+    def assign(df: org.apache.spark.sql.DataFrame, id: String,
+        vec: String): org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(id).orderBy(col("__d").desc, col("centroid_id"))
+      df.crossJoin(cents)
+        .withColumn("__d", round(expr(s"vec_dot($vec, centroid)"), 6))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1).drop("__d", "__r", "centroid")
+    }
+    val corpusAll = all.filter(slot =!= 0)
+      .select(col("vec_id").as("db"), col("embedding").as("eb"))
+    val probes = all.filter(slot === 0)
+      .select(col("vec_id").as("da"), col("embedding").as("ea"))
+    val direct = assign(probes, "da", "ea")
+      .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+      .join(assign(corpusAll, "db", "eb")
+        .withColumn("nb", expr("sqrt(vec_dot(eb, eb))")), Seq("centroid_id"))
+      .select(col("da"), col("db"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(_.toString).toSet
+    val cgrp = corpusAll.groupBy("eb")
+      .agg(min("db").as("rep"), collect_list("db").as("ids")).persist()
+    val repsAssigned = assign(cgrp.select(col("rep").as("pb"), col("eb")),
+        "pb", "eb")
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    val cmem = cgrp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+    val got = queries.Round8.scoreSemDedupBatchDeduped(
+        probes, cents, repsAssigned, cmem)
+      .collect().map(_.toString).toSet
+    cgrp.unpersist()
+    assert(got.nonEmpty && got == direct)
+  }
+
   test("IndexAdvisor: family thresholds, budget respected, dedup-first flag") {
     import graft.operators.IndexAdvisor
     // corpus within budget -> brute force, recall 1.0

@@ -633,4 +633,66 @@ class StreamingSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     assert(got.asScala.toSet == expected)
   }
+
+  test("q297 dedup-first ingest scorer: per-batch union == direct on dup-heavy corpus, zero state") {
+    // BOTH sides replicated 3x with shifted ids (bit-identical payloads
+    // — the make_scale_probe worst case): the rep-level scorer expanded
+    // through both groups must emit EXACTLY the rows the direct
+    // all-copies scorer does, per batch and in union, with no stateful
+    // streaming operator. This is the q265-test's property lifted to
+    // the dedup-first twin under the duplication it exists for.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang")
+    def slot(id: Long): Long = {
+      val m = (id * 2654435761L) % 10; if (m < 0) m + 10 else m
+    }
+    def repl(df: org.apache.spark.sql.DataFrame, shift: Long) =
+      (0 to 2).map(i => df.select((col("doc_id") + lit(shift * i)).as("doc_id"),
+        col("text"), col("lang"))).reduce(_ unionByName _)
+    // corpus copies shifted by a multiple of 10 so every copy keeps its
+    // original slot (stays corpus-side); probes likewise
+    val corpus = repl(docs.filter(pmod(col("doc_id") * lit(2654435761L),
+      lit(10L)) =!= 0), 1000000L * 10)
+    val probeRows = repl(docs.toDF("doc_id", "text", "lang"), 1000000L * 10)
+      .as[(Long, String, String)].collect().filter(r => slot(r._1) == 0)
+    assert(probeRows.length >= 6, "fixture must provide probe docs")
+    // direct (all-copies) scoring — the ground truth
+    val directIdx = queries.Round6b.shingledDocs(corpus, "db", "nb").persist()
+    val expected = queries.Round6b.scoreNearDupBatch(
+      queries.Round6b.shingledDocs(
+        probeRows.toSeq.toDF("doc_id", "text", "lang"), "da", "na"),
+      directIdx).collect().map(_.toString).toSet
+    // rep-level index + member map
+    val cgrp = corpus.groupBy("lang", "text")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+      .persist()
+    val repIdx = queries.Round6b.shingledDocs(
+      cgrp.select(col("rep").as("doc_id"), col("lang"), col("text")),
+      "pb", "nb").persist()
+    val cmem = cgrp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = ms.toDF().toDF("doc_id", "text", "lang")
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          queries.Round8.scoreNearDupBatchDeduped(batch, repIdx, cmem)
+            .collect().foreach(r => got.add(r.toString))
+          ()
+      }.start()
+    try {
+      probeRows.grouped(math.max(1, probeRows.length / 3)).foreach { g =>
+        ms.addData(g.toSeq); q.processAllAvailable()
+      }
+      assert(q.recentProgress.nonEmpty)
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "dedup-first ingest must carry no stateful streaming operator")
+    } finally {
+      q.stop(); directIdx.unpersist(); repIdx.unpersist(); cgrp.unpersist()
+    }
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == expected)
+  }
 }
