@@ -279,10 +279,10 @@ object Round5 {
         val sink = try {
           val src = graft.streaming.EventStreams.eventFileStream(s, dir)
             .select(col("user_id"), col("tss").as("ts"))
-          graft.streaming.EventStreams.runToMemory(
+          graft.streaming.EventStreams.runToParquet(
             graft.streaming.EventStreams
               .timerSessions(src, gapSec = 1800L, delay = "1 second").toDF(),
-            "q214_stream_timer_sessions_sink", mode = "append")
+            "q214_stream_timer_sessions_sink")
         } finally old match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)
@@ -555,9 +555,9 @@ object Round5 {
           .option("path", log)
           .option("maxRecordsPerBatch", math.max(1000L, total / 4))
           .load()
-        val sink = graft.streaming.EventStreams.runToMemory(
+        val sink = graft.streaming.EventStreams.runToParquet(
           src.select("user_id", "event_type", "sec"),
-          "q221_stream_log_source_sink", mode = "append")
+          "q221_stream_log_source_sink")
         sink.groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), min("sec").as("first_sec"),
             max("sec").as("last_sec"),
@@ -960,8 +960,8 @@ object Round5 {
         val tot = cells.groupBy(window(col("w10"), "30 minutes").as("w30"))
           .agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"))
         val sink = EventTime.withShufflePartitions(s, 8) {
-          graft.streaming.EventStreams.runToMemory(
-            tot, "q228_stream_chained_agg_sink", mode = "append")
+          graft.streaming.EventStreams.runToParquet(
+            tot, "q228_stream_chained_agg_sink")
         }
         val bound = graft.sources.Events.load(s, dir)
           .agg((max("sec") - 600L - 3600L).as("bound"))

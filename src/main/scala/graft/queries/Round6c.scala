@@ -539,9 +539,9 @@ object Round6c {
           val src = graft.streaming.EventStreams.eventFileStream(s, dir)
             .withColumn("sec", unix_timestamp(col("tss")))
           EventTime.withShufflePartitions(s, 8) {
-            graft.streaming.EventStreams.runToMemory(
+            graft.streaming.EventStreams.runToParquet(
               graft.streaming.EventStreams.rateQuota(src, maxPerDay = 3).toDF(),
-              "q277_stream_rate_quota_sink", mode = "append")
+              "q277_stream_rate_quota_sink")
           }
         } finally old match {
           case Some(v) => s.conf.set(key, v)

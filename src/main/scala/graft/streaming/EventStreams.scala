@@ -285,6 +285,26 @@ object EventStreams {
     df.sparkSession.table(name)
   }
 
+  /** Like [[runToMemory]] for APPEND-mode streams, but the sink is an
+    * append-only parquet dir in scratch space via foreachBatch — the
+    * memory sink holds every output row on the DRIVER heap (the 100×
+    * streaming probes needed a 20 GiB driver for the harness, not the
+    * operator state); with this sink rows land on disk per micro-batch
+    * and the same queries probe at default heap. Returns the read-back
+    * result with the stream's schema (explicit, so a zero-row stream
+    * still reads).
+    */
+  def runToParquet(df: DataFrame, name: String): DataFrame = {
+    val out = graft.util.Scratch.dir(name)
+    val q = df.writeStream.foreachBatch {
+      (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.read.schema(df.schema).parquet(out)
+  }
+
   /** Like [[runToMemory]] but with an explicit checkpoint location, so
     * the run leaves a durable state-store + offset log behind — the
     * input to the `statestore` batch reader (state introspection) and
