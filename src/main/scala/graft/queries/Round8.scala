@@ -430,6 +430,131 @@ object Round8 {
         repsAssigned.unpersist(); cgrp.unpersist()
         s.sql("SELECT da, db, cos FROM graftmem.semdedup_alerts_dd ORDER BY da, db")
       },
-      Round7.defs("q291_stream_semdedup").oracle)
+      Round7.defs("q291_stream_semdedup").oracle),
+
+    // ---- advisor-driven end-to-end curation (measure→advise→build→score)
+    // q200's curation chain with the near-dup stage's index configured
+    // BY IndexAdvisor from measured stats, as ONE scored query: quality
+    // gate → 1-row corpus stats on the gated docs' embeddings (vec_id =
+    // doc_id, the q252 fixture convention) → advise picks nlist (and
+    // the dedup-first flag) → semantic near-dup removal over the
+    // advised IVF cells (same-cell pairs, cos ≥ 0.35, drop the higher
+    // id — the q264 cluster-bucketed shape with the advisor's cell
+    // count) → q200's per-source token budget on the survivors.
+    // The dedup-first branch prunes to bit-identical-embedding reps
+    // before pairing; it is RESULT-identical to direct pairing because
+    // a non-rep copy is always dropped by its own rep (same cell,
+    // cos = 1.0, smaller id) and a rep pair exists iff the direct pair
+    // does (identical vectors share cells and cosines) — so ONE direct
+    // oracle scores both branches, no conditional SQL. At 100 TB the
+    // chain is: one gate scan, one grouping shuffle, a broadcast
+    // centroid assignment, per-cell bounded pairing, one window.
+    "q299_llm_curation_advised" -> QueryDef(
+      (s, dir) => {
+        graft.plans.NativeExpressions.register(s)
+        val docs = t(s, dir, "documents")
+          .filter(length(col("text")) >= 40 &&
+            size(split(col("text"), " ")) >= 8)
+        val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+          .join(t(s, dir, "embeddings")
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .persist() // stats + centroids + assignment + survivors paths
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("embedding")).as("nu")).head()
+        val n = st.getLong(0)
+        val nu = st.getLong(1)
+        val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
+        val adv = IndexAdvisor.advise(n, dim = 64, dupRate,
+          targetRecall = 0.8, candidateBudget = math.max(1L, (nu + 1L) / 2L))
+        require(adv.family == "ivf",
+          s"advisor picked ${adv.family}: fixture degenerated to nu < 2")
+        val nlist = adv.params("nlist").toInt
+        val cents = broadcast(corpus.orderBy("doc_id").limit(nlist)
+          .select(col("doc_id").as("centroid_id"), col("embedding").as("centroid")))
+        val grp = corpus.groupBy("embedding").agg(min("doc_id").as("rep"))
+        val base =
+          if (!adv.dedupFirst) corpus.select(col("doc_id"), col("embedding"))
+          else corpus.join(grp.select(col("rep")),
+            corpus("doc_id") === col("rep")).select(col("doc_id"), col("embedding"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("__d").desc, col("centroid_id"))
+        val assigned = base.crossJoin(cents)
+          .withColumn("__d", round(expr("vec_dot(embedding, centroid)"), 6))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+          .select(col("doc_id"), col("centroid_id"),
+            col("embedding").as("e"),
+            expr("sqrt(vec_dot(embedding, embedding))").as("nm"))
+        val a = assigned.select(col("centroid_id"), col("doc_id").as("da"),
+          col("e").as("ea"), col("nm").as("na"))
+        val b = assigned.select(col("centroid_id"), col("doc_id").as("db"),
+          col("e").as("eb"), col("nm").as("nb"))
+        val dropped = a.join(b, Seq("centroid_id"))
+          .filter(col("da") < col("db"))
+          .filter(round(expr("vec_dot(ea, eb)") /
+            (col("na") * col("nb")), 6) >= 0.35)
+          .select(col("db").as("doc_id")).distinct()
+        val kept =
+          if (!adv.dedupFirst) corpus
+          else corpus.join(grp.select(col("rep")),
+            corpus("doc_id") === col("rep")).drop("rep")
+        val survivors = kept.join(dropped, Seq("doc_id"), "left_anti")
+        val nTok = size(split(col("text"), " ")).cast("long")
+        val ws = Window.partitionBy("source").orderBy(
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L)), col("doc_id"))
+        survivors
+          .select(col("source"), col("doc_id"), nTok.as("n_tok"))
+          .withColumn("cum_tok", sum("n_tok").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum_tok") <= 2000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("n_tok"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source")
+      },
+      Some(s"""WITH q AS (SELECT d.doc_id, d.source, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE length(d.text) >= 40 AND len(string_split(d.text, ' ')) >= 8),
+      st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM q),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      cent AS (SELECT doc_id AS centroid_id, embedding AS centroid FROM (
+          SELECT doc_id, embedding, row_number() OVER (ORDER BY doc_id) AS rn
+          FROM q) WHERE rn <= (SELECT nlist FROM nl)),
+      a0 AS (SELECT q.doc_id, c.centroid_id,
+          round(SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      asg AS (SELECT doc_id, centroid_id FROM (SELECT doc_id, centroid_id,
+          row_number() OVER (PARTITION BY doc_id ORDER BY d DESC, centroid_id) AS r
+        FROM a0) WHERE r = 1),
+      prs AS (SELECT a.doc_id AS da, b.doc_id AS db
+        FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id AND a.doc_id < b.doc_id),
+      cs AS (SELECT prs.da, prs.db, ${Round6c.cosSql("x", "y")} AS cos
+        FROM prs JOIN embeddings x ON prs.da = x.vec_id
+        JOIN embeddings y ON prs.db = y.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      drop0 AS (SELECT DISTINCT db AS doc_id FROM cs WHERE cos >= 0.35),
+      sv AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM q WHERE doc_id NOT IN (SELECT doc_id FROM drop0)),
+      c AS (SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM sv)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c WHERE cum_tok <= 2000 GROUP BY source ORDER BY source"""))
   )
 }

@@ -445,6 +445,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.nonEmpty && got == direct)
   }
 
+  test("q299 advisor-driven curation is duplication-robust (dedup-first branch == original)") {
+    // 3x-replicated docs+embeddings (ids shifted, payloads verbatim):
+    // dupRate 0.667 trips the advisor's dedup-first branch, every copy
+    // is dropped by its own rep (same cell, cos 1.0, smaller id), nu —
+    // and so the advised nlist and the centroid set — are unchanged,
+    // so the curated manifest must be IDENTICAL to the original run
+    // (which takes the direct branch): the measure→advise→build loop
+    // makes the whole chain replication-invariant by construction.
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    def repl(df: org.apache.spark.sql.DataFrame, idCol: String) =
+      (0 to 2).map(i => df.withColumn(idCol, col(idCol) + lit(10000000L * i)))
+        .reduce(_ unionByName _)
+    val dirPath = java.nio.file.Files.createTempDirectory("q299syn")
+    try {
+      val dir = dirPath.toString
+      repl(docs, "doc_id").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      repl(emb, "vec_id").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val original = queries.Round8.defs("q299_llm_curation_advised")
+        .fn(spark, sf).collect().map(_.toString).toSeq
+      val replicated = queries.Round8.defs("q299_llm_curation_advised")
+        .fn(spark, dir).collect().map(_.toString).toSeq
+      assert(original.nonEmpty && replicated == original)
+    } finally {
+      spark.catalog.clearCache()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("IndexAdvisor: family thresholds, budget respected, dedup-first flag") {
     import graft.operators.IndexAdvisor
     // corpus within budget -> brute force, recall 1.0

@@ -104,9 +104,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q294_llm_ann_ivf_advised",    // q279 class (50-row query + advised-nlist
                                    // centroid broadcasts) + 1-row corpus-stats
                                    // scalar feeding IndexAdvisor
-    "q295_llm_ann_matryoshka_rerank" // q293 class (50-row query broadcast on
+    "q295_llm_ann_matryoshka_rerank", // q293 class (50-row query broadcast on
                                    // the 32-dim stage; rerank is m-bounded
                                    // hash joins)
+    "q299_llm_curation_advised"    // advised-nlist centroid broadcast (limit-
+                                   // bounded) + 1-row corpus-stats scalar;
+                                   // cell pairing is a hash equi-join
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
