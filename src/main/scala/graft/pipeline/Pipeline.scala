@@ -106,28 +106,35 @@ class PipelineRunner(spark: SparkSession, root: String) {
   }
 
   /** Content fingerprint of a committed target dir: MD5 over the sorted
-    * (name, size) listing of its DATA files (markers and hidden files
-    * excluded). Wall-clock-free — a rebuild (fresh part-file UUIDs), an
-    * append, or a hand-landed file all change the listing, and mtime
-    * granularity can never race the staleness decision. None until the
-    * dir is committed (`_SUCCESS` present), mirroring the mtime rule.
+    * (relative path, size) listing of its DATA files — a RECURSIVE walk,
+    * so partition-layout deps (`dt=.../part-*.parquet`) fingerprint
+    * their leaves, not just the top-level subdir names (a top-level-only
+    * listing would miss an append landing inside an existing partition
+    * subdir). Markers and hidden files excluded at every level.
+    * Wall-clock-free — a rebuild (fresh part-file UUIDs), an append, or
+    * a hand-landed file all change the listing, and mtime granularity
+    * can never race the staleness decision. None until the dir is
+    * committed (`_SUCCESS` present), mirroring the mtime rule.
     */
   private def fingerprint(path: String): Option[String] = {
     val dir = Paths.get(path)
     if (!Files.exists(dir.resolve("_SUCCESS"))) None
     else {
       import scala.jdk.CollectionConverters._
-      val listing = Files.list(dir)
+      val walk = Files.walk(dir)
       try {
-        val entries = listing.iterator().asScala
-          .map(_.getFileName.toString)
-          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        val entries = walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => dir.relativize(p))
+          .filterNot(rel => rel.iterator().asScala.exists { seg =>
+            val n = seg.toString; n.startsWith("_") || n.startsWith(".")
+          })
+          .map(rel => s"$rel:${Files.size(dir.resolve(rel))}")
           .toSeq.sorted
-          .map(n => s"$n:${Files.size(dir.resolve(n))}")
         val md = java.security.MessageDigest.getInstance("MD5")
         Some(md.digest(entries.mkString("\n").getBytes("UTF-8"))
           .map("%02x".format(_)).mkString)
-      } finally listing.close()
+      } finally walk.close()
     }
   }
 

@@ -60,6 +60,30 @@ class PipelineSpec extends SparkTestBase {
       .agg(sum("count")).head().getLong(0) == srcRows)
   }
 
+  test("fingerprint staleness sees files inside partition subdirs") {
+    // a dep laid out as a partitioned dir (dt=.../part-*.parquet): an
+    // append landing INSIDE an existing partition subdir must change
+    // the dep's fingerprint and rebuild the consumer — a top-level-only
+    // listing would see the same subdir names and miss it
+    val root = Files.createTempDirectory("graft_pfp").toString
+    Seq((1L, "a")).toDF("id", "v").write
+      .partitionBy("v").parquet(s"$root/ext.parquet")
+    val consumer = PipelineJob("agg", "agg.parquet", Seq("ext.parquet"))(
+      (s, in) => in("ext.parquet").groupBy("v").count())
+    val runner = new PipelineRunner(spark, root)
+    assert(runner.run(Seq(consumer)).ran == Seq("agg"))
+    assert(runner.run(Seq(consumer)).ran.isEmpty)
+    // hand-land a copy of the existing part file inside the v=a subdir
+    val sub = new java.io.File(s"$root/ext.parquet/v=a")
+    val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(sub.toString, "part-extra.parquet"))
+    val r = runner.run(Seq(consumer))
+    assert(r.ran == Seq("agg"), s"subdir append missed: $r")
+    assert(spark.read.parquet(s"$root/agg.parquet")
+      .head().getLong(1) == 2L)
+  }
+
   test("backfill: templates expand over buckets; buildRequest runs one ancestor chain") {
     val root = Files.createTempDirectory("graft_backfill").toString
     val runner = new PipelineRunner(spark, root)
