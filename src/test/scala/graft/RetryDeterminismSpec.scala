@@ -220,7 +220,10 @@ class RetryDeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q23_win_running_sum", "q91_llm_neardup_groups_star",
       "q103_seq_packing", "q177_llm_minhash_verified",
       "q215_llm_dup_span_coverage", "q225_llm_kmeans_lloyd",
-      "q47_llm_ann_lsh")
+      "q47_llm_ann_lsh",
+      // round-8 advisor-driven family: the 1-row stats collect and the
+      // advised-centroid build must survive first-attempt kills too
+      "q294_llm_ann_ivf_advised", "q299_llm_curation_advised")
     val baselines = names.map(n => n -> fp(SparkEntry.queries(n)(spark, sf))).toMap
     val killer = new FirstAttemptKiller(spark)
     spark.sparkContext.addSparkListener(killer)
