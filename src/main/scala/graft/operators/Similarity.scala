@@ -177,6 +177,29 @@ object Similarity {
     * probe-set boundary is engine-portable and the recall queries carry
     * exact oracles.
     */
+  /** Rank-1..`nKeep` nearest-centroid assignment by ROUNDED (6dp) dot
+    * product with centroid-id tie-break — the ONE expression the whole
+    * IVF / streaming-semdedup / dedup-first family's value-determinism
+    * arguments hang on: identical vectors must land in identical cells,
+    * across engines (the oracles replay exactly this ranking) and
+    * across every caller (q77/q279/q291/q294/q298/q299 all route
+    * through here — a rounding or tie-break tweak in one copy would
+    * silently break the rep-vs-direct row-identity proofs). `cents`
+    * must be the broadcast (centroid_id, centroid) frame; rows keep
+    * their own columns plus `centroid_id`.
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nKeep: Int = 1): DataFrame = {
+    NativeExpressions.register(df.sparkSession)
+    val scored = df.crossJoin(cents)
+      .withColumn("__d", round(expr(s"vec_dot($vecCol, centroid)"), 6))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__d").desc, col("centroid_id"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nKeep)
+      .drop("__d", "__r", "centroid")
+  }
+
   def ivfTopKProbe(
       queries: DataFrame, // qid, qe
       corpus: DataFrame, // cid, ce
@@ -188,20 +211,12 @@ object Similarity {
       corpus.orderBy("cid").limit(nlist)
         .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
 
-    def assign(df: DataFrame, vec: String, nKeep: Int): DataFrame = {
-      val scored = df.crossJoin(centroids)
-        .withColumn("__d", round(expr(s"vec_dot($vec, centroid)"), 6))
-      val w = Window.partitionBy(df.columns.head)
-        .orderBy(col("__d").desc, col("centroid_id"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= nKeep)
-        .drop("__d", "__r", "centroid")
-    }
-
-    val qb = assign(queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")),
-      "qe", nprobe)
-    val cb = assign(corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")),
-      "ce", 1)
+    val qb = assignToCentroids(
+      queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")),
+      "qid", "qe", centroids, nprobe)
+    val cb = assignToCentroids(
+      corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")),
+      "cid", "ce", centroids, 1)
     val scored = qb.join(cb, "centroid_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),

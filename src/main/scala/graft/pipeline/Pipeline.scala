@@ -106,15 +106,18 @@ class PipelineRunner(spark: SparkSession, root: String) {
   }
 
   /** Content fingerprint of a committed target dir: MD5 over the sorted
-    * (relative path, size) listing of its DATA files — a RECURSIVE walk,
-    * so partition-layout deps (`dt=.../part-*.parquet`) fingerprint
-    * their leaves, not just the top-level subdir names (a top-level-only
-    * listing would miss an append landing inside an existing partition
-    * subdir). Markers and hidden files excluded at every level.
-    * Wall-clock-free — a rebuild (fresh part-file UUIDs), an append, or
-    * a hand-landed file all change the listing, and mtime granularity
-    * can never race the staleness decision. None until the dir is
-    * committed (`_SUCCESS` present), mirroring the mtime rule.
+    * (relative path, size, mtimeMillis) listing of its DATA files — a
+    * RECURSIVE walk, so partition-layout deps (`dt=.../part-*.parquet`)
+    * fingerprint their leaves, not just the top-level subdir names (a
+    * top-level-only listing would miss an append landing inside an
+    * existing partition subdir). Markers and hidden files excluded at
+    * every level. Per-FILE mtimes participate in the HASH (an in-place
+    * same-name same-size rewrite must still change the fingerprint);
+    * what stays clock-free is the cross-file comparison — no dep-newer-
+    * than-target ordering exists to race, so write granularity cannot
+    * produce a missed rebuild the way the old max-mtime rule could.
+    * None until the dir is committed (`_SUCCESS` present), mirroring
+    * the mtime rule.
     */
   private def fingerprint(path: String): Option[String] = {
     val dir = Paths.get(path)
@@ -129,7 +132,10 @@ class PipelineRunner(spark: SparkSession, root: String) {
           .filterNot(rel => rel.iterator().asScala.exists { seg =>
             val n = seg.toString; n.startsWith("_") || n.startsWith(".")
           })
-          .map(rel => s"$rel:${Files.size(dir.resolve(rel))}")
+          .map { rel =>
+            val p = dir.resolve(rel)
+            s"$rel:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+          }
           .toSeq.sorted
         val md = java.security.MessageDigest.getInstance("MD5")
         Some(md.digest(entries.mkString("\n").getBytes("UTF-8"))
@@ -139,27 +145,37 @@ class PipelineRunner(spark: SparkSession, root: String) {
   }
 
   /** Dep fingerprints recorded at build time, one `dep\tfp` line per
-    * committed dep, in the target's `_GRAFT_DEPS` marker. */
+    * committed dep, in the target's `_GRAFT_DEPS` marker. A marker
+    * that fails to parse (e.g. a torn partial line from a crash during
+    * a non-atomic write by an older build) reads as NO marker — the
+    * job falls back to the mtime rule and rebuilds conservatively,
+    * instead of wedging every subsequent run on a MatchError. */
   private def readDepFingerprints(tp: String): Option[Map[String, String]] = {
     val p = Paths.get(tp, "_GRAFT_DEPS")
     if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), "UTF-8").split("\n")
-      .filter(_.nonEmpty).map { l =>
-        val Array(d, f) = l.split("\t", 2); d -> f
-      }.toMap)
+    else {
+      val parsed = new String(Files.readAllBytes(p), "UTF-8").split("\n")
+        .filter(_.nonEmpty).map(_.split("\t", 2))
+      if (parsed.exists(_.length != 2)) None
+      else Some(parsed.map(a => a(0) -> a(1)).toMap)
+    }
   }
 
-  /** Run one job and commit the dep-fingerprint marker. The overwrite
-    * removes any previous marker with the old target, so a write that
-    * succeeds without reaching the marker leaves the target on the
-    * mtime fallback (never silently fresh against stale deps). */
+  /** Run one job and commit the dep-fingerprint marker — written to a
+    * temp file and ATOMIC_MOVEd, so a crash mid-write can never leave
+    * a torn marker (and a write that never reaches the marker leaves
+    * the target on the mtime fallback: never silently fresh against
+    * stale deps). */
   private def execute(job: PipelineJob): Unit = {
     val inputs = job.deps.map(d => d -> spark.read.parquet(s"$root/$d")).toMap
     job.run(spark, inputs).write.mode("overwrite").parquet(targetPath(job))
     val lines = job.deps.flatMap(d =>
       fingerprint(s"$root/$d").map(f => s"$d\t$f"))
-    Files.write(Paths.get(targetPath(job), "_GRAFT_DEPS"),
-      lines.mkString("\n").getBytes("UTF-8"))
+    val tmp = Paths.get(targetPath(job), "._GRAFT_DEPS.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(targetPath(job), "_GRAFT_DEPS"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** One job per target — duplicates would be silently collapsed by
@@ -194,14 +210,17 @@ class PipelineRunner(spark: SparkSession, root: String) {
 
   /** Builder staleness rule, de-clocked: run iff target missing, or any
     * committed dep's CONTENT fingerprint differs from the one recorded
-    * when the target was last built. No wall clock in the decision — a
-    * bare mtime touch does NOT rebuild (use [[runForced]] to
-    * invalidate); conversely a dep whose files changed ALWAYS rebuilds,
-    * however fast the change landed (the old mtime rule missed both
-    * hand-landed files and sub-granularity updates). Targets built
-    * before fingerprints existed (no `_GRAFT_DEPS` marker) fall back to
-    * the builder mtime rule; cache_time keeps its wall-clock contract
-    * (debounce is inherently a time rule).
+    * when the target was last built. No cross-file clock ORDERING in
+    * the decision — a touch of a dep's `_SUCCESS`/marker files does NOT
+    * rebuild (use [[runForced]] to invalidate), and a dep whose data
+    * files changed ALWAYS rebuilds, however fast the change landed (the
+    * old max-mtime-vs-target rule missed both hand-landed files and
+    * sub-granularity updates; per-file mtimes DO participate in the
+    * fingerprint hash so an in-place same-size rewrite is caught).
+    * Targets built before fingerprints existed (no or unparseable
+    * `_GRAFT_DEPS` marker) fall back to the builder mtime rule;
+    * cache_time keeps its wall-clock contract (debounce is inherently
+    * a time rule).
     */
   def isStale(job: PipelineJob, now: Long): Boolean = {
     val tp = targetPath(job)

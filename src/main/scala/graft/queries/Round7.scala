@@ -535,14 +535,11 @@ object Round7 {
         val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
         val cents = broadcast(emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
-        def assign(df: DataFrame, id: String, vec: String): DataFrame = {
-          val scored = df.crossJoin(cents)
-            .withColumn("__d", round(expr(s"vec_dot($vec, centroid)"), 6))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(id).orderBy(col("__d").desc, col("centroid_id"))
-          scored.withColumn("__r", row_number().over(w))
-            .filter(col("__r") === 1).drop("__d", "__r", "centroid")
-        }
+        // shared rank-1 cell assignment (Similarity.assignToCentroids):
+        // the same expression every IVF/semdedup caller and the oracles
+        // replay — value-determinism depends on there being ONE copy
+        def assign(df: DataFrame, id: String, vec: String): DataFrame =
+          graft.operators.Similarity.assignToCentroids(df, id, vec, cents)
         graft.plans.NativeExpressions.register(s)
         val corpus = assign(emb.filter(slot =!= 0)
             .select(col("vec_id").as("db"), col("embedding").as("eb")), "db", "eb")

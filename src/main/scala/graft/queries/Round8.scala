@@ -67,12 +67,7 @@ object Round8 {
     val g = batch.groupBy("ea")
       .agg(min("da").as("rep"), collect_list("da").as("ids"))
     val reps = g.select(col("rep").as("pa"), col("ea"))
-    val scored = reps.crossJoin(cents)
-      .withColumn("__d", round(expr("vec_dot(ea, centroid)"), 6))
-    val w = Window.partitionBy("pa")
-      .orderBy(col("__d").desc, col("centroid_id"))
-    val assigned = scored.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1).drop("__d", "__r", "centroid")
+    val assigned = Similarity.assignToCentroids(reps, "pa", "ea", cents)
       .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
     val repPairs = assigned.join(corpusReps, Seq("centroid_id"))
       .select(col("pa"), col("pb"),
@@ -229,7 +224,7 @@ object Round8 {
     // the dial: on this ISOTROPIC synthetic corpus the prefix carries no
     // concentrated variance (the reason q293's direct number was 0.212),
     // and a measured m-sweep needs m ≈ n/10 — m = max(100, n/10),
-    // recall@5 0.908 (sf0.01) / 0.876 (sf0.1) at (32·n + 64·m)/(64·n) =
+    // recall@5 0.928 (sf0.01) / 0.892 (sf0.1) at (32·n + 64·m)/(64·n) =
     // 0.6× the full-scan FLOPs per query. Matryoshka-TRAINED embeddings
     // front-load variance and serve from much smaller pools; the
     // two-stage plumbing and the honest m-vs-recall tradeoff are what
@@ -394,16 +389,10 @@ object Round8 {
           .groupBy("eb")
           .agg(min("db").as("rep"), collect_list("db").as("ids"))
           .persist() // two lineage paths: rep cells + member expansion
-        val repsAssigned = {
-          val r = cgrp.select(col("rep").as("pb"), col("eb"))
-          val scored = r.crossJoin(cents)
-            .withColumn("__d", round(expr("vec_dot(eb, centroid)"), 6))
-          val w = Window.partitionBy("pb")
-            .orderBy(col("__d").desc, col("centroid_id"))
-          scored.withColumn("__r", row_number().over(w))
-            .filter(col("__r") === 1).drop("__d", "__r", "centroid")
-            .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
-        }.persist()
+        val repsAssigned = Similarity.assignToCentroids(
+            cgrp.select(col("rep").as("pb"), col("eb")), "pb", "eb", cents)
+          .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+          .persist()
         val cmem = cgrp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
         s.sql("DROP TABLE IF EXISTS graftmem.semdedup_alerts_dd")
@@ -472,20 +461,21 @@ object Round8 {
         val nlist = adv.params("nlist").toInt
         val cents = broadcast(corpus.orderBy("doc_id").limit(nlist)
           .select(col("doc_id").as("centroid_id"), col("embedding").as("centroid")))
+        // persist: read by both base (dedup-first pruning) and kept
         val grp = corpus.groupBy("embedding").agg(min("doc_id").as("rep"))
+          .persist()
         val base =
           if (!adv.dedupFirst) corpus.select(col("doc_id"), col("embedding"))
           else corpus.join(grp.select(col("rep")),
             corpus("doc_id") === col("rep")).select(col("doc_id"), col("embedding"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("__d").desc, col("centroid_id"))
-        val assigned = base.crossJoin(cents)
-          .withColumn("__d", round(expr("vec_dot(embedding, centroid)"), 6))
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") === 1)
+        // persist: the self-join reads this frame twice (a + b sides),
+        // and it is the corpus-sized crossJoin+window stage (CLAUDE.md)
+        val assigned = Similarity.assignToCentroids(
+            base, "doc_id", "embedding", cents)
           .select(col("doc_id"), col("centroid_id"),
             col("embedding").as("e"),
             expr("sqrt(vec_dot(embedding, embedding))").as("nm"))
+          .persist()
         val a = assigned.select(col("centroid_id"), col("doc_id").as("da"),
           col("e").as("ea"), col("nm").as("na"))
         val b = assigned.select(col("centroid_id"), col("doc_id").as("db"),

@@ -33,15 +33,34 @@ class PipelineSpec extends SparkTestBase {
     val r2 = runner.run(jobs)
     assert(r2.ran.isEmpty && r2.skipped.size == 3)
 
-    // staleness is CONTENT-based (de-clocked): a bare mtime touch does
-    // NOT rebuild — forced invalidation is runForced's job, not the
-    // clock's. No sleeps needed anywhere: granularity can't race it.
+    // staleness is CONTENT-based (de-clocked): a touch of the commit
+    // MARKER does not rebuild — forced invalidation is runForced's job,
+    // not the clock's. No sleeps needed anywhere: there is no cross-
+    // file mtime ordering left to race.
     Files.setLastModifiedTime(
       java.nio.file.Paths.get(s"$root/src.parquet/_SUCCESS"),
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() + 60000))
     val r3 = runner.run(jobs)
     assert(r3.ran.isEmpty && r3.skipped.size == 3)
+
+    // an in-place DATA-file change (same name, same size) is caught:
+    // per-file mtimes participate in the fingerprint hash
+    val dataFile = new java.io.File(s"$root/src.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.setLastModifiedTime(dataFile.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 120000))
+    val r3b = runner.run(jobs)
+    assert(r3b.ran == Seq("derived", "agg") && r3b.skipped == Seq("src"))
+
+    // a torn _GRAFT_DEPS marker (crash mid-write by an older build)
+    // reads as NO marker — mtime fallback, not a wedge
+    Files.write(
+      java.nio.file.Paths.get(s"$root/agg.parquet/_GRAFT_DEPS"),
+      "torn-line-without-a-tab".getBytes("UTF-8"))
+    val r3c = runner.run(jobs)
+    assert(r3c.skipped.contains("src")) // completed — no MatchError
 
     // a hand-landed file in a dep dir changes its fingerprint and
     // rebuilds everything downstream (the old mtime rule MISSED this —
