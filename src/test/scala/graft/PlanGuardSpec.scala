@@ -107,9 +107,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q295_llm_ann_matryoshka_rerank", // q293 class (50-row query broadcast on
                                    // the 32-dim stage; rerank is m-bounded
                                    // hash joins)
-    "q299_llm_curation_advised"    // advised-nlist centroid broadcast (limit-
+    "q299_llm_curation_advised",   // advised-nlist centroid broadcast (limit-
                                    // bounded) + 1-row corpus-stats scalar;
                                    // cell pairing is a hash equi-join
+    "q300_llm_ann_ivf_matryoshka"  // q279 class on sliced vectors (50-row
+                                   // query + 16-row centroid broadcasts);
+                                   // rerank is m-bounded hash joins
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
