@@ -22,7 +22,7 @@ object Round6 {
     * (the q47 recipe: plane doubles as literals via Java Double.toString
     * — round-trips exactly through DuckDB's parser; list_reduce's
     * left-fold matches Spark's HOF summation order). */
-  private def bucketSql(planes: Seq[Seq[Double]]): String =
+  private[queries] def bucketSql(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, i) =>
       val lst = p.map(_.toString).mkString("[", ", ", "]")
       s"""(CASE WHEN list_reduce(list_transform(range(1, 65),

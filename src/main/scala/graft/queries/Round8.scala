@@ -78,6 +78,44 @@ object Round8 {
       .select(col("da"), col("db"), col("cos"))
   }
 
+  /** DuckDB replay of `rounds` beam-search iterations from the fixed
+    * min-id entry point over edge CTE `e`, for the 50-query harness
+    * sample `q2` — the q255 beamOracle generalized to any (rounds,
+    * beam): candidates c_i = frontier ∪ out-neighbors, scored s_i on
+    * rounded cosines, frontier b_i = per-query top-beam. The caller's
+    * `annr` takes top-k of the LAST s_i (top-k of the final frontier
+    * equals top-k of its scored candidate set for k ≤ beam, exactly as
+    * [[graft.operators.Similarity.beamTopK]] does). */
+  private def beamRoundsSql(rounds: Int, beam: Int): String =
+    (1 to rounds).map { i =>
+      val cand =
+        if (i == 1)
+          s"""bc1 AS (SELECT DISTINCT qid, cid FROM (
+          SELECT q2.id AS qid, ent.cid FROM q2 CROSS JOIN ent
+          UNION ALL
+          SELECT q2.id AS qid, e.v AS cid FROM q2 CROSS JOIN ent
+            JOIN e ON e.u = ent.cid))"""
+        else
+          s"""bc$i AS (SELECT DISTINCT qid, cid FROM (
+          SELECT qid, cid FROM bf${i - 1}
+          UNION ALL
+          SELECT bf${i - 1}.qid, e.v AS cid FROM bf${i - 1}
+            JOIN e ON e.u = bf${i - 1}.cid))"""
+      val score =
+        s"""bs$i AS (SELECT bc$i.qid, bc$i.cid, ${Round6c.cosSql("x", "y")} AS cos
+          FROM bc$i JOIN embeddings x ON bc$i.qid = x.vec_id
+          JOIN embeddings y ON bc$i.cid = y.vec_id
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+          WHERE bc$i.cid <> bc$i.qid GROUP BY 1, 2)"""
+      val front =
+        if (i < rounds)
+          s"""bf$i AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM bs$i)
+            WHERE rn <= $beam)"""
+        else ""
+      Seq(cand, score, front).filter(_.nonEmpty).mkString(",\n      ")
+    }.mkString(",\n      ")
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- advisor-driven IVF recall@5 (advice EXECUTED, not prose) ------
@@ -621,6 +659,65 @@ object Round8 {
       annr AS (SELECT qid, cid FROM (SELECT qid, cid,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM re) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- advisor-driven graph-beam (the advisor's OTHER branch) --------
+    // q294/q299 execute the advisor's IVF branch; this row executes its
+    // ESCAPE HATCH: with a 64-cosine-per-query serving budget the
+    // >=0.8-ratio IVF scan (nu/2 candidates) blows the budget and
+    // `advise` switches to graph-beam, whose candidate count
+    // (beam·(d+1)·rounds) is corpus-size-INDEPENDENT — proving the
+    // family branching is wired, not just one arm. The advised params
+    // (d=4, beam=8, rounds=3) drive the q255/q258 machinery: the
+    // dedup-first edge build (lshKnnEdgesDeduped — the advice's
+    // dedupFirst flag satisfied by construction on dup-heavy fixtures,
+    // property-tested edge-identical to the direct build) + beam search
+    // from the fixed min-id entry, through the UNCHANGED recall
+    // harness. Measured recall@5: **0.008 / 0.016** — the q293-class
+    // honest negative, exactly oracled: three hops of a degree-4 graph
+    // from ONE fixed entry reach ≤ ~120 candidates of an ISOTROPIC
+    // corpus with no navigable small-world structure, so the walk
+    // cannot hill-climb to the true neighbors. The lesson the row
+    // pins: the escape hatch's per-query cost is corpus-size-
+    // independent, but serving it requires a NAVIGABLE graph (layered
+    // entries, higher degree, long-range links — the HNSW recipe);
+    // measure through this harness before trusting any graph-ANN
+    // config, exactly as q293 said for truncation.
+    "q301_llm_ann_beam_advised" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0)
+        val nu = st.getLong(1)
+        val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
+        val adv = IndexAdvisor.advise(n, dim = 64, dupRate,
+          targetRecall = 0.8, candidateBudget = 64L)
+        require(adv.family == "graph-beam",
+          s"advisor picked ${adv.family}: a 64-cosine budget must " +
+            "resolve to the corpus-size-independent family")
+        val edges = Similarity.lshKnnEdgesDeduped(corpus,
+          d = adv.params("d").toInt, nPlanes = 6, dim = 64).persist()
+        Similarity.beamTopK(qs, corpus, edges, k = 5,
+          beam = adv.params("beam").toInt,
+          rounds = adv.params("rounds").toInt)
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      cb AS (SELECT vec_id AS cid, ${Round6.bucketSql(
+          graft.operators.Similarity.hyperplanes(6, 64))} AS bucket
+        FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+      ep AS (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+        FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.cid <> b.cid
+        JOIN embeddings x ON a.cid = x.vec_id
+        JOIN embeddings y ON b.cid = y.vec_id
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      e AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep) WHERE rn <= 4),
+      ent AS (SELECT MIN(vec_id) AS cid FROM embeddings),
+      ${beamRoundsSql(rounds = 3, beam = 8)},
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM bs3) WHERE rnk <= 5),
       ${Round6c.recallTailSql}"""))
   )
 }

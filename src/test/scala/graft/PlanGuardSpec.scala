@@ -110,9 +110,12 @@ class PlanGuardSpec extends SparkTestBase {
     "q299_llm_curation_advised",   // advised-nlist centroid broadcast (limit-
                                    // bounded) + 1-row corpus-stats scalar;
                                    // cell pairing is a hash equi-join
-    "q300_llm_ann_ivf_matryoshka"  // q279 class on sliced vectors (50-row
+    "q300_llm_ann_ivf_matryoshka", // q279 class on sliced vectors (50-row
                                    // query + 16-row centroid broadcasts);
                                    // rerank is m-bounded hash joins
+    "q301_llm_ann_beam_advised"    // q255 class: 1-row fixed-entry seed +
+                                   // bounded beam-candidate broadcasts +
+                                   // the harness's 50-row query broadcast
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
