@@ -414,9 +414,9 @@ object Similarity {
     * rounds, which would slot in here as extra (join + window) passes.
     */
   def lshKnnEdges(corpus: DataFrame /* cid, ce */ , d: Int, nPlanes: Int,
-      dim: Int): DataFrame = {
+      dim: Int, seed: Long = 42L): DataFrame = {
     NativeExpressions.register(corpus.sparkSession)
-    val planes = hyperplanes(nPlanes, dim)
+    val planes = hyperplanes(nPlanes, dim, seed)
     val cb = corpus.withColumn("bucket",
         VectorFunctions.hyperplaneBucket(col("ce"), planes))
       .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
@@ -431,6 +431,32 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= d)
       .select(col("u"), col("v"))
   }
+
+  /** kNN-graph edges STITCHED across `nTables` independent LSH tables
+    * (seeds `42L..42L+nTables-1`, the q280 OR-construction applied to
+    * the GRAPH BUILD): per table, per-bucket top-`d` out-edges per
+    * node; the DISTINCT union links nodes that share a bucket in ANY
+    * table. The q301/q302 measurements showed why this is not
+    * optional: a single-table bucket-restricted kNN graph is
+    * DISCONNECTED (≤ 2^nPlanes components by construction — an edge
+    * never crosses a bucket boundary), so a beam walk can never leave
+    * its entry's component and recall SATURATES regardless of degree,
+    * beam width, or rounds (measured flat at 0.068 from d=8 through
+    * d=32). Cross-table stitching is the cheap connectivity fix:
+    * degree ≤ d·nTables, the build stays bucket-bounded per table,
+    * and components merge because independent hyperplane draws cut the
+    * space differently.
+    */
+  def lshKnnEdgesMultiTable(corpus: DataFrame /* cid, ce */ , d: Int,
+      nPlanes: Int, dim: Int, nTables: Int): DataFrame =
+    // per-table build is the DEDUPED form (edge-identical to the direct
+    // build, property-tested): on a replicated corpus the direct
+    // per-bucket pair generation is quadratic in copies — the first
+    // stitched probe measured 6×/decade before this, 100× at 221 s
+    (0 until nTables)
+      .map(t => lshKnnEdgesDeduped(corpus, d, nPlanes, dim, 42L + t))
+      .reduce(_ unionByName _)
+      .distinct()
 
   /** Identical edge set to [[lshKnnEdges]], duplication-robust: group
     * bit-identical vectors, score one dot per UNIQUE vector pair per
@@ -452,9 +478,9 @@ object Similarity {
     * all-pairs form does — the cosinePairsDeduped rule).
     */
   def lshKnnEdgesDeduped(corpus: DataFrame /* cid, ce */ , d: Int,
-      nPlanes: Int, dim: Int): DataFrame = {
+      nPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     NativeExpressions.register(corpus.sparkSession)
-    val planes = hyperplanes(nPlanes, dim)
+    val planes = hyperplanes(nPlanes, dim, seed)
     val g = corpus.groupBy(col("ce"))
       .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("ce"), planes))
@@ -508,12 +534,33 @@ object Similarity {
       k: Int,
       beam: Int,
       rounds: Int): DataFrame = {
+    val entry = corpus.agg(min("cid").as("cid"))
+    // 1-row bounded build side (the q13 class of sanctioned cross join)
+    beamTopKFrom(queries, corpus, edges,
+      queries.select(col("qid")).crossJoin(broadcast(entry)),
+      k, beam, rounds)
+  }
+
+  /** [[beamTopK]] with CALLER-SUPPLIED per-query entry points
+    * (`entries`: qid, cid) instead of the single fixed min-id entry —
+    * the navigability lever the q301 measurement demanded: a beam can
+    * only hill-climb from somewhere near the query, so production
+    * graph-ANN seeds entries from a coarse structure (HNSW's upper
+    * layers; here the IVF centroid set, q302). Entry count per query
+    * must be bounded (it adds to the first round's candidate set).
+    */
+  def beamTopKFrom(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      edges: DataFrame, // u, v
+      entries: DataFrame, // qid, cid (bounded per qid)
+      k: Int,
+      beam: Int,
+      rounds: Int): DataFrame = {
     NativeExpressions.register(queries.sparkSession)
     val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
     val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
-    val entry = corpus.agg(min("cid").as("cid"))
-    // 1-row bounded build side (the q13 class of sanctioned cross join)
-    var frontier = queries.select(col("qid")).crossJoin(broadcast(entry))
+    var frontier = entries.select(col("qid"), col("cid"))
       .withColumn("cos", lit(null).cast("double"))
     for (_ <- 1 to rounds) {
       val f = frontier.persist()

@@ -78,29 +78,25 @@ object Round8 {
       .select(col("da"), col("db"), col("cos"))
   }
 
-  /** DuckDB replay of `rounds` beam-search iterations from the fixed
-    * min-id entry point over edge CTE `e`, for the 50-query harness
-    * sample `q2` — the q255 beamOracle generalized to any (rounds,
-    * beam): candidates c_i = frontier ∪ out-neighbors, scored s_i on
-    * rounded cosines, frontier b_i = per-query top-beam. The caller's
-    * `annr` takes top-k of the LAST s_i (top-k of the final frontier
-    * equals top-k of its scored candidate set for k ≤ beam, exactly as
-    * [[graft.operators.Similarity.beamTopK]] does). */
+  /** DuckDB replay of `rounds` beam-search iterations over edge CTE
+    * `e` from a caller-defined per-query ENTRY CTE `bent(qid, cid)`,
+    * for the 50-query harness sample `q2` — the q255 beamOracle
+    * generalized to any (rounds, beam) and any entry strategy (q301's
+    * fixed min-id entry, q302's centroid-seeded entries): candidates
+    * bc_i = frontier ∪ out-neighbors, scored bs_i on rounded cosines,
+    * frontier bf_i = per-query top-beam. The caller's `annr` takes
+    * top-k of the LAST bs_i (top-k of the final frontier equals top-k
+    * of its scored candidate set for k ≤ beam, exactly as
+    * [[graft.operators.Similarity.beamTopKFrom]] does). */
   private def beamRoundsSql(rounds: Int, beam: Int): String =
     (1 to rounds).map { i =>
+      val src = if (i == 1) "bent" else s"bf${i - 1}"
       val cand =
-        if (i == 1)
-          s"""bc1 AS (SELECT DISTINCT qid, cid FROM (
-          SELECT q2.id AS qid, ent.cid FROM q2 CROSS JOIN ent
+        s"""bc$i AS (SELECT DISTINCT qid, cid FROM (
+          SELECT qid, cid FROM $src
           UNION ALL
-          SELECT q2.id AS qid, e.v AS cid FROM q2 CROSS JOIN ent
-            JOIN e ON e.u = ent.cid))"""
-        else
-          s"""bc$i AS (SELECT DISTINCT qid, cid FROM (
-          SELECT qid, cid FROM bf${i - 1}
-          UNION ALL
-          SELECT bf${i - 1}.qid, e.v AS cid FROM bf${i - 1}
-            JOIN e ON e.u = bf${i - 1}.cid))"""
+          SELECT $src.qid, e.v AS cid FROM $src
+            JOIN e ON e.u = $src.cid))"""
       val score =
         s"""bs$i AS (SELECT bc$i.qid, bc$i.cid, ${Round6c.cosSql("x", "y")} AS cos
           FROM bc$i JOIN embeddings x ON bc$i.qid = x.vec_id
@@ -115,6 +111,31 @@ object Round8 {
         else ""
       Seq(cand, score, front).filter(_.nonEmpty).mkString(",\n      ")
     }.mkString(",\n      ")
+
+  /** DuckDB replay of [[graft.operators.Similarity.lshKnnEdgesMultiTable]]:
+    * per-table bucket CTEs (seeds 42..42+nTables-1, the q280 fragment
+    * recipe), per-table per-bucket top-`d` out-edges, and the DISTINCT
+    * union as edge CTE `e`. */
+  private def stitchedEdgesSql(d: Int, nPlanes: Int, nTables: Int): String = {
+    val per = (0 until nTables).map { t =>
+      val bucket = Round6.bucketSql(
+        graft.operators.Similarity.hyperplanes(nPlanes, 64, 42L + t))
+      s"""cb$t AS (SELECT vec_id AS cid, $bucket AS bucket
+        FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+      ep$t AS (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+        FROM cb$t a JOIN cb$t b ON a.bucket = b.bucket AND a.cid <> b.cid
+        JOIN embeddings x ON a.cid = x.vec_id
+        JOIN embeddings y ON b.cid = y.vec_id
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      et$t AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep$t) WHERE rn <= $d)"""
+    }.mkString(",\n      ")
+    val union = (0 until nTables)
+      .map(t => s"SELECT u, v FROM et$t").mkString(" UNION ")
+    s"""$per,
+      e AS ($union)"""
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -714,6 +735,104 @@ object Round8 {
       e AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
           PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep) WHERE rn <= 4),
       ent AS (SELECT MIN(vec_id) AS cid FROM embeddings),
+      bent AS (SELECT q2.id AS qid, ent.cid FROM q2 CROSS JOIN ent),
+      ${beamRoundsSql(rounds = 3, beam = 8)},
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM bs3) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- centroid-seeded beam (the q301 fix: make the walk START near
+    // the query) ---------------------------------------------------------
+    // q301 measured the fixed-entry beam at 0.008/0.016 recall@5 and
+    // diagnosed WHY: a 3-hop degree-4 walk from one arbitrary entry
+    // cannot navigate an isotropic corpus. This row changes ONE
+    // variable — the entry points: each query seeds its beam from its 2
+    // nearest of the 16 IVF centroids (16 extra dots/query, the HNSW
+    // upper-layer idea expressed with the quantizer the engine already
+    // has), with the SAME graph, SAME advised beam/rounds, SAME
+    // harness. The recall delta vs q301 isolates the navigability-of-
+    // entry effect the way q295 isolated pool size; per-query cost
+    // stays corpus-size-independent (+nlist dots). Exactly oracled —
+    // the entry CTE is the q279 quantizer replay, the rounds are the
+    // shared beam chain.
+    "q302_llm_ann_beam_seeded" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val cents = broadcast(corpus.orderBy("cid").limit(16)
+          .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        val entries = Similarity.assignToCentroids(
+            qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
+          .select(col("qid"), col("centroid_id").as("cid"))
+        val edges = Similarity.lshKnnEdgesDeduped(corpus, d = 4,
+          nPlanes = 6, dim = 64).persist()
+        Similarity.beamTopKFrom(qs, corpus, edges, entries, k = 5,
+          beam = 8, rounds = 3)
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      cb AS (SELECT vec_id AS cid, ${Round6.bucketSql(
+          graft.operators.Similarity.hyperplanes(6, 64))} AS bucket
+        FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+      ep AS (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+        FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.cid <> b.cid
+        JOIN embeddings x ON a.cid = x.vec_id
+        JOIN embeddings y ON b.cid = y.vec_id
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      e AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep) WHERE rn <= 4),
+      cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      qa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      bent AS (SELECT id AS qid, centroid_id AS cid FROM (
+          SELECT id, centroid_id,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+          FROM qa0) WHERE r <= 2),
+      ${beamRoundsSql(rounds = 3, beam = 8)},
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM bs3) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- multi-table-stitched graph beam (the CONNECTIVITY fix) --------
+    // q302 fixed the entries and still saturated: sweeping degree 8→32,
+    // beam 16, rounds 4 all measured recall flat at 0.068, which
+    // diagnoses the real defect — a single-table LSH-kNN graph is
+    // DISCONNECTED by construction (an edge never crosses a bucket
+    // boundary: ≤ 2^6 components), so the walk is trapped in its
+    // entries' components no matter how it searches. This row fixes
+    // CONNECTIVITY: edges stitched across 4 independent LSH tables
+    // (lshKnnEdgesMultiTable — the q280 OR-construction applied to the
+    // graph build; degree ≤ 16, per-table build still bucket-bounded),
+    // same centroid-seeded entries, same advised beam/rounds. The
+    // q301→q302→q303 recall ladder isolates one variable per row:
+    // entry placement ×~4, connectivity the rest of the way — the
+    // measured decomposition of WHY HNSW-class graphs work. Exactly
+    // oracled (per-table edge CTEs + the shared beam chain).
+    "q303_llm_ann_beam_stitched" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val cents = broadcast(corpus.orderBy("cid").limit(16)
+          .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        val entries = Similarity.assignToCentroids(
+            qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
+          .select(col("qid"), col("centroid_id").as("cid"))
+        val edges = Similarity.lshKnnEdgesMultiTable(corpus, d = 4,
+          nPlanes = 6, dim = 64, nTables = 4).persist()
+        Similarity.beamTopKFrom(qs, corpus, edges, entries, k = 5,
+          beam = 8, rounds = 3)
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      ${stitchedEdgesSql(d = 4, nPlanes = 6, nTables = 4)},
+      cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      qa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      bent AS (SELECT id AS qid, centroid_id AS cid FROM (
+          SELECT id, centroid_id,
+            row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+          FROM qa0) WHERE r <= 2),
       ${beamRoundsSql(rounds = 3, beam = 8)},
       annr AS (SELECT qid, cid FROM (SELECT qid, cid,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk

@@ -113,9 +113,13 @@ class PlanGuardSpec extends SparkTestBase {
     "q300_llm_ann_ivf_matryoshka", // q279 class on sliced vectors (50-row
                                    // query + 16-row centroid broadcasts);
                                    // rerank is m-bounded hash joins
-    "q301_llm_ann_beam_advised"    // q255 class: 1-row fixed-entry seed +
+    "q301_llm_ann_beam_advised",   // q255 class: 1-row fixed-entry seed +
                                    // bounded beam-candidate broadcasts +
                                    // the harness's 50-row query broadcast
+    "q302_llm_ann_beam_seeded",    // same class; entries from a 16-row
+                                   // centroid broadcast instead of 1-row
+    "q303_llm_ann_beam_stitched"   // same class over the 4-table stitched
+                                   // edge build (bucket equi-joins)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
