@@ -37,6 +37,30 @@ object TuneRecall {
     }
 
     import graft.operators.Similarity._
+
+    // `TuneRecall <dir> graph` sweeps only the graph-ANN family (edge
+    // build × NN-Descent refinement × beam depth) — the q303/q304 dials.
+    if (args.lift(1).contains("graph")) {
+      val cents = broadcast(corpus.orderBy("cid").limit(16)
+        .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+      val entries = assignToCentroids(
+          qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
+        .select(col("qid"), col("centroid_id").as("cid"))
+      val stitched = lshKnnEdgesMultiTable(corpus, d = 4, nPlanes = 6,
+        dim = 64, nTables = 4).persist()
+      stitched.count()
+      for (nd <- Seq(0, 1, 2); dd <- Seq(8, 16); br <- Seq(3, 4, 6)) {
+        if (nd > 0 || dd == 16) {
+          val e =
+            if (nd == 0) stitched
+            else nnDescentEdges(stitched, corpus, d = dd, rounds = nd).persist()
+          recall(s"graph stitched nd=$nd d=$dd beamRounds=$br")(
+            beamTopKFrom(qs, corpus, e, entries, k = 5, beam = 8, rounds = br))
+        }
+      }
+      spark.stop(); return
+    }
+
     recall("ivf nlist=16 nprobe=1")(ivfTopKProbe(qs, corpus, 5, 16, 1))
     recall("ivf nlist=16 nprobe=2")(ivfTopKProbe(qs, corpus, 5, 16, 2))
     recall("ivf nlist=16 nprobe=4")(ivfTopKProbe(qs, corpus, 5, 16, 4))

@@ -510,6 +510,54 @@ object Similarity {
       .select(col("u"), col("v"))
   }
 
+  /** NN-Descent edge refinement (Dong et al., WWW'11): iteratively
+    * improve an approximate kNN graph by exploiting that "a neighbor of
+    * a neighbor is likely a neighbor". Each round treats the current
+    * edges as UNDIRECTED (the paper's reverse-neighbor step: u→v also
+    * makes u a candidate for v), generates neighbor-of-neighbor
+    * candidates through one self-join, scores every candidate pair by
+    * rounded cosine, and keeps the best `d` out-edges per node — so the
+    * edge set monotonically approaches the true kNN graph. This is the
+    * production refinement step the q303 measurement called for: the
+    * LSH-stitched build fixes CONNECTIVITY but its edges are only
+    * bucket-local guesses; refinement replaces them with genuinely
+    * nearest neighbors, which is what a beam walk needs to hill-climb.
+    *
+    * Scale shape: per node the candidate set is ≤ deg + deg² BY
+    * CONSTRUCTION (deg = in+out degree of the input graph, itself
+    * bounded by the build's degree cap) — independent of corpus size.
+    * Each round is two linear hash joins (vector lookup per endpoint)
+    * plus a window whose groups are capped at deg+deg² rows; nothing is
+    * ever all-pairs, and on a replicated corpus the work grows linearly
+    * with members (each copy carries its own bounded candidate set —
+    * no copies² term). Frontier edge sets are persisted: each feeds
+    * two lineage paths (undirected union + NoN self-join).
+    */
+  def nnDescentEdges(edges0: DataFrame /* u, v */ ,
+      corpus: DataFrame /* cid, ce */ , d: Int, rounds: Int = 1): DataFrame = {
+    NativeExpressions.register(corpus.sparkSession)
+    val c = corpus.withColumn("nn", expr("sqrt(vec_dot(ce, ce))"))
+    val cu = c.select(col("cid").as("u"), col("ce").as("ue"), col("nn").as("un"))
+    val cv = c.select(col("cid").as("v"), col("ce").as("ve"), col("nn").as("vn"))
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val und = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+        .distinct().persist()
+      val non = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+      val cands = und.unionByName(non)
+        .filter(col("u") =!= col("v")).distinct()
+      val scored = cands.join(cu, Seq("u")).join(cv, Seq("v"))
+        .select(col("u"), col("v"),
+          round(expr("vec_dot(ue, ve)") / (col("un") * col("vn")), 6).as("cos"))
+      val w = Window.partitionBy("u").orderBy(col("cos").desc, col("v"))
+      edges = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= d).select(col("u"), col("v"))
+    }
+    edges
+  }
+
   /** Greedy beam search over a bounded-degree neighbor graph — the
     * HNSW/DiskANN-family QUERY pattern, completing the ANN set next to
     * [[lshTopK]] (hash), [[ivfTopK]] (coarse quantizer), and PQ (code
