@@ -49,13 +49,35 @@ object TuneRecall {
       val stitched = lshKnnEdgesMultiTable(corpus, d = 4, nPlanes = 6,
         dim = 64, nTables = 4).persist()
       stitched.count()
-      for (nd <- Seq(0, 1, 2); dd <- Seq(8, 16); br <- Seq(3, 4, 6)) {
+      // one edge build per (nd, dd) config, materialized BEFORE the br
+      // sweep so every timed row reads a warm edge set (comparable
+      // times), and unpersisted after its sweep (no cache accumulation)
+      // SPARK_GRAFT_TUNE_ND / _DD narrow the sweep (comma-separated)
+      def dial(env: String, dflt: Seq[Int]): Seq[Int] =
+        sys.env.get(env).map(_.split(',').map(_.trim.toInt).toSeq).getOrElse(dflt)
+      for (nd <- dial("SPARK_GRAFT_TUNE_ND", Seq(0, 1, 2));
+           dd <- dial("SPARK_GRAFT_TUNE_DD", Seq(8, 16))) {
         if (nd > 0 || dd == 16) {
+          // materialize the refined graph to scratch parquet: the edge
+          // set is an ARTIFACT (built once, served many), and reading
+          // it back truncates the multi-round build lineage so each
+          // beam plan is shallow (planning time was dominating the
+          // swept rows' time column otherwise)
           val e =
             if (nd == 0) stitched
-            else nnDescentEdges(stitched, corpus, d = dd, rounds = nd).persist()
-          recall(s"graph stitched nd=$nd d=$dd beamRounds=$br")(
-            beamTopKFrom(qs, corpus, e, entries, k = 5, beam = 8, rounds = br))
+            else {
+              val out = graft.util.Scratch.dir(s"tune_edges_nd${nd}_d$dd")
+              nnDescentEdges(stitched, corpus, d = dd, rounds = nd)
+                .write.mode("overwrite").parquet(out)
+              spark.read.parquet(out)
+            }
+          for (br <- dial("SPARK_GRAFT_TUNE_BR", Seq(3, 4, 6));
+               bw <- dial("SPARK_GRAFT_TUNE_BEAM", Seq(8)))
+            recall(s"graph stitched nd=$nd d=$dd beam=$bw beamRounds=$br")(
+              beamTopKFrom(qs, corpus, e, entries, k = 5, beam = bw, rounds = br))
+          spark.catalog.clearCache()
+          stitched.persist(); stitched.count()
+          exact.persist(); exact.count()
         }
       }
       spark.stop(); return

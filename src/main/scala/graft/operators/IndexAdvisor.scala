@@ -47,6 +47,94 @@ object IndexAdvisor {
       candidatesPerQuery: Long,
       rationale: String)
 
+  /** One measured recall-table row, exactly what the q275–q303 harness
+    * queries emit: which family ran, the operator params it ran with,
+    * and the measured average recall@k. */
+  final case class RecallRow(family: String, params: Map[String, Long],
+      recall: Double)
+
+  /** The fixture's measured recall table (q276/q279/q280/q285 rows) —
+    * the numbers the [[advise]] literals came from, now available as
+    * DATA so [[adviseCalibrated]] can re-derive decisions on a corpus
+    * with different geometry by substituting ITS harness measurements. */
+  val fixtureRecallTable: Seq[RecallRow] = Seq(
+    RecallRow("lsh-multiprobe", Map("nPlanes" -> 6L, "k" -> 5L), 0.26),
+    RecallRow("lsh-multitable", Map("nTables" -> 8L, "nPlanes" -> 4L, "k" -> 5L), 0.73),
+    RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.844),
+    RecallRow("graph-beam", Map("d" -> 16L, "beam" -> 8L, "rounds" -> 3L), 0.296))
+
+  /** [[advise]] with the decision constants LEARNED from a measured
+    * recall table instead of fixture-calibrated literals — the last
+    * step from "advisor encodes this fixture" to "advisor encodes the
+    * measurement procedure". The dedup-first and brute-force rules are
+    * structural (geometry-independent) and stay as in [[advise]]; the
+    * FAMILY choice becomes: re-derive each measured config's per-query
+    * candidate cost for THIS corpus size, keep configs whose measured
+    * recall meets the target and whose cost fits the budget, and pick
+    * the cheapest (ties: higher recall, then family name — fully
+    * deterministic). If nothing meets the target, fall back to the
+    * highest-recall config that fits the budget (the honest "best you
+    * measured" answer); if nothing fits the budget at all, graph-beam
+    * with the measured row's params (its cost is corpus-size-
+    * independent) or [[advise]]'s own fallback when no graph row was
+    * measured. Feeding [[fixtureRecallTable]] reproduces [[advise]]'s
+    * family choice at the fixture's operating points.
+    */
+  def adviseCalibrated(n: Long, dim: Int, dupRate: Double,
+      targetRecall: Double, candidateBudget: Long,
+      measured: Seq[RecallRow]): Advice = {
+    require(measured.nonEmpty, "calibration needs >= 1 measured row")
+    val base = advise(n, dim, dupRate, targetRecall, candidateBudget)
+    if (base.family == "brute") return base
+    val dedup = dupRate >= 0.1
+    val nu = math.max(1L, math.round(n * (1.0 - dupRate)))
+    // re-derive each measured config's cost at THIS corpus size
+    val configs: Seq[(Advice, Double)] = measured.flatMap { r =>
+      def p(k: String, d: Long = 0L) = r.params.getOrElse(k, d)
+      r.family match {
+        case "ivf" if p("nprobe", 1L) > 0 && p("nlist", 1L) > 0 =>
+          val den = math.max(1L, p("nlist", 1L) / p("nprobe", 1L))
+          val nlist = pow2Near(math.sqrt(nu.toDouble))
+          val nprobe = math.max(1L, nlist / den)
+          val cand = nu * nprobe / nlist
+          Some(Advice("ivf", dedup,
+            Map("nlist" -> nlist, "nprobe" -> nprobe, "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k at nprobe=nlist/$den") -> r.recall)
+        case "lsh-multitable" =>
+          val l = math.max(1L, p("nTables", 8L))
+          val pl = math.min(62L, math.max(1L, p("nPlanes", 4L)))
+          val cand = math.min(nu, l * (nu >> pl.toInt))
+          Some(Advice("lsh-multitable", dedup,
+            Map("nTables" -> l, "nPlanes" -> pl, "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k at L=$l, p=$pl") -> r.recall)
+        case "lsh-multiprobe" =>
+          val pl = math.min(62L, math.max(1L, p("nPlanes", 6L)))
+          val cand = math.min(nu, (pl + 1) * (nu >> pl.toInt))
+          Some(Advice("lsh-multiprobe", dedup,
+            Map("nPlanes" -> pl, "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k at p=$pl") -> r.recall)
+        case "graph-beam" =>
+          val cand = p("beam", 8L) * (p("d", 4L) + 1L) * p("rounds", 3L)
+          Some(Advice("graph-beam", dedup,
+            Map("d" -> p("d", 4L), "beam" -> p("beam", 8L),
+              "rounds" -> p("rounds", 3L)), cand,
+            s"calibrated: measured ${r.recall} recall@k, corpus-size-independent cost") -> r.recall)
+        case _ => None
+      }
+    }
+    val inBudget = configs.filter(_._1.candidatesPerQuery <= candidateBudget)
+    val meeting = inBudget.filter(_._2 >= targetRecall)
+    def pick(cs: Seq[(Advice, Double)]): Advice = cs.minBy { case (a, rec) =>
+      (a.candidatesPerQuery, -rec, a.family) }._1
+    if (meeting.nonEmpty) pick(meeting)
+    else if (inBudget.nonEmpty) {
+      val (a, rec) = inBudget.maxBy { case (a, r2) =>
+        (r2, -a.candidatesPerQuery.toDouble) }
+      a.copy(rationale = a.rationale +
+        s" — best measured below target $targetRecall")
+    } else configs.find(_._1.family == "graph-beam").map(_._1).getOrElse(base)
+  }
+
   private def pow2Near(x: Double): Long = {
     val l = math.max(1.0, x)
     val lower = java.lang.Long.highestOneBit(l.toLong)

@@ -540,10 +540,16 @@ object Similarity {
     val cu = c.select(col("cid").as("u"), col("ce").as("ue"), col("nn").as("un"))
     val cv = c.select(col("cid").as("v"), col("ce").as("ve"), col("nn").as("vn"))
     var edges = edges0
+    var prevUnd: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val und = edges
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
         .distinct().persist()
+      // materialize before dropping the previous round's cache — und's
+      // lineage reads the prior edges, which read the prior und
+      und.count()
+      prevUnd.foreach(_.unpersist())
+      prevUnd = Some(und)
       val non = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
       val cands = und.unionByName(non)
@@ -555,6 +561,9 @@ object Similarity {
       edges = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= d).select(col("u"), col("v"))
     }
+    // the LAST round's und stays cached (the returned frame's lineage
+    // reads it); callers that persist+materialize the result may then
+    // clearCache/unpersist — Verify/Bench clear the cache per query
     edges
   }
 

@@ -100,16 +100,14 @@ object EventTime {
             org.apache.spark.sql.types.LongType)
           src.withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
         else src.withColumn("tsx", col("ts"))
-        val qname = "q40_stream_tumbling_sink"
-        withShufflePartitions(s, 8) {
-          val q = withSec
-            .groupBy(window(col("tsx"), "1 hour").as("w"), col("event_type"))
-            .agg(count(lit(1)).as("n"))
-            .writeStream.outputMode("complete").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+        val sink = withShufflePartitions(s, 8) {
+          graft.streaming.EventStreams.runToParquetComplete(
+            withSec
+              .groupBy(window(col("tsx"), "1 hour").as("w"), col("event_type"))
+              .agg(count(lit(1)).as("n")),
+            "q40_stream_tumbling_sink")
         }
-        s.table(qname)
+        sink
           .select(unix_timestamp(col("w.start")).as("win_start"),
             col("event_type"), col("n"))
           .orderBy("win_start", "event_type")

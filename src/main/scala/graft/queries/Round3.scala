@@ -1444,14 +1444,9 @@ object Round3 {
           .select("user_id").distinct()
           .withColumn("cohort",
             concat(lit("c"), pmod(col("user_id"), lit(4L))))
-        val qname = "q148_stream_enrich_sink"
-        val q = graft.streaming.EventStreams
-          .enrichWithStatic(src, dim, "user_id")
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
+        graft.streaming.EventStreams.runToParquet(
+            graft.streaming.EventStreams.enrichWithStatic(src, dim, "user_id"),
+            "q148_stream_enrich_sink")
           .groupBy("cohort").agg(count(lit(1)).as("n"))
           .orderBy("cohort")
       },

@@ -59,14 +59,11 @@ object Round4 {
           .select(col("user_id"), col("tss").as("ts"), col("event_id"))
         val joined = graft.streaming.EventStreams
           .intervalJoin(purchases, clicks, intervalSeconds = 300L)
-        val qname = "q152_stream_interval_join_sink"
-        EventTime.withShufflePartitions(s, 8) {
-          val q = joined
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+        val sink = EventTime.withShufflePartitions(s, 8) {
+          graft.streaming.EventStreams.runToParquet(
+            joined, "q152_stream_interval_join_sink")
         }
-        s.table(qname)
+        sink
           .groupBy(col("l_id").as("event_id"))
           .agg(count(lit(1)).as("n_clicks"),
             min(col("r_id")).as("first_click"),

@@ -778,12 +778,9 @@ object Round4b {
             col("c_ts") >= col("p_ts") &&
             col("c_ts") <= col("p_ts") + expr("INTERVAL 300 SECONDS"),
           "left_outer")
-        val qname = "q181_stream_interval_left_outer_sink"
-        EventTime.withShufflePartitions(s, 8) {
-          val q = joined
-            .writeStream.outputMode("append").format("memory").queryName(qname)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-          q.awaitTermination()
+        val sink = EventTime.withShufflePartitions(s, 8) {
+          graft.streaming.EventStreams.runToParquet(
+            joined, "q181_stream_interval_left_outer_sink")
         }
         // final watermark = min(per-side max event time) - 1 h; score
         // unmatched rows only when their whole match window sits >= 900 s
@@ -792,7 +789,7 @@ object Round4b {
           .filter(col("event_type").isin("purchase", "click"))
           .groupBy("event_type").agg(max("sec").as("m"))
           .agg((min("m") - 3600L).as("wm"))
-        s.table(qname)
+        sink
           .groupBy(col("p_id").as("event_id"))
           .agg(min(unix_timestamp(col("p_ts"))).as("p_sec"),
             count(col("c_id")).as("n_clicks"),

@@ -24,6 +24,11 @@ object Round8 {
   private def t(s: SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** q296 invocation counter — names each invocation's MemCatalog table
+    * and seed view so interleaved calls cannot race on shared DML
+    * state. Declared before `defs` (object-init order, CLAUDE.md). */
+  private val q296Invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** q297's per-batch scorer: dedup-first near-dup scoring of one
     * micro-batch of raw probe DOCUMENTS against a rep-level corpus
     * index. Bit-identical (lang, text) probes are grouped, only the
@@ -88,7 +93,7 @@ object Round8 {
     * top-k of the LAST bs_i (top-k of the final frontier equals top-k
     * of its scored candidate set for k ≤ beam, exactly as
     * [[graft.operators.Similarity.beamTopKFrom]] does). */
-  private def beamRoundsSql(rounds: Int, beam: Int): String =
+  private[queries] def beamRoundsSql(rounds: Int, beam: Int): String =
     (1 to rounds).map { i =>
       val src = if (i == 1) "bent" else s"bf${i - 1}"
       val cand =
@@ -116,7 +121,8 @@ object Round8 {
     * per-table bucket CTEs (seeds 42..42+nTables-1, the q280 fragment
     * recipe), per-table per-bucket top-`d` out-edges, and the DISTINCT
     * union as edge CTE `e`. */
-  private def stitchedEdgesSql(d: Int, nPlanes: Int, nTables: Int): String = {
+  private[queries] def stitchedEdgesSql(d: Int, nPlanes: Int, nTables: Int,
+      out: String = "e"): String = {
     val per = (0 until nTables).map { t =>
       val bucket = Round6.bucketSql(
         graft.operators.Similarity.hyperplanes(nPlanes, 64, 42L + t))
@@ -134,7 +140,7 @@ object Round8 {
     val union = (0 until nTables)
       .map(t => s"SELECT u, v FROM et$t").mkString(" UNION ")
     s"""$per,
-      e AS ($union)"""
+      $out AS ($union)"""
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -348,22 +354,32 @@ object Round8 {
       (s, dir) => {
         val d = t(s, dir, "documents")
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
-        s.sql("DROP TABLE IF EXISTS graftmem.doc_versions")
-        s.sql("""CREATE TABLE graftmem.doc_versions
+        // Side effects are NAMESPACED PER INVOCATION (table + seed view
+        // carry a process-unique suffix): the DML sequence runs eagerly
+        // at call time, so two interleaved invocations sharing one name
+        // would race — each invocation now commits against its own
+        // version history and the returned frame reads only that
+        // history (Q296InterleaveSpec proves two interleaved calls
+        // return identical results).
+        val inv = q296Invocations.incrementAndGet()
+        val tbl = s"graftmem.doc_versions_$inv"
+        val seed = s"q296_seed_$inv"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"""CREATE TABLE $tbl
           (doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT)""")
         d.select(col("doc_id"), col("text"), col("lang"),
             col("n_chars").cast("long").as("n_chars"))
-          .createOrReplaceTempView("q296_seed")
-        s.sql("INSERT INTO graftmem.doc_versions SELECT * FROM q296_seed") // v1
-        s.sql("DELETE FROM graftmem.doc_versions WHERE doc_id % 10 = 3")   // v2
-        s.sql("""UPDATE graftmem.doc_versions SET text = text || 'X'
+          .createOrReplaceTempView(seed)
+        s.sql(s"INSERT INTO $tbl SELECT * FROM $seed")                     // v1
+        s.sql(s"DELETE FROM $tbl WHERE doc_id % 10 = 3")                   // v2
+        s.sql(s"""UPDATE $tbl SET text = text || 'X'
           WHERE doc_id % 10 = 7""")                                        // v3
-        s.sql("""INSERT INTO graftmem.doc_versions
-          SELECT doc_id + 1000000, text, lang, n_chars FROM q296_seed
+        s.sql(s"""INSERT INTO $tbl
+          SELECT doc_id + 1000000, text, lang, n_chars FROM $seed
           WHERE doc_id % 100 = 1""")                                       // v4
         graft.operators.Diff.snapshotDiff(
-            s.sql("SELECT * FROM graftmem.doc_versions VERSION AS OF 1"),
-            s.table("graftmem.doc_versions"),
+            s.sql(s"SELECT * FROM $tbl VERSION AS OF 1"),
+            s.table(tbl),
             keys = Seq("doc_id"), compare = Seq("text", "lang", "n_chars"))
           .orderBy("doc_id")
       },

@@ -274,15 +274,33 @@ object EventStreams {
       stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
     else stream.join(dim, key)
 
-  /** Drain a stream into an in-memory table and return it (test/dev
-    * helper — processes everything currently available, then stops).
+  /** Drain a stream and return its bounded result (test/dev helper —
+    * processes everything currently available, then stops). The sink is
+    * a SCRATCH PARQUET dir via foreachBatch, NOT the memory sink: the
+    * memory sink materializes every output row on the DRIVER heap (the
+    * r7 100× streaming probes needed a 20 GiB driver for the harness
+    * alone), and the sink CLASS is the scale contract even when today's
+    * output is a bounded aggregate. Semantics per output mode match the
+    * memory sink's: complete truncates and rewrites each micro-batch
+    * (last batch wins), append/update accumulate the emitted rows.
     */
   def runToMemory(df: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(Trigger.AvailableNow()).start()
+      mode: String = "complete"): DataFrame =
+    if (mode == "complete") runToParquetComplete(df, name)
+    else runToParquet(df, name, mode)
+
+  /** [[runToParquet]] for COMPLETE-mode aggregates: each micro-batch
+    * carries the full result, so the scratch dir is overwritten per
+    * batch and the final batch is the answer. */
+  def runToParquetComplete(df: DataFrame, name: String): DataFrame = {
+    val out = graft.util.Scratch.dir(name)
+    val q = df.writeStream.outputMode("complete").foreachBatch {
+      (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out)
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    df.sparkSession.read.schema(df.schema).parquet(out)
   }
 
   /** Like [[runToMemory]] for APPEND-mode streams, but the sink is an
@@ -294,9 +312,10 @@ object EventStreams {
     * result with the stream's schema (explicit, so a zero-row stream
     * still reads).
     */
-  def runToParquet(df: DataFrame, name: String): DataFrame = {
+  def runToParquet(df: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
     val out = graft.util.Scratch.dir(name)
-    val q = df.writeStream.foreachBatch {
+    val q = df.writeStream.outputMode(mode).foreachBatch {
       (b: DataFrame, _: Long) =>
         b.write.mode("append").parquet(out)
         ()
@@ -314,11 +333,16 @@ object EventStreams {
     */
   def runToMemoryCheckpointed(df: DataFrame, name: String, ckpt: String,
       mode: String = "complete"): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).option("checkpointLocation", ckpt)
+    val out = graft.util.Scratch.dir(name)
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val q = df.writeStream.outputMode(mode).foreachBatch {
+      (b: DataFrame, _: Long) =>
+        b.write.mode(writeMode).parquet(out)
+        ()
+    }.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    df.sparkSession.read.schema(df.schema).parquet(out)
   }
 
   /** Per-user snapshot from the composite-state processor: running

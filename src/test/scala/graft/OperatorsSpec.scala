@@ -505,6 +505,122 @@ class OperatorsSpec extends SparkTestBase {
     assert(IndexAdvisor.advise(1000000L, 64, 0.2, 0.6, 200000L) == mt)
   }
 
+  test("IndexAdvisor.adviseCalibrated: measured rows re-derive (and can flip) decisions") {
+    import graft.operators.IndexAdvisor
+    import graft.operators.IndexAdvisor.RecallRow
+    // fixture table reproduces advise()'s family at the fixture
+    // operating point: target 0.85, ample budget -> only IVF's measured
+    // 0.844... no — 0.844 < 0.85, so the fallback kicks in; use 0.8
+    val fix = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.05, 0.8,
+      5000000L, IndexAdvisor.fixtureRecallTable)
+    assert(fix.family == "ivf" && fix.params("nprobe") == fix.params("nlist") / 2)
+    // a corpus with DIFFERENT geometry: multi-table LSH measured 0.85
+    // there (vs the fixture's 0.73) — the calibrated advisor flips the
+    // 0.8-target family from IVF to the cheaper multi-table config
+    val easyGeom = Seq(
+      RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.844),
+      RecallRow("lsh-multitable", Map("nTables" -> 4L, "nPlanes" -> 4L, "k" -> 5L), 0.85))
+    val flip = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.0, 0.8,
+      5000000L, easyGeom)
+    assert(flip.family == "lsh-multitable",
+      s"cheaper measured-capable family must win: $flip")
+    assert(flip.candidatesPerQuery < fix.candidatesPerQuery)
+    // a HARD corpus: IVF at 1/2 only measured 0.6 — nothing meets 0.8,
+    // the advisor falls back to the best measured config and says so
+    val hardGeom = Seq(
+      RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.6),
+      RecallRow("lsh-multitable", Map("nTables" -> 8L, "nPlanes" -> 4L, "k" -> 5L), 0.4))
+    val hard = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.0, 0.8,
+      5000000L, hardGeom)
+    assert(hard.family == "ivf" && hard.rationale.contains("below target"))
+    // structural rules unchanged: within-budget corpus stays brute,
+    // heavy duplication still flags dedup-first
+    val b = IndexAdvisor.adviseCalibrated(1000L, 64, 0.0, 0.9, 2000L,
+      IndexAdvisor.fixtureRecallTable)
+    assert(b.family == "brute")
+    val dd = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.3, 0.8,
+      5000000L, IndexAdvisor.fixtureRecallTable)
+    assert(dd.dedupFirst)
+    // determinism
+    assert(IndexAdvisor.adviseCalibrated(10000000L, 64, 0.0, 0.8,
+      5000000L, easyGeom) == flip)
+  }
+
+  test("nnDescentEdges: degree cap, monotone best edge, exact on complete seed") {
+    // deterministic 30-node corpus (fixed LCG, nonzero vectors)
+    var st = 12345L
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(nx())))
+    val corpus = vecs.toDF("cid", "ce")
+    // (c) COMPLETE seed graph -> one round IS brute-force kNN: the
+    // candidate set already contains every pair, so keep-top-d equals
+    // cosineTopK's per-node top-d exactly
+    val complete = (for (u <- 0L until 30L; v <- 0L until 30L if u != v)
+      yield (u, v)).toDF("u", "v")
+    val r1 = Similarity.nnDescentEdges(complete, corpus, d = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(
+        corpus.select(col("cid").as("qid"), col("ce").as("qe")), corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 == exact, "complete-seed round must equal brute-force kNN")
+    // (a) degree cap holds from a sparse LSH seed, rounds = 2
+    val seed = Similarity.lshKnnEdges(corpus, d = 3, nPlanes = 3, dim = 8)
+    val r2 = Similarity.nnDescentEdges(seed, corpus, d = 3, rounds = 2)
+    val deg = r2.groupBy("u").count().agg(max("count")).head().getLong(0)
+    assert(deg <= 3L, s"out-degree must stay <= d, saw $deg")
+    // (b) monotone improvement: per-node best out-edge cosine never
+    // decreases (old edges are a subset of the candidate set)
+    val byId = vecs.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (byId(a), byId(b))
+      val d0 = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val nx0 = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
+      val ny0 = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
+      BigDecimal(d0 / (nx0 * ny0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def bestPerNode(e: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(p => cos(u, p._2)).max }
+    val before = bestPerNode(seed)
+    val after = bestPerNode(r2)
+    before.foreach { case (u, b) =>
+      assert(after.getOrElse(u, -2.0) >= b - 1e-9,
+        s"node $u best edge degraded: $b -> ${after.get(u)}") }
+  }
+
+  test("nnDescent-refined beam recall >= stitched beam recall (fixture)") {
+    // the q303 -> q304 ladder claim on a small slice of the fixture:
+    // same entries, same beam dials, refined edges only
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = Similarity.cosineTopK(qs, corpus, k = 5)
+      .select("qid", "cid").persist()
+    val cents = broadcast(corpus.orderBy("cid").limit(16)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val entries = Similarity.assignToCentroids(
+        qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
+      .select(col("qid"), col("centroid_id").as("cid"))
+    val stitched = Similarity.lshKnnEdgesMultiTable(corpus, d = 4,
+      nPlanes = 6, dim = 64, nTables = 4).persist()
+    stitched.count()
+    val refined = Similarity.nnDescentEdges(stitched, corpus, d = 16, rounds = 2)
+      .persist()
+    refined.count()
+    def hits(e: org.apache.spark.sql.DataFrame): Long =
+      exact.join(Similarity.beamTopKFrom(qs, corpus, e, entries,
+        k = 5, beam = 8, rounds = 3).select("qid", "cid"),
+        Seq("qid", "cid")).count()
+    val hs = hits(stitched)
+    val hr = hits(refined)
+    assert(hr >= hs, s"refined beam recall must not regress: $hs -> $hr")
+    assert(hr > 0, "refined beam must find something")
+    spark.catalog.clearCache()
+  }
+
   test("Hierarchy.depths: clean chains resolve; dangling and cyclic get sentinel") {
     // 1 -> 0 (root, d=1); 2 -> 1 (d=2); 3 -> 9 (dangling: 9 not an id);
     // 4 -> 5, 5 -> 4 (cycle, never finishes); 6 -> NULL (null parent);
