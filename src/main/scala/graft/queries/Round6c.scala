@@ -68,17 +68,17 @@ object Round6c {
   /** Oracle prefix shared by the recall queries: the 50-query sample
     * (`qs`), brute-force pairs (`ex0`), and exact top-5 (`exr`). */
   private[queries] val exactRecallCte: String =
-    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    s"""WITH qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe FROM embeddings
         WHERE vec_id < 50),
-      ex0 AS (SELECT qs.qid, e.vec_id AS cid, ${cosSql("qs2", "e")} AS cos
+      ex0 AS MATERIALIZED (SELECT qs.qid, e.vec_id AS cid, ${cosSql("qs2", "e")} AS cos
         FROM qs, embeddings e, embeddings qs2,
           (SELECT unnest(range(1, 65)) AS i) i
         WHERE e.vec_id <> qs.qid AND qs2.vec_id = qs.qid GROUP BY 1, 2),
-      exr AS (SELECT qid, cid FROM (SELECT qid, cid,
+      exr AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
         FROM ex0) WHERE rnk <= 5),
-      q2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
-      c2 AS (SELECT vec_id AS id, embedding AS e FROM embeddings)"""
+      q2 AS MATERIALIZED (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id < 50),
+      c2 AS MATERIALIZED (SELECT vec_id AS id, embedding AS e FROM embeddings)"""
 
   /** Oracle tail shared by the recall queries: expects a CTE `annr`
     * with the index's (qid, cid) top-5. */

@@ -97,20 +97,20 @@ object Round8 {
     (1 to rounds).map { i =>
       val src = if (i == 1) "bent" else s"bf${i - 1}"
       val cand =
-        s"""bc$i AS (SELECT DISTINCT qid, cid FROM (
+        s"""bc$i AS MATERIALIZED (SELECT DISTINCT qid, cid FROM (
           SELECT qid, cid FROM $src
           UNION ALL
           SELECT $src.qid, e.v AS cid FROM $src
             JOIN e ON e.u = $src.cid))"""
       val score =
-        s"""bs$i AS (SELECT bc$i.qid, bc$i.cid, ${Round6c.cosSql("x", "y")} AS cos
+        s"""bs$i AS MATERIALIZED (SELECT bc$i.qid, bc$i.cid, ${Round6c.cosSql("x", "y")} AS cos
           FROM bc$i JOIN embeddings x ON bc$i.qid = x.vec_id
           JOIN embeddings y ON bc$i.cid = y.vec_id
           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
           WHERE bc$i.cid <> bc$i.qid GROUP BY 1, 2)"""
       val front =
         if (i < rounds)
-          s"""bf$i AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+          s"""bf$i AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
             PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM bs$i)
             WHERE rn <= $beam)"""
         else ""
@@ -126,21 +126,21 @@ object Round8 {
     val per = (0 until nTables).map { t =>
       val bucket = Round6.bucketSql(
         graft.operators.Similarity.hyperplanes(nPlanes, 64, 42L + t))
-      s"""cb$t AS (SELECT vec_id AS cid, $bucket AS bucket
+      s"""cb$t AS MATERIALIZED (SELECT vec_id AS cid, $bucket AS bucket
         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
-      ep$t AS (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+      ep$t AS MATERIALIZED (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
         FROM cb$t a JOIN cb$t b ON a.bucket = b.bucket AND a.cid <> b.cid
         JOIN embeddings x ON a.cid = x.vec_id
         JOIN embeddings y ON b.cid = y.vec_id
         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY 1, 2),
-      et$t AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+      et$t AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
           PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep$t) WHERE rn <= $d)"""
     }.mkString(",\n      ")
     val union = (0 until nTables)
       .map(t => s"SELECT u, v FROM et$t").mkString(" UNION ")
     s"""$per,
-      $out AS ($union)"""
+      $out AS MATERIALIZED ($union)"""
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -739,16 +739,16 @@ object Round8 {
           rounds = adv.params("rounds").toInt)
       }),
       Some(s"""${Round6c.exactRecallCte},
-      cb AS (SELECT vec_id AS cid, ${Round6.bucketSql(
+      cb AS MATERIALIZED (SELECT vec_id AS cid, ${Round6.bucketSql(
           graft.operators.Similarity.hyperplanes(6, 64))} AS bucket
         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
-      ep AS (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+      ep AS MATERIALIZED (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
         FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.cid <> b.cid
         JOIN embeddings x ON a.cid = x.vec_id
         JOIN embeddings y ON b.cid = y.vec_id
         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY 1, 2),
-      e AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+      e AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
           PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep) WHERE rn <= 4),
       ent AS (SELECT MIN(vec_id) AS cid FROM embeddings),
       bent AS (SELECT q2.id AS qid, ent.cid FROM q2 CROSS JOIN ent),
@@ -785,16 +785,16 @@ object Round8 {
           beam = 8, rounds = 3)
       }),
       Some(s"""${Round6c.exactRecallCte},
-      cb AS (SELECT vec_id AS cid, ${Round6.bucketSql(
+      cb AS MATERIALIZED (SELECT vec_id AS cid, ${Round6.bucketSql(
           graft.operators.Similarity.hyperplanes(6, 64))} AS bucket
         FROM (SELECT vec_id, embedding AS e FROM embeddings)),
-      ep AS (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+      ep AS MATERIALIZED (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
         FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.cid <> b.cid
         JOIN embeddings x ON a.cid = x.vec_id
         JOIN embeddings y ON b.cid = y.vec_id
         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY 1, 2),
-      e AS (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+      e AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
           PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep) WHERE rn <= 4),
       cent AS (SELECT vec_id AS centroid_id, embedding AS centroid
         FROM embeddings WHERE vec_id < 16),
