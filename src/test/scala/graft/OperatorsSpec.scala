@@ -445,6 +445,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.nonEmpty && got == direct)
   }
 
+  test("q305 advised ingest index: advised scorer == direct scoring on replicated corpus") {
+    // the q298 equivalence, re-proven with the ADVISED centroid set on
+    // a 3x-replicated corpus: nu (hence the advised nlist and the
+    // centroid set) is replication-invariant, dupRate 2/3 trips the
+    // advisor's dedup-first flag — which is exactly the structure the
+    // scorer implements — and rep scoring + expansion must equal the
+    // direct all-copies scorer with the same advised cells
+    graft.plans.NativeExpressions.register(spark)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val all = (0 to 2).map(i => emb.select(
+        (col("vec_id") + lit(10000000L * i)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+    val corpusAll = all.filter(slot =!= 0)
+      .select(col("vec_id").as("db"), col("embedding").as("eb"))
+    val st = corpusAll.agg(count(lit(1)).as("n"),
+      countDistinct(col("eb")).as("nu")).head()
+    val (n, nu) = (st.getLong(0), st.getLong(1))
+    val dupRate = 1.0 - nu.toDouble / n
+    val adv = IndexAdvisor.advise(n, 64, dupRate, 0.8,
+      candidateBudget = math.max(1L, (nu + 1L) / 2L))
+    assert(adv.family == "ivf" && adv.dedupFirst,
+      s"replicated corpus must advise dedup-first ivf: $adv")
+    val nlist = adv.params("nlist").toInt
+    // nu is replication-invariant, so nlist matches the base corpus's
+    val baseNu = emb.filter(slot =!= 0)
+      .select(countDistinct(col("embedding"))).head().getLong(0)
+    assert(IndexAdvisor.advise(baseNu, 64, 0.0, 0.8,
+      math.max(1L, (baseNu + 1L) / 2L)).params("nlist") == nlist.toLong)
+    val cents = broadcast(emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+    val probes = all.filter(slot === 0)
+      .select(col("vec_id").as("da"), col("embedding").as("ea"))
+    def assign(df: org.apache.spark.sql.DataFrame, id: String, vec: String) =
+      Similarity.assignToCentroids(df, id, vec, cents)
+    val direct = assign(probes, "da", "ea")
+      .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+      .join(assign(corpusAll, "db", "eb")
+        .withColumn("nb", expr("sqrt(vec_dot(eb, eb))")), Seq("centroid_id"))
+      .select(col("da"), col("db"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .collect().map(_.toString).toSet
+    val cgrp = corpusAll.groupBy("eb")
+      .agg(min("db").as("rep"), collect_list("db").as("ids")).persist()
+    val repsAssigned = assign(cgrp.select(col("rep").as("pb"), col("eb")),
+        "pb", "eb")
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    val cmem = cgrp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+    val got = queries.Round8.scoreSemDedupBatchDeduped(
+        probes, cents, repsAssigned, cmem)
+      .collect().map(_.toString).toSet
+    cgrp.unpersist()
+    assert(got.nonEmpty && got == direct)
+  }
+
   test("q299 advisor-driven curation is duplication-robust (dedup-first branch == original)") {
     // 3x-replicated docs+embeddings (ids shifted, payloads verbatim):
     // dupRate 0.667 trips the advisor's dedup-first branch, every copy

@@ -118,8 +118,13 @@ class PlanGuardSpec extends SparkTestBase {
                                    // the harness's 50-row query broadcast
     "q302_llm_ann_beam_seeded",    // same class; entries from a 16-row
                                    // centroid broadcast instead of 1-row
-    "q303_llm_ann_beam_stitched"   // same class over the 4-table stitched
+    "q303_llm_ann_beam_stitched",  // same class over the 4-table stitched
                                    // edge build (bucket equi-joins)
+    "q304_llm_ann_beam_nndescent"  // q303 class: the harness's 50-row query
+                                   // broadcast + bounded beam-candidate
+                                   // broadcasts; NN-Descent rounds are hash
+                                   // equi-joins on u/v, the refined edge set
+                                   // is read back from a parquet scan
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
