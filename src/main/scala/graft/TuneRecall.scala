@@ -58,19 +58,13 @@ object TuneRecall {
       for (nd <- dial("SPARK_GRAFT_TUNE_ND", Seq(0, 1, 2));
            dd <- dial("SPARK_GRAFT_TUNE_DD", Seq(8, 16))) {
         if (nd > 0 || dd == 16) {
-          // materialize the refined graph to scratch parquet: the edge
-          // set is an ARTIFACT (built once, served many), and reading
-          // it back truncates the multi-round build lineage so each
-          // beam plan is shallow (planning time was dominating the
-          // swept rows' time column otherwise)
+          // nnDescentEdges materializes every round boundary to scratch
+          // parquet internally, so the returned frame is already a flat
+          // scan — each beam plan below is shallow and every timed row
+          // reads a warm edge set (comparable times across the sweep)
           val e =
             if (nd == 0) stitched
-            else {
-              val out = graft.util.Scratch.dir(s"tune_edges_nd${nd}_d$dd")
-              nnDescentEdges(stitched, corpus, d = dd, rounds = nd)
-                .write.mode("overwrite").parquet(out)
-              spark.read.parquet(out)
-            }
+            else nnDescentEdges(stitched, corpus, d = dd, rounds = nd)
           for (br <- dial("SPARK_GRAFT_TUNE_BR", Seq(3, 4, 6));
                bw <- dial("SPARK_GRAFT_TUNE_BEAM", Seq(8)))
             recall(s"graph stitched nd=$nd d=$dd beam=$bw beamRounds=$br")(
