@@ -33,7 +33,7 @@ object Round7 {
   /** DuckDB hyperplane-bucket fragment for a list column aliased `e`,
     * parameterized by table seed / plane count (the Round6c.lshBucketSql
     * shape generalized to the multi-table construction). */
-  private def lshBucketSqlSeed(nPlanes: Int, seed: Long): String = {
+  private[queries] def lshBucketSqlSeed(nPlanes: Int, seed: Long): String = {
     val planes = graft.operators.Similarity.hyperplanes(nPlanes, 64, seed)
     planes.zipWithIndex.map { case (p, i) =>
       val lst = p.map(_.toString).mkString("[", ", ", "]")
