@@ -120,11 +120,17 @@ class PlanGuardSpec extends SparkTestBase {
                                    // centroid broadcast instead of 1-row
     "q303_llm_ann_beam_stitched",  // same class over the 4-table stitched
                                    // edge build (bucket equi-joins)
-    "q304_llm_ann_beam_nndescent"  // q303 class: the harness's 50-row query
+    "q304_llm_ann_beam_nndescent", // q303 class: the harness's 50-row query
                                    // broadcast + bounded beam-candidate
                                    // broadcasts; NN-Descent rounds are hash
                                    // equi-joins on u/v, the refined edge set
                                    // is read back from a parquet scan
+    "q306_llm_ann_calibrated"      // q279/q280 class: the harness's 50-row
+                                   // query broadcast (exact side + both
+                                   // measurement passes) + 16/32-row centroid
+                                   // broadcasts; candidate joins are hash
+                                   // equi-joins; decision inputs are 1-row
+                                   // stats + recall scalars (q294 class)
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
