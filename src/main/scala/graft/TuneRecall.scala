@@ -77,6 +77,39 @@ object TuneRecall {
       spark.stop(); return
     }
 
+    // `TuneRecall <dir> ivfpq` sweeps the IVFADC composition
+    // (cells probed × subspace count × rerank pool) — the q309 dials.
+    if (args.lift(1).contains("ivfpq")) {
+      def dial(env: String, dflt: Seq[Int]): Seq[Int] =
+        sys.env.get(env).map(_.split(',').map(_.trim.toInt).toSeq).getOrElse(dflt)
+      for (np <- dial("SPARK_GRAFT_TUNE_NPROBE", Seq(4, 8));
+           ns <- dial("SPARK_GRAFT_TUNE_NSUB", Seq(8, 16));
+           rr <- dial("SPARK_GRAFT_TUNE_RERANK", Seq(50, 100, 200, 300))) {
+        recall(s"ivfpq nlist=16 nprobe=$np nSub=$ns nCodes=16 rerank=$rr")(
+          ivfPqTopK(qs, corpus, 5, nlist = 16, nprobe = np, nSub = ns,
+            nCodes = 16, dim = 64, rerank = rr))
+        spark.catalog.clearCache()
+        exact.persist(); exact.count()
+      }
+      spark.stop(); return
+    }
+
+    // `TuneRecall <dir> pq` sweeps the product-quantization family
+    // (codebook size × subspace count × rerank pool) — the q307/q308 dials.
+    if (args.lift(1).contains("pq")) {
+      def dial(env: String, dflt: Seq[Int]): Seq[Int] =
+        sys.env.get(env).map(_.split(',').map(_.trim.toInt).toSeq).getOrElse(dflt)
+      for (ns <- dial("SPARK_GRAFT_TUNE_NSUB", Seq(8, 16));
+           nc <- dial("SPARK_GRAFT_TUNE_NCODES", Seq(16, 32));
+           rr <- dial("SPARK_GRAFT_TUNE_RERANK", Seq(0, 50, 100, 200))) {
+        recall(s"pq nSub=$ns nCodes=$nc rerank=$rr")(
+          pqTopK(qs, corpus, 5, nSub = ns, nCodes = nc, dim = 64, rerank = rr))
+        spark.catalog.clearCache()
+        exact.persist(); exact.count()
+      }
+      spark.stop(); return
+    }
+
     recall("ivf nlist=16 nprobe=1")(ivfTopKProbe(qs, corpus, 5, 16, 1))
     recall("ivf nlist=16 nprobe=2")(ivfTopKProbe(qs, corpus, 5, 16, 2))
     recall("ivf nlist=16 nprobe=4")(ivfTopKProbe(qs, corpus, 5, 16, 4))

@@ -135,6 +135,47 @@ object IndexAdvisor {
     } else configs.find(_._1.family == "graph-beam").map(_._1).getOrElse(base)
   }
 
+  /** [[advise]] extended with a serving-MEMORY budget — the compression
+    * axis (q222/q307/q308/q309) as a decision variable. The candidate
+    * budget says how many scorings a query may pay; the memory budget
+    * says how many bytes the RESIDENT index may occupy. Full-precision
+    * families (brute/IVF/LSH/graph) serve from the raw vectors:
+    * nu·dim·4 bytes. When that exceeds `memoryBudgetBytes`, the advice
+    * switches to IVFPQ (q309): resident bytes = nu·(4 cell + nSub·4
+    * bits + 4 norm) — at dim=64/nSub=16 a 16× shrink — candidates
+    * still prune to nprobe/nlist, and the exact re-rank touches full
+    * vectors only through the m-bounded pool join (cold storage, not
+    * resident — the standard IVFADC serving argument). nprobe is
+    * widened to ceil(5·nlist/8) (the q309-swept dial: stacked pruning
+    * losses bind on CELL recall, measured 0.820/0.816 at 10/16); the
+    * rerank pool is min(candidateBudget, max(100, 3nu/20)) (the
+    * SQL-mirrored q308/q309 dial). All arithmetic in exact Long — the
+    * oracle replays it in BIGINT.
+    */
+  def adviseServing(n: Long, dim: Int, dupRate: Double,
+      targetRecall: Double, candidateBudget: Long,
+      memoryBudgetBytes: Long): Advice = {
+    require(memoryBudgetBytes > 0)
+    val dedup = dupRate >= 0.1
+    val nu = math.max(1L, math.round(n * (1.0 - dupRate)))
+    val bytesFull = nu * dim * 4L
+    if (bytesFull <= memoryBudgetBytes)
+      advise(n, dim, dupRate, targetRecall, candidateBudget)
+    else {
+      val nSub = 16L
+      val bytesPq = nu * (4L + nSub * 4L / 8L + 4L)
+      val nlist = pow2Near(math.sqrt(nu.toDouble))
+      val nprobe = math.max(1L, (5L * nlist + 7L) / 8L)
+      val rerank = math.min(candidateBudget, math.max(100L, 3L * nu / 20L))
+      Advice("ivfpq", dedup,
+        Map("nlist" -> nlist, "nprobe" -> nprobe, "nSub" -> nSub,
+          "nCodes" -> 16L, "rerank" -> rerank, "k" -> 5L),
+        nu * nprobe / nlist,
+        s"full-precision index $bytesFull B > memory budget $memoryBudgetBytes B — " +
+          s"IVFPQ codes fit at $bytesPq B (q309: 0.820/0.816 recall@5 at nprobe=5·nlist/8)")
+    }
+  }
+
   private def pow2Near(x: Double): Long = {
     val l = math.max(1.0, x)
     val lower = java.lang.Long.highestOneBit(l.toLong)

@@ -523,14 +523,21 @@ object Similarity {
     * bucket-local guesses; refinement replaces them with genuinely
     * nearest neighbors, which is what a beam walk needs to hill-climb.
     *
-    * Scale shape: per node the candidate set is ≤ deg + deg² BY
-    * CONSTRUCTION (deg = in+out degree of the input graph, itself
-    * bounded by the build's degree cap) — independent of corpus size.
-    * Each round is two linear hash joins (vector lookup per endpoint)
-    * plus a window whose groups are capped at deg+deg² rows; nothing is
-    * ever all-pairs, and on a replicated corpus the work grows linearly
-    * with members (each copy carries its own bounded candidate set —
-    * no copies² term).
+    * Scale shape: the symmetrize step takes each node's out-edges plus
+    * at most `d` REVERSE neighbors (row_number by partner id — the
+    * deterministic form of the paper's ρ·K reverse-neighbor sampling),
+    * so und-degree ≤ 2d BY CONSTRUCTION and the per-node candidate set
+    * is ≤ 2d + 4d² — independent of corpus size AND of the input
+    * graph's in-degree distribution. The cap is not optional at scale:
+    * the build caps OUT-degree only, and on the duplication-heavy 100×
+    * fixture the per-member top-d reconstruction points every copy of
+    * a group at the same few lowest-id members of the neighbor group —
+    * in-degree hubs of ~100+, whose uncapped deg² term measured 361 s
+    * (4.9×/decade) at 100× vs 59 s (2.0×/decade) capped, identical
+    * recall at the swept dials. Each round is two linear hash joins
+    * (vector lookup per endpoint) plus a window whose groups are
+    * bounded; nothing is ever all-pairs, and on a replicated corpus
+    * the work grows linearly with members (no copies² term).
     *
     * Every round boundary — including the INPUT edge set — is
     * materialized to scratch parquet, not persist(): each round's edge
@@ -560,9 +567,11 @@ object Similarity {
     }
     var edges = cut(edges0.select(col("u"), col("v")), "e0")
     for (r <- 1 to rounds) {
-      val und = edges
-        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
+      val wr = Window.partitionBy("u").orderBy("v")
+      val rev = edges.select(col("v").as("u"), col("u").as("v"))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") <= d)
+        .select(col("u"), col("v"))
+      val und = edges.unionByName(rev).distinct()
       val non = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
         .select(col("a.u").as("u"), col("b.v").as("v"))
       val cands = und.unionByName(non)
@@ -575,6 +584,213 @@ object Similarity {
         .filter(col("rn") <= d).select(col("u"), col("v")), s"e$r")
     }
     edges
+  }
+
+  /** Product-quantization top-k (Jégou et al., PAMI'11): split the
+    * `dim`-dim space into `nSub` subspaces of dim/nSub dims, build a
+    * per-subspace codebook from the sub-slices of the first `nCodes`
+    * corpus vectors (the family's deterministic seeding convention),
+    * encode every corpus vector as its per-subspace nearest code
+    * (exact int64 quantized L2 — the q225 floor(x·1e6) kernel, bit-
+    * portable cross-engine; ties on code id), and serve queries by
+    * asymmetric distance computation (ADC): the query precomputes one
+    * nq×nSub×nCodes partial-dot table (exact int64), and each
+    * candidate's approximate dot is nSub table lookups summed —
+    * ranked as an approximate cosine against the TRUE stored norms
+    * (the standard norm-augmented code, 4 extra bytes/vector).
+    *
+    * This is the COMPRESSION axis of the ANN family, orthogonal to
+    * pruning (IVF/LSH/graph) and prefix truncation (Matryoshka): the
+    * corpus representation shrinks from dim·4 bytes to
+    * nSub·log2(nCodes) bits + 1 norm (64-dim float → 8×4 bits + 4 B =
+    * 32×), which at 100 TB is the difference between an index that
+    * fits executor memory and one that doesn't. ADC still SCANS all
+    * candidates (cost nSub lookups vs dim multiplies per candidate ≈
+    * dim/nSub× cheaper); `rerank > 0` adds the standard second stage —
+    * exact cosine over the per-query top-`rerank` ADC pool only — so
+    * recall is bounded by pool containment (the q295 Matryoshka
+    * lesson: the pool size is the dial, rerank recall == pool
+    * containment).
+    *
+    * Scale shape: encoding is rep-level (one row per DISTINCT vector —
+    * pure function of the vector, so replication-invariant by
+    * construction) against a broadcast nCodes·dim codebook; the ADC
+    * scan is one broadcast of the bounded query table hash-joined to
+    * the n·nSub code rows with map-side partial aggregation; the
+    * rerank join is pool-bounded. The grouped-by-vector frame is
+    * persisted (two lineage paths: encode + member expansion) and
+    * released by the harness-level clearCache between queries.
+    */
+  def pqTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      rerank: Int = 0): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val dsub = dim / nSub
+    require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
+    def quant(df: DataFrame, id: String, vec: String): DataFrame = df
+      .select(col(id), posexplode(col(vec)))
+      .select(col(id), (col("pos") + 1).as("i"),
+        floor(col("col").cast("double") * lit(1000000L)).as("x"))
+    val seeds = corpus.orderBy("cid").limit(nCodes)
+    val cb = broadcast(quant(seeds, "cid", "ce")
+      .select(col("i"), col("cid").as("code"), col("x").as("cx")))
+    val grp = corpus.groupBy("ce")
+      .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encDist = quant(grp.select("rep", "ce"), "rep", "ce")
+      .join(cb, Seq("i"))
+      .groupBy(col("rep"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+    val enc = encDist.withColumn("rn", row_number().over(
+        Window.partitionBy("rep", "s").orderBy(col("dist"), col("code"))))
+      .filter(col("rn") === 1).select("rep", "s", "code")
+    val codes = grp.select(col("rep"), explode(col("ids")).as("cid"))
+      .join(enc, "rep").select("cid", "s", "code")
+    val qtab = broadcast(quant(queries, "qid", "qe").join(cb, Seq("i"))
+      .groupBy(col("qid"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
+      .agg(sum(col("x") * col("cx")).as("pdot")))
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val adc = codes.join(qtab, Seq("s", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid").agg(sum("pdot").as("adc"))
+    val approx = adc
+      .join(broadcast(q.select(col("qid"), col("qn"))), "qid")
+      .join(c.select(col("cid"), col("cn")), "cid")
+      .select(col("qid"), col("cid"),
+        round(col("adc").cast("double") /
+          (lit(1.0e12) * col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    if (rerank <= 0) {
+      approx.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+    } else {
+      val pool = approx.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= rerank).select("qid", "cid")
+      pool.join(broadcast(q), "qid").join(c, "cid")
+        .select(col("qid"), col("cid"),
+          round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+    }
+  }
+
+  /** IVF×PQ — the IVFADC composition (Jégou et al., PAMI'11 §IV; the
+    * FAISS production default): the coarse quantizer prunes CANDIDATES
+    * to the query's `nprobe` nearest of `nlist` cells, and within the
+    * visited cells every candidate is scored from its `nSub`-byte PQ
+    * code over RESIDUALS (vector − assigned centroid) — the residual
+    * trick is what makes a small shared codebook accurate: residuals
+    * of a decent coarse quantizer concentrate near 0, so the same
+    * nCodes codewords cover them far more densely than they cover raw
+    * vectors. The query builds one per-visited-cell lookup table
+    * (nq·nprobe·nSub·nCodes exact-int64 partial squared distances);
+    * each candidate's approximate distance is nSub lookups summed;
+    * the per-query top-`rerank` pool is re-ranked at full precision
+    * (exact rounded cosine — the harness's metric and tie-break).
+    *
+    * Determinism: residuals are computed in the QUANTIZED int64 domain
+    * (floor(x·1e6) − floor(c·1e6)) — integer subtraction, so encode,
+    * LUT, and ADC sums are bit-portable cross-engine with no float
+    * folds anywhere before the terminal rounded cosine. Codebook seeds
+    * = residuals of the first `nCodes` corpus vectors AFTER the nlist
+    * centroid seeds (a centroid's own residual is 0 — see the inline
+    * note); ADC ranks (dist ASC, cid).
+    *
+    * Scale shape: assignment and encoding are rep-level (one row per
+    * DISTINCT vector — both are pure functions of the vector, so
+    * replication-invariant) against broadcast nlist·dim centroids and
+    * a broadcast nCodes·dim codebook; the LUT is a broadcast bounded
+    * by the query set; candidate work is ~nprobe/nlist of the corpus
+    * per query, each candidate costing nSub integer lookups instead of
+    * dim multiplies; full-precision vectors are touched only by the
+    * m-bounded rerank join. At rest the corpus index is 1 cell id +
+    * nSub codes + 1 norm per vector (~12 B at 16×16 vs 256 B floats).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      rerank: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val dsub = dim / nSub
+    require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
+    require(rerank > 0, "ivfPqTopK serves two-stage; rerank must be > 0")
+    def quant(df: DataFrame, id: String, vec: String): DataFrame = df
+      .select(col(id), posexplode(col(vec)))
+      .select(col(id), (col("pos") + 1).as("i"),
+        floor(col("col").cast("double") * lit(1000000L)).as("x"))
+    val cents = broadcast(corpus.orderBy("cid").limit(nlist)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val centq = broadcast(
+      quant(cents.select(col("centroid_id").as("cl"), col("centroid")),
+        "cl", "centroid")
+      .select(col("cl"), col("i"), col("x").as("cx")))
+    // rep-level: one assignment + one code per DISTINCT vector
+    val grp = corpus.groupBy("ce")
+      .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ra = assignToCentroids(grp.select("rep", "ce"), "rep", "ce",
+      cents, nKeep = 1).select(col("rep"), col("centroid_id").as("cl"))
+    // corpus residuals in the int64 domain
+    val rres = quant(grp.select("rep", "ce"), "rep", "ce")
+      .join(ra, "rep").join(centq, Seq("cl", "i"))
+      .select(col("rep"), col("i"), (col("x") - col("cx")).as("rx"))
+    // codebook seeds = the first nCodes vectors AFTER the centroid
+    // seeds — the centroids' own residuals are the ZERO vector (each is
+    // its own nearest centroid), so seeding from them collapses the
+    // codebook to nCodes copies of 0 and ADC distance goes constant
+    // (caught by the DuckDB dial sweep: recall was identical across
+    // every dial until the seed range moved past nlist)
+    val seedReps = corpus.orderBy("cid").offset(nlist).limit(nCodes)
+      .select("cid")
+      .join(grp.select(col("rep"), explode(col("ids")).as("cid")), "cid")
+      .select(col("cid").as("code"), col("rep"))
+    val pqc = broadcast(rres.join(broadcast(seedReps), "rep")
+      .select(col("i"), col("code"), col("rx").as("px")))
+    val enc = rres.join(pqc, Seq("i"))
+      .groupBy(col("rep"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
+      .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rep", "s").orderBy(col("dist"), col("code"))))
+      .filter(col("rn") === 1).select("rep", "s", "code")
+    // query side: nprobe visited cells, residual LUT per (query, cell)
+    val qa = assignToCentroids(queries, "qid", "qe", cents, nKeep = nprobe)
+      .select(col("qid"), col("centroid_id").as("cl"))
+    val lut = broadcast(quant(queries, "qid", "qe")
+      .join(qa, "qid").join(centq, Seq("cl", "i"))
+      .select(col("qid"), col("cl"), col("i"), (col("x") - col("cx")).as("rx"))
+      .join(pqc, Seq("i"))
+      .groupBy(col("qid"), col("cl"), expr(s"(i - 1) div $dsub").as("s"),
+        col("code"))
+      .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("d")))
+    // ADC over the visited cells' members only, expanded to copies
+    val adc = enc.join(ra, "rep")
+      .join(lut, Seq("cl", "s", "code"))
+      .groupBy("qid", "rep").agg(sum("d").as("dist"))
+      .join(grp.select(col("rep"), explode(col("ids")).as("cid")), "rep")
+      .filter(col("qid") =!= col("cid"))
+    val wd = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    val pool = adc.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= rerank).select("qid", "cid")
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    pool.join(broadcast(q), "qid").join(c, "cid")
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Greedy beam search over a bounded-degree neighbor graph — the

@@ -22,7 +22,10 @@ object Round9 {
 
   /** DuckDB replay of `rounds` [[Similarity.nnDescentEdges]] iterations
     * over edge CTE `src`, emitting the refined edges as CTE `out`: per
-    * round, symmetrize (nu_i), candidates = edges ∪ neighbors-of-
+    * round, cap reverse neighbors at d by partner id (nr_i — the
+    * paper's ρ·K reverse sampling made deterministic; the und-degree
+    * bound that keeps the NoN join corpus-size-independent),
+    * symmetrize (nu_i), candidates = edges ∪ neighbors-of-
     * neighbors (nc_i), score every candidate pair by rounded cosine
     * (ns_i), keep the top-`d` out-edges per node on (cos DESC, v). The
     * chain is exact — same distinct/union/self-join algebra, same
@@ -35,9 +38,13 @@ object Round9 {
       out: String): String =
     (1 to rounds).map { i =>
       val in = if (i == 1) src else s"ne${i - 1}"
+      val rev =
+        s"""nr$i AS MATERIALIZED (SELECT u, v FROM (
+          SELECT r.u, r.v, row_number() OVER (PARTITION BY r.u ORDER BY r.v) AS rn
+          FROM (SELECT v AS u, u AS v FROM $in) r) WHERE rn <= $d)"""
       val und =
         s"""nu$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
-          SELECT u, v FROM $in UNION ALL SELECT v AS u, u AS v FROM $in))"""
+          SELECT u, v FROM $in UNION ALL SELECT u, v FROM nr$i))"""
       val cand =
         s"""nc$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
           SELECT u, v FROM nu$i
@@ -54,7 +61,7 @@ object Round9 {
         s"""$name AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
           PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ns$i)
         WHERE rn <= $d)"""
-      Seq(und, cand, score, keep).mkString(",\n      ")
+      Seq(rev, und, cand, score, keep).mkString(",\n      ")
     }.mkString(",\n      ")
 
   /** q304's dials, picked by the measured sf0.1 sweep (TuneRecall
@@ -81,6 +88,110 @@ object Round9 {
     * below the two live branches are unreachable by construction. */
   private[queries] val CalTarget = 0.5
   private[queries] def calBudget(nu: Long): Long = (nu * 11L + 19L) / 20L
+
+  /** DuckDB replay of [[Similarity.pqTopK]]'s encode + ADC stages up to
+    * the approximate-cosine CTE `psc`: per-subspace codebooks from the
+    * first `nCodes` corpus vectors (q225 floor(x·1e6) int64 kernel),
+    * per-(vector, subspace) nearest code on exact int64 L2 (dist ASC,
+    * code ASC), the nq×nSub×nCodes exact-int64 partial-dot table, the
+    * nSub-lookup ADC sum, and ONE terminal double division against the
+    * true stored norms, rounded 6dp. All CTEs MATERIALIZED (the
+    * round-9 chained-CTE gotcha). */
+  private def pqAdcSql(nSub: Int, nCodes: Int): String = {
+    val dsub = 64 / nSub
+    s"""pqc AS MATERIALIZED (SELECT i.i AS i, e.vec_id AS code,
+        CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS cx
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+      WHERE e.vec_id < $nCodes),
+      cqx AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
+        CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),
+      enc0 AS MATERIALIZED (SELECT cqx.cid, (cqx.i - 1) // $dsub AS s, pqc.code,
+        SUM((cqx.x - pqc.cx) * (cqx.x - pqc.cx)) AS dist
+      FROM cqx JOIN pqc ON cqx.i = pqc.i GROUP BY 1, 2, 3),
+      enc AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
+        row_number() OVER (PARTITION BY cid, s ORDER BY dist, code) AS rn
+      FROM enc0) WHERE rn = 1),
+      qtab AS MATERIALIZED (SELECT cqx.cid AS qid, (cqx.i - 1) // $dsub AS s,
+        pqc.code, SUM(cqx.x * pqc.cx) AS pdot
+      FROM cqx JOIN pqc ON cqx.i = pqc.i WHERE cqx.cid < 50 GROUP BY 1, 2, 3),
+      nrm AS MATERIALIZED (SELECT e.vec_id AS vid,
+        sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nn
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1),
+      adc AS MATERIALIZED (SELECT qtab.qid, enc.cid, SUM(qtab.pdot) AS adc
+      FROM enc JOIN qtab ON enc.s = qtab.s AND enc.code = qtab.code
+      WHERE enc.cid <> qtab.qid GROUP BY 1, 2),
+      psc AS MATERIALIZED (SELECT adc.qid, adc.cid,
+        round(CAST(adc.adc AS DOUBLE) / (1000000000000.0 * qn.nn * cn.nn), 6) AS cos
+      FROM adc JOIN nrm qn ON adc.qid = qn.vid JOIN nrm cn ON adc.cid = cn.vid)"""
+  }
+
+  /** DuckDB replay of [[Similarity.ivfPqTopK]] — the IVFADC chain up to
+    * the exact-rerank CTE `rsc`: coarse assignment (the assignToCentroids
+    * rounded-dot rank replay, q279 recipe), residuals in the QUANTIZED
+    * int64 domain (integer subtraction of q225-kernel coords — no float
+    * folds), codebook from the first `nCodes` vectors AFTER the nlist
+    * centroid seeds (a centroid's own residual is 0), per-(vector,
+    * subspace) nearest code on exact int64 L2, the per-(query, visited
+    * cell) LUT, the nSub-lookup ADC sum ranked (dist ASC, cid), and the
+    * m-bounded exact-cosine rerank. All CTEs MATERIALIZED. */
+  private def ivfPqSql(nlist: Int, nprobe: Int, nSub: Int,
+      nCodes: Int): String =
+    ivfPqSqlE(nlist.toString, nprobe.toString,
+      s"GREATEST(100, (SELECT COUNT(*) FROM embeddings) * 3 // 20)",
+      nSub, nCodes)
+
+  /** [[ivfPqSql]] with the nlist / nprobe / rerank dials as SQL
+    * EXPRESSIONS (scalar subqueries allowed) — q310 gates the chain on
+    * its SQL-replayed advised dials; q309 passes literals. */
+  private def ivfPqSqlE(nlistE: String, nprobeE: String, rerankE: String,
+      nSub: Int, nCodes: Int): String = {
+    val dsub = 64 / nSub
+    s"""cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < ($nlistE)),
+      ia0 AS MATERIALIZED (SELECT e.vec_id AS cid, c.centroid_id,
+          round(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      ica AS MATERIALIZED (SELECT cid, centroid_id FROM (SELECT cid, centroid_id,
+          row_number() OVER (PARTITION BY cid ORDER BY d DESC, centroid_id) AS r
+        FROM ia0) WHERE r = 1),
+      iqa AS MATERIALIZED (SELECT cid AS qid, centroid_id FROM (SELECT cid, centroid_id,
+          row_number() OVER (PARTITION BY cid ORDER BY d DESC, centroid_id) AS r
+        FROM ia0 WHERE cid < 50) WHERE r <= ($nprobeE)),
+      cqx AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
+          CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),
+      rres AS MATERIALIZED (SELECT cqx.cid, cqx.i, cqx.x - ct.x AS rx
+        FROM cqx JOIN ica ON cqx.cid = ica.cid
+        JOIN cqx ct ON ct.cid = ica.centroid_id AND ct.i = cqx.i),
+      pqc AS MATERIALIZED (SELECT i, cid AS code, rx AS px FROM rres
+        WHERE cid >= ($nlistE) AND cid < ($nlistE) + $nCodes),
+      enc0 AS MATERIALIZED (SELECT r.cid, (r.i - 1) // $dsub AS s, p.code,
+          SUM((r.rx - p.px) * (r.rx - p.px)) AS dist
+        FROM rres r JOIN pqc p ON r.i = p.i GROUP BY 1, 2, 3),
+      enc AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
+          row_number() OVER (PARTITION BY cid, s ORDER BY dist, code) AS rn
+        FROM enc0) WHERE rn = 1),
+      qres AS MATERIALIZED (SELECT cqx.cid AS qid, iqa.centroid_id AS cl, cqx.i,
+          cqx.x - ct.x AS rx
+        FROM cqx JOIN iqa ON cqx.cid = iqa.qid
+        JOIN cqx ct ON ct.cid = iqa.centroid_id AND ct.i = cqx.i),
+      lut AS MATERIALIZED (SELECT q.qid, q.cl, (q.i - 1) // $dsub AS s, p.code,
+          SUM((q.rx - p.px) * (q.rx - p.px)) AS d
+        FROM qres q JOIN pqc p ON q.i = p.i GROUP BY 1, 2, 3, 4),
+      adc AS MATERIALIZED (SELECT lut.qid, enc.cid, SUM(lut.d) AS dist
+        FROM enc JOIN ica ON enc.cid = ica.cid
+        JOIN lut ON lut.cl = ica.centroid_id AND lut.s = enc.s AND lut.code = enc.code
+        WHERE enc.cid <> lut.qid GROUP BY 1, 2),
+      pool AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM adc)
+        WHERE rn <= ($rerankE)),
+      rsc AS MATERIALIZED (SELECT pool.qid, pool.cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM pool JOIN embeddings q ON pool.qid = q.vec_id
+        JOIN embeddings c ON pool.cid = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2)"""
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -436,6 +547,182 @@ object Round9 {
         SELECT qid, cid FROM mlannr
           WHERE (SELECT fam FROM chosen) = 'lsh-multitable'),
       ${Round6c.recallTailSql}"""
-      }))
+      })),
+
+    // ---- product quantization: the COMPRESSION axis, raw ADC -----------
+    // The family so far prunes CANDIDATES (IVF cells, LSH buckets,
+    // graph beams) or truncates DIMENSIONS (Matryoshka prefixes); PQ
+    // compresses the REPRESENTATION: 8 subspaces × 16 codes = 4-bit
+    // codes, 64-dim float (256 B) → 4 B + one stored norm — the 64×
+    // shrink that decides whether a 100 TB corpus's index fits executor
+    // memory at all. This row is the honest raw-ADC measurement at the
+    // classic dials: recall@5 0.236 (sf0.01) / 0.132 (sf0.1) — 16
+    // seeded codes per 8-dim subspace on an isotropic corpus quantize
+    // coarsely, and the q293/q301 lesson repeats a third time: a
+    // lossy-serving shortcut must be MEASURED before it is served, and
+    // production PQ is always two-stage (q308). Encoding is rep-level
+    // (pure function of the vector — replication-invariant on the
+    // dup-heavy probe fixtures) against a broadcast 16×64 codebook;
+    // the ADC scan is one broadcast qtab hash-join with map-side
+    // partial sums — same shape as the exact side's scan, dim/nSub=8×
+    // cheaper per candidate.
+    "q307_llm_ann_pq_adc" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) =>
+        Similarity.pqTopK(qs, corpus, k = 5, nSub = 8, nCodes = 16,
+          dim = 64)),
+      Some(s"""${Round6c.exactRecallCte},
+      ${pqAdcSql(nSub = 8, nCodes = 16)},
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM psc) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- PQ + exact re-rank: the production two-stage serve ------------
+    // The q295 Matryoshka recipe applied to the compression axis: ADC
+    // (16 subspaces × 4-bit codes — 8 B/vector, 32× compression) ranks
+    // the whole corpus cheaply, the per-query top-m pool (m = GREATEST
+    // (100, n*3//20) — 15% of the corpus, SQL-mirrored so the dial
+    // scales with n per the round-8 recall-dial rule; the DuckDB sweep
+    // at sf0.1 measured pool 100→0.876, 200→0.964, 300→0.988) is
+    // re-ranked at full precision. recall@5 0.940 (sf0.01) / 0.988
+    // (sf0.1) —
+    // rerank recall equals pool containment, so the finer 16-subspace
+    // quantizer is what buys the small pool (the 8-subspace codes of
+    // q307 need 3× the pool for the same recall, swept). Cost: the
+    // full-precision corpus is touched only for the m-bounded rerank
+    // join; the scan runs entirely on 8-byte codes.
+    "q308_llm_ann_pq_rerank" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val n = corpus.count() // plan-choice scalar (q295 class)
+        Similarity.pqTopK(qs, corpus, k = 5, nSub = 16, nCodes = 16,
+          dim = 64, rerank = math.max(100L, n * 3L / 20L).toInt)
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      ${pqAdcSql(nSub = 16, nCodes = 16)},
+      pool AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+        FROM psc) WHERE rn <= GREATEST(100, (SELECT COUNT(*) FROM embeddings) * 3 // 20)),
+      rsc AS MATERIALIZED (SELECT pool.qid, pool.cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM pool JOIN embeddings q ON pool.qid = q.vec_id
+        JOIN embeddings c ON pool.cid = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM rsc) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- IVF × PQ: the IVFADC production composition -------------------
+    // Pruning and compression stacked (Jégou et al. §IV — the FAISS
+    // default): the coarse quantizer prunes candidates to nprobe/nlist
+    // of the corpus, PQ codes over RESIDUALS (int64-domain subtraction,
+    // bit-portable) score the survivors at nSub lookups each, and the
+    // top-m pool is re-ranked exactly. Measured recall@5 0.820 (sf0.01)
+    // / 0.816 (sf0.1) at nprobe=10 — the q300 lesson repeats on this
+    // axis pair: STACKED pruning losses need a widened coarse dial
+    // (nprobe 8 → 10, same widening IVF×Matryoshka needed), because
+    // pool containment is bounded by cell recall before ADC quality
+    // even matters (swept: nSub=16 beats 8 by +0.15 at fixed pool, and
+    // the DuckDB dial sweep caught a collapsed-codebook bug — seeding
+    // codewords from the CENTROIDS gives all-zero residuals and a
+    // constant ADC distance). At rest the index is 1 cell id + 16
+    // 4-bit codes + 1 norm per vector (~13 B vs 256 B floats) — the
+    // only family member whose index is BOTH pruned and compressed.
+    "q309_llm_ann_ivfpq" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val n = corpus.count() // plan-choice scalar (q295 class)
+        Similarity.ivfPqTopK(qs, corpus, k = 5, nlist = 16, nprobe = 10,
+          nSub = 16, nCodes = 16, dim = 64,
+          rerank = math.max(100L, n * 3L / 20L).toInt)
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      ${ivfPqSql(nlist = 16, nprobe = 10, nSub = 16, nCodes = 16)},
+      annr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM rsc) WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- serving-MEMORY budget: the advisor decides COMPRESSION --------
+    // IndexAdvisor.adviseServing adds the third budget axis: candidate
+    // budget (how many scorings a query pays) × recall target × now
+    // RESIDENT-INDEX BYTES. Full-precision families serve from raw
+    // vectors (nu·dim·4 B); when that exceeds the memory budget the
+    // advice switches family to IVFPQ — codes resident, full vectors
+    // touched only by the m-bounded rerank join (cold storage). The
+    // 200 kB budget genuinely FLIPS the decision across SFs: nu=500
+    // (128 kB) fits → advised IVF nlist=16/nprobe=8 (served 0.816,
+    // q294's point recovered); nu=2000 (512 kB) does not → IVFPQ at
+    // the ADVISED dials nlist=pow2(√nu)=32, nprobe=⌈5·nlist/8⌉=20 —
+    // served recall@5 **0.920**, beating q309's fixed nlist=16 row
+    // (0.816): the q294 grows-with-the-corpus lesson repeats on the
+    // compression branch. Oracle replays the byte arithmetic in exact
+    // BIGINT, the power-of-two nlist (q294's integer power table), and
+    // BOTH serving branches gated by the SQL-computed family (q306
+    // recipe). On the replicated probe fixtures dupRate 0.9/0.99 trips
+    // dedup-first and nu stays 2000 — family stays ivfpq and the rep-
+    // level operator does the dedup-first work by construction.
+    "q310_llm_ann_ivfpq_advised" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct("ce").as("nu")).head() // 1-row stats (q294 class)
+        val n = st.getLong(0); val nu = st.getLong(1)
+        val adv = IndexAdvisor.adviseServing(n, dim = 64,
+          dupRate = 1.0 - nu.toDouble / n, targetRecall = 0.8,
+          candidateBudget = 300L, memoryBudgetBytes = 200000L)
+        if (adv.family == "ivfpq")
+          Similarity.ivfPqTopK(qs, corpus, k = 5,
+            nlist = adv.params("nlist").toInt,
+            nprobe = adv.params("nprobe").toInt,
+            nSub = adv.params("nSub").toInt,
+            nCodes = adv.params("nCodes").toInt,
+            dim = 64, rerank = adv.params("rerank").toInt)
+        else {
+          // the fits-in-memory branch: advise() delegation; on a
+          // dup-heavy corpus that ALSO fits, dedup-first IVF serving
+          // is q294's scored path — not duplicated here
+          require(adv.family == "ivf" && !adv.dedupFirst,
+            s"unexpected advice ${adv.family}/dedup=${adv.dedupFirst} — " +
+              "dedup-first IVF serving is scored by q294")
+          Similarity.ivfTopKProbe(qs, corpus, k = 5,
+            adv.params("nlist").toInt, adv.params("nprobe").toInt)
+        }
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM embeddings),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      adv AS (SELECT nl.nlist,
+          GREATEST(1, nl.nlist // 2) AS nprobe,
+          (5 * nl.nlist + 7) // 8 AS pqprobe,
+          LEAST(300, GREATEST(100, 3 * st.nu // 20)) AS rerank,
+          CASE WHEN st.nu * 64 * 4 <= 200000 THEN 'ivf' ELSE 'ivfpq' END AS fam
+        FROM nl, st),
+      ${ivfPqSqlE("(SELECT nlist FROM adv)", "(SELECT pqprobe FROM adv)",
+        "(SELECT rerank FROM adv)", nSub = 16, nCodes = 16)},
+      vqa AS MATERIALIZED (SELECT cid AS qid, centroid_id FROM (
+          SELECT cid, centroid_id,
+            row_number() OVER (PARTITION BY cid ORDER BY d DESC, centroid_id) AS r
+          FROM ia0 WHERE cid < 50) WHERE r <= (SELECT nprobe FROM adv)),
+      vsc AS MATERIALIZED (SELECT vqa.qid, ica.cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM vqa JOIN ica ON vqa.centroid_id = ica.centroid_id AND vqa.qid <> ica.cid
+        JOIN embeddings q ON vqa.qid = q.vec_id
+        JOIN embeddings c ON ica.cid = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr AS (
+        SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM vsc) WHERE rnk <= 5 AND (SELECT fam FROM adv) = 'ivf'
+        UNION ALL
+        SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM rsc) WHERE rnk <= 5 AND (SELECT fam FROM adv) = 'ivfpq'),
+      ${Round6c.recallTailSql}"""))
   )
 }

@@ -602,6 +602,26 @@ class OperatorsSpec extends SparkTestBase {
       5000000L, easyGeom) == flip)
   }
 
+  test("adviseServing: the memory budget flips family to ivfpq") {
+    // fits in memory -> plain advise() delegation (the q294 geometry)
+    val fits = IndexAdvisor.adviseServing(500L, 64, 0.0, 0.8, 300L, 200000L)
+    assert(fits.family == "ivf" && fits.params("nlist") == 16L &&
+      fits.params("nprobe") == 8L)
+    // same budgets, 4x the vectors -> full-precision index doesn't fit
+    val tight = IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 200000L)
+    assert(tight.family == "ivfpq" && tight.params("nlist") == 32L &&
+      tight.params("nprobe") == 20L && tight.params("rerank") == 300L)
+    // loosening ONLY the memory budget restores the advise() decision
+    val loose = IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 1000000L)
+    assert(loose == IndexAdvisor.advise(2000L, 64, 0.0, 0.8, 300L))
+    // replication-invariance: bytes are nu-based, dedup-first flagged
+    val dup = IndexAdvisor.adviseServing(200000L, 64, 0.99, 0.8, 300L, 200000L)
+    assert(dup.family == "ivfpq" && dup.dedupFirst &&
+      dup.params("nlist") == 32L)
+    // determinism
+    assert(IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 200000L) == tight)
+  }
+
   test("nnDescentEdges: degree cap, monotone best edge, exact on complete seed") {
     // deterministic 30-node corpus (fixed LCG, nonzero vectors)
     var st = 12345L
@@ -674,6 +694,57 @@ class OperatorsSpec extends SparkTestBase {
     val hr = hits(refined)
     assert(hr >= hs, s"refined beam recall must not regress: $hs -> $hr")
     assert(hr > 0, "refined beam must find something")
+    spark.catalog.clearCache()
+  }
+
+  test("pqTopK: full-pool rerank equals brute-force; ADC output shape") {
+    // deterministic 30-node corpus (same LCG as the nnDescent test)
+    var st = 98765L
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(nx())))
+    val corpus = vecs.toDF("cid", "ce")
+    val qs = vecs.take(5).map { case (i, v) => (i, v) }.toDF("qid", "qe")
+    // (a) rerank >= corpus size -> the ADC pool contains every non-self
+    // candidate (qtab holds every (s, code) pair per query, codes is an
+    // inner join on it), so the exact second stage must reproduce
+    // brute-force cosineTopK bit-for-bit (same rounding, same tie-break)
+    val full = Similarity.pqTopK(qs, corpus, k = 3, nSub = 4, nCodes = 4,
+      dim = 8, rerank = 30).orderBy("qid", "rnk").collect().toSeq
+    val exact = Similarity.cosineTopK(qs, corpus, k = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(full == exact, "full-pool PQ rerank must equal brute-force")
+    // (b) raw ADC: k rows per query, no self-pairs, rnk is 1..k
+    val adc = Similarity.pqTopK(qs, corpus, k = 3, nSub = 4, nCodes = 4,
+      dim = 8).collect()
+    assert(adc.forall(r => r.getLong(0) != r.getLong(1)), "no self-pairs")
+    val perQ = adc.groupBy(_.getLong(0)).map(_._2.map(_.getLong(3)).sorted.toSeq)
+    assert(perQ.forall(_ == Seq(1L, 2L, 3L)), "rnk must be exactly 1..k per query")
+    spark.catalog.clearCache()
+  }
+
+  test("ivfPqTopK: all-cells full-pool equals brute-force; pruned output shape") {
+    var st = 24680L
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(nx())))
+    val corpus = vecs.toDF("cid", "ce")
+    val qs = vecs.take(5).toDF("qid", "qe")
+    // (a) nprobe = nlist visits every cell and a corpus-sized pool keeps
+    // every candidate -> the exact rerank must reproduce brute-force
+    // cosineTopK bit-for-bit (same rounding, same tie-break)
+    val full = Similarity.ivfPqTopK(qs, corpus, k = 3, nlist = 4,
+        nprobe = 4, nSub = 4, nCodes = 8, dim = 8, rerank = 40)
+      .orderBy("qid", "rnk").collect().toSeq
+    val exact = Similarity.cosineTopK(qs, corpus, k = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(full == exact, "all-cells full-pool IVFPQ must equal brute-force")
+    // (b) pruned serve: k rows per query, no self-pairs, rnk 1..k
+    val pruned = Similarity.ivfPqTopK(qs, corpus, k = 3, nlist = 4,
+      nprobe = 2, nSub = 4, nCodes = 8, dim = 8, rerank = 10).collect()
+    assert(pruned.forall(r => r.getLong(0) != r.getLong(1)), "no self-pairs")
+    val perQ = pruned.groupBy(_.getLong(0)).map(_._2.map(_.getLong(3)).sorted.toSeq)
+    assert(perQ.forall(_ == Seq(1L, 2L, 3L)), "rnk must be exactly 1..k per query")
     spark.catalog.clearCache()
   }
 

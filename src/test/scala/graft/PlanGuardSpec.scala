@@ -125,6 +125,25 @@ class PlanGuardSpec extends SparkTestBase {
                                    // broadcasts; NN-Descent rounds are hash
                                    // equi-joins on u/v, the refined edge set
                                    // is read back from a parquet scan
+    "q307_llm_ann_pq_adc",         // q222 class: the harness's 50-row query
+                                   // broadcast (exact side) + nCodes-row
+                                   // codebook broadcast (limit-bounded) +
+                                   // the broadcast qtab (50·nSub·nCodes
+                                   // rows, aggregate-bounded); the ADC scan
+                                   // itself is a hash equi-join on (s, code)
+    "q308_llm_ann_pq_rerank",      // same class; rerank is m-bounded hash
+                                   // joins (the q295 shape)
+    "q309_llm_ann_ivfpq",          // q279+q222 class: the harness's 50-row
+                                   // query broadcast (exact side) + the
+                                   // 16-row centroid / codebook broadcasts
+                                   // (assignToCentroids crossJoins vs the
+                                   // limit-bounded cents) + the broadcast
+                                   // LUT (50·nprobe·nSub·nCodes aggregate
+                                   // rows); candidate scoring is hash
+                                   // equi-joins, rerank is m-bounded
+    "q310_llm_ann_ivfpq_advised",  // q309 class + the 1-row corpus-stats
+                                   // scalar feeding adviseServing (q294
+                                   // class)
     "q306_llm_ann_calibrated"      // q279/q280 class: the harness's 50-row
                                    // query broadcast (exact side + both
                                    // measurement passes) + 16/32-row centroid
