@@ -533,8 +533,9 @@ object Similarity {
     * fixture the per-member top-d reconstruction points every copy of
     * a group at the same few lowest-id members of the neighbor group —
     * in-degree hubs of ~100+, whose uncapped deg² term measured 361 s
-    * (4.9×/decade) at 100× vs 59 s (2.0×/decade) capped, identical
-    * recall at the swept dials. Each round is two linear hash joins
+    * (4.85×/decade) at 100× vs 148 s (2.42×/decade) capped on the same
+    * local[4] probe (PROBES_r9.json), identical recall at the swept
+    * dials. Each round is two linear hash joins
     * (vector lookup per endpoint) plus a window whose groups are
     * bounded; nothing is ever all-pairs, and on a replicated corpus
     * the work grows linearly with members (no copies² term).
