@@ -713,46 +713,59 @@ object Similarity {
     * m-bounded rerank join. At rest the corpus index is 1 cell id +
     * nSub codes + 1 norm per vector (~12 B at 16×16 vs 256 B floats).
     */
-  def ivfPqTopK(
-      queries: DataFrame, // qid, qe
-      corpus: DataFrame, // cid, ce
-      k: Int,
-      nlist: Int,
-      nprobe: Int,
+  /** The IVFADC index AT REST — what a serving node would hold
+    * resident: centroids (+ their quantized coords), the shared
+    * residual codebook, and per-DISTINCT-vector cell assignment and
+    * PQ codes (~13 B/vector at 16×16 vs 256 B floats). `grp` is the
+    * rep→members map (persisted; caller/harness releases it). */
+  final case class IvfPqIndex(
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      centq: DataFrame, // cl, i, cx — quantized centroid coords (broadcast)
+      pqc: DataFrame, // i, code, px — residual codebook (broadcast)
+      ra: DataFrame, // rep, cl — rep-level cell assignment
+      enc: DataFrame, // rep, s, code — rep-level PQ codes
+      grp: DataFrame, // ce, rep, ids (persisted)
       nSub: Int,
-      nCodes: Int,
-      dim: Int,
-      rerank: Int): DataFrame = {
-    NativeExpressions.register(queries.sparkSession)
+      dim: Int)
+
+  private[operators] def quantCoords(df: DataFrame, id: String,
+      vec: String): DataFrame = df
+    .select(col(id), posexplode(col(vec)))
+    .select(col(id), (col("pos") + 1).as("i"),
+      floor(col("col").cast("double") * lit(1000000L)).as("x"))
+
+  /** Build the IVFADC index over `corpus` (cid, ce) — shared by the
+    * batch serve ([[ivfPqTopK]]) and the streaming standing index
+    * (q311): rank-1 cell assignment and residual encoding at REP level
+    * (one row per distinct vector — pure functions of the vector, so
+    * replication-invariant), codebook seeded from the first `nCodes`
+    * vectors AFTER the `nlist` centroid seeds — the centroids' own
+    * residuals are the ZERO vector (each is its own nearest centroid),
+    * so seeding from them collapses the codebook to nCodes copies of 0
+    * and ADC distance goes constant (caught by the DuckDB dial sweep:
+    * recall was identical across every dial until the seed range moved
+    * past nlist). All residual arithmetic in the quantized int64
+    * domain (bit-portable cross-engine).
+    */
+  def ivfPqIndex(corpus: DataFrame, nlist: Int, nSub: Int, nCodes: Int,
+      dim: Int): IvfPqIndex = {
+    NativeExpressions.register(corpus.sparkSession)
     val dsub = dim / nSub
     require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
-    require(rerank > 0, "ivfPqTopK serves two-stage; rerank must be > 0")
-    def quant(df: DataFrame, id: String, vec: String): DataFrame = df
-      .select(col(id), posexplode(col(vec)))
-      .select(col(id), (col("pos") + 1).as("i"),
-        floor(col("col").cast("double") * lit(1000000L)).as("x"))
     val cents = broadcast(corpus.orderBy("cid").limit(nlist)
       .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
     val centq = broadcast(
-      quant(cents.select(col("centroid_id").as("cl"), col("centroid")),
+      quantCoords(cents.select(col("centroid_id").as("cl"), col("centroid")),
         "cl", "centroid")
       .select(col("cl"), col("i"), col("x").as("cx")))
-    // rep-level: one assignment + one code per DISTINCT vector
     val grp = corpus.groupBy("ce")
       .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ra = assignToCentroids(grp.select("rep", "ce"), "rep", "ce",
       cents, nKeep = 1).select(col("rep"), col("centroid_id").as("cl"))
-    // corpus residuals in the int64 domain
-    val rres = quant(grp.select("rep", "ce"), "rep", "ce")
+    val rres = quantCoords(grp.select("rep", "ce"), "rep", "ce")
       .join(ra, "rep").join(centq, Seq("cl", "i"))
       .select(col("rep"), col("i"), (col("x") - col("cx")).as("rx"))
-    // codebook seeds = the first nCodes vectors AFTER the centroid
-    // seeds — the centroids' own residuals are the ZERO vector (each is
-    // its own nearest centroid), so seeding from them collapses the
-    // codebook to nCodes copies of 0 and ADC distance goes constant
-    // (caught by the DuckDB dial sweep: recall was identical across
-    // every dial until the seed range moved past nlist)
     val seedReps = corpus.orderBy("cid").offset(nlist).limit(nCodes)
       .select("cid")
       .join(grp.select(col("rep"), explode(col("ids")).as("cid")), "cid")
@@ -765,21 +778,38 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("rep", "s").orderBy(col("dist"), col("code"))))
       .filter(col("rn") === 1).select("rep", "s", "code")
+    IvfPqIndex(cents, centq, pqc, ra, enc, grp, nSub, dim)
+  }
+
+  def ivfPqTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      rerank: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val dsub = dim / nSub
+    require(rerank > 0, "ivfPqTopK serves two-stage; rerank must be > 0")
+    val idx = ivfPqIndex(corpus, nlist, nSub, nCodes, dim)
     // query side: nprobe visited cells, residual LUT per (query, cell)
-    val qa = assignToCentroids(queries, "qid", "qe", cents, nKeep = nprobe)
+    val qa = assignToCentroids(queries, "qid", "qe", idx.cents, nKeep = nprobe)
       .select(col("qid"), col("centroid_id").as("cl"))
-    val lut = broadcast(quant(queries, "qid", "qe")
-      .join(qa, "qid").join(centq, Seq("cl", "i"))
+    val lut = broadcast(quantCoords(queries, "qid", "qe")
+      .join(qa, "qid").join(idx.centq, Seq("cl", "i"))
       .select(col("qid"), col("cl"), col("i"), (col("x") - col("cx")).as("rx"))
-      .join(pqc, Seq("i"))
+      .join(idx.pqc, Seq("i"))
       .groupBy(col("qid"), col("cl"), expr(s"(i - 1) div $dsub").as("s"),
         col("code"))
       .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("d")))
     // ADC over the visited cells' members only, expanded to copies
-    val adc = enc.join(ra, "rep")
+    val adc = idx.enc.join(idx.ra, "rep")
       .join(lut, Seq("cl", "s", "code"))
       .groupBy("qid", "rep").agg(sum("d").as("dist"))
-      .join(grp.select(col("rep"), explode(col("ids")).as("cid")), "rep")
+      .join(idx.grp.select(col("rep"), explode(col("ids")).as("cid")), "rep")
       .filter(col("qid") =!= col("cid"))
     val wd = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
     val pool = adc.withColumn("rn", row_number().over(wd))
@@ -792,6 +822,66 @@ object Similarity {
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Per-micro-batch semantic-dedup scoring against a PQ-compressed
+    * STANDING index ([[IvfPqIndex]]) — the memory-bounded ingest shape
+    * (q311): the resident corpus index is cell ids + PQ codes + the
+    * rep→member map, NOT full vectors. Each batch groups identical
+    * payload vectors (rep level), assigns each rep to its ONE nearest
+    * cell (the q298/q305 ingest convention), builds the per-rep
+    * residual LUT against the frozen codebook (incremental encoding —
+    * codebooks are trained once, new data encodes cheaply), ADC-ranks
+    * the cell's standing codes, keeps the per-probe top-`m` pool
+    * (dist ASC, rep id), re-ranks the pool at full precision (the
+    * "cold storage fetch" — full vectors touched only for pool
+    * members), emits pairs with exact rounded cosine >= `threshold`,
+    * and expands through BOTH group maps. When a cell has <= m reps
+    * the pool covers it and the alerts are bit-identical to the
+    * exact same-cell scan (spec-tested against
+    * scoreSemDedupBatchDeduped); past m the alert set is pool-bounded
+    * — the honest memory/recall trade the q311 row measures.
+    */
+  def pqSemDedupBatch(
+      batch: DataFrame, // da, ea
+      idx: IvfPqIndex,
+      m: Int,
+      threshold: Double): DataFrame = {
+    NativeExpressions.register(batch.sparkSession)
+    val dsub = idx.dim / idx.nSub
+    val g = batch.groupBy("ea")
+      .agg(min("da").as("rep"), collect_list("da").as("ids"))
+    val reps = g.select(col("rep").as("pa"), col("ea"))
+    val assigned = assignToCentroids(reps, "pa", "ea", idx.cents)
+      .withColumn("na", expr("sqrt(vec_dot(ea, ea))"))
+      .select(col("pa"), col("ea"), col("na"), col("centroid_id").as("cl"))
+    val lut = broadcast(quantCoords(reps, "pa", "ea")
+      .join(assigned.select("pa", "cl"), "pa")
+      .join(idx.centq, Seq("cl", "i"))
+      .select(col("pa"), col("i"), (col("x") - col("cx")).as("rx"))
+      .join(idx.pqc, Seq("i"))
+      .groupBy(col("pa"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
+      .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("d")))
+    val cand = assigned.select(col("pa"), col("cl"))
+      .join(idx.ra.select(col("rep").as("pb"), col("cl")), "cl")
+    val adc = cand
+      .join(idx.enc.select(col("rep").as("pb"), col("s"), col("code")), "pb")
+      .join(lut, Seq("pa", "s", "code"))
+      .groupBy("pa", "pb").agg(sum("d").as("dist"))
+    val wd = Window.partitionBy("pa").orderBy(col("dist"), col("pb"))
+    val pool = adc.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= m).select("pa", "pb")
+    val corpusReps = idx.grp.select(col("rep").as("pb"), col("ce").as("eb"))
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    val scored = pool.join(assigned.select("pa", "ea", "na"), "pa")
+      .join(corpusReps, "pb")
+      .select(col("pa"), col("pb"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    val pmem = g.select(col("rep").as("pa"), explode(col("ids")).as("da"))
+    val cmem = idx.grp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+    scored.join(pmem, Seq("pa")).join(cmem, Seq("pb"))
+      .select(col("da"), col("db"), col("cos"))
   }
 
   /** Greedy beam search over a bounded-degree neighbor graph — the

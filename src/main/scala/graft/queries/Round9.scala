@@ -723,6 +723,151 @@ object Round9 {
         SELECT qid, cid FROM (SELECT qid, cid,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
           FROM rsc) WHERE rnk <= 5 AND (SELECT fam FROM adv) = 'ivfpq'),
-      ${Round6c.recallTailSql}"""))
+      ${Round6c.recallTailSql}""")),
+
+    // ---- memory-bounded streaming ingest: the PQ standing index --------
+    // q305 closed "advisor → ingest" for the CELL-COUNT dial; this row
+    // closes it for the MEMORY dial: a 100 kB serving budget makes
+    // adviseServing reject the full-precision standing index at BOTH
+    // SFs (nu·256 B = 115/461 kB), so the standing semdedup index the
+    // micro-batches score against holds cell ids + PQ codes + the
+    // rep→member map — NOT vectors (~13 B/rep resident). Each batch:
+    // rep-level grouping, rank-1 cell assignment (the q298/q305 ingest
+    // convention), INCREMENTAL encoding against the frozen codebook
+    // (one residual LUT per probe rep — codebooks train once, new data
+    // encodes cheaply), ADC-rank the cell's standing codes, top-32
+    // pool per probe (the per-probe cold-storage fetch budget; m
+    // swept against the exact same-cell scan at sf0.1 where cells
+    // hold ~56 reps and the pool BINDS: m=16 recovers 87.9% of the
+    // exact alerts, 24 -> 94.9%, 32 -> 98.0%, 48 -> 100% — so the
+    // oracle replays the ADC ranking, not just the cell scan), exact
+    // re-rank of the pool, cos >= 0.35 alerts expanded through both
+    // group maps, idempotent MERGE. When a cell has <= m reps the
+    // alerts are bit-identical to the exact same-cell scan (sf0.01
+    // cells hold ~28; spec-tested vs scoreSemDedupBatchDeduped); past
+    // m they are pool-bounded — the honest memory/recall trade.
+    // Pool cut at REP level (replication-invariant by construction);
+    // the oracle replays per-vector, identical on the dup-free scored
+    // fixtures (the q294 value-determinism adjudication).
+    "q311_stream_semdedup_pq" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+        graft.plans.NativeExpressions.register(s)
+        val corpus0 = emb.filter(slot =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val st = corpus0.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0); val nu = st.getLong(1)
+        val adv = IndexAdvisor.adviseServing(n, dim = 64,
+          dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n,
+          targetRecall = 0.8, candidateBudget = 300L,
+          memoryBudgetBytes = 100000L)
+        require(adv.family == "ivfpq",
+          s"100 kB budget must force the compressed index: $adv")
+        val idx = Similarity.ivfPqIndex(corpus0,
+          nlist = adv.params("nlist").toInt,
+          nSub = adv.params("nSub").toInt,
+          nCodes = adv.params("nCodes").toInt, dim = 64)
+        // the standing pieces joined per micro-batch are materialized
+        // once (grp is persisted inside ivfPqIndex); released after
+        // the stream drains (q297/q298 discipline)
+        val raP = idx.ra.persist(); val encP = idx.enc.persist()
+        raP.count(); encP.count()
+        val served = idx.copy(ra = raP, enc = encP)
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.semdedup_alerts_pq")
+        s.sql("""CREATE TABLE graftmem.semdedup_alerts_pq
+          (da BIGINT, db BIGINT, cos DOUBLE)""")
+        val src = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val probe = src.filter(
+            pmod(col("vec_id") * lit(2654435761L), lit(10L)) === 0)
+          .select(col("vec_id").as("da"), col("embedding").as("ea"))
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              Similarity.pqSemDedupBatch(batch, served, m = 32,
+                  threshold = 0.35)
+                .createOrReplaceTempView("q311_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.semdedup_alerts_pq t USING q311_batch b
+                  ON t.da = b.da AND t.db = b.db
+                  WHEN NOT MATCHED THEN INSERT (da, db, cos)
+                    VALUES (b.da, b.db, b.cos)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        raP.unpersist(); encP.unpersist(); idx.grp.unpersist()
+        s.sql("""SELECT da, db, cos FROM graftmem.semdedup_alerts_pq
+          ORDER BY da, db""")
+      },
+      Some(s"""WITH st AS MATERIALIZED (SELECT COUNT(*) AS n,
+          COUNT(DISTINCT embedding) AS nu FROM embeddings
+        WHERE (vec_id * 2654435761) % 10 <> 0),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS MATERIALIZED (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      cpos AS MATERIALIZED (SELECT vec_id, embedding,
+          row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings WHERE (vec_id * 2654435761) % 10 <> 0),
+      cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM cpos WHERE rn <= (SELECT nlist FROM nl)),
+      ca0 AS MATERIALIZED (SELECT e.vec_id AS cid, c.centroid_id,
+          round(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE (e.vec_id * 2654435761) % 10 <> 0 GROUP BY 1, 2),
+      ica AS MATERIALIZED (SELECT cid, centroid_id FROM (SELECT cid, centroid_id,
+          row_number() OVER (PARTITION BY cid ORDER BY d DESC, centroid_id) AS r
+        FROM ca0) WHERE r = 1),
+      pa0 AS MATERIALIZED (SELECT e.vec_id AS da, c.centroid_id,
+          round(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE (e.vec_id * 2654435761) % 10 = 0 GROUP BY 1, 2),
+      ipa AS MATERIALIZED (SELECT da, centroid_id FROM (SELECT da, centroid_id,
+          row_number() OVER (PARTITION BY da ORDER BY d DESC, centroid_id) AS r
+        FROM pa0) WHERE r = 1),
+      cqx AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
+          CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),
+      rres AS MATERIALIZED (SELECT cqx.cid, cqx.i, cqx.x - ct.x AS rx
+        FROM cqx JOIN ica ON cqx.cid = ica.cid
+        JOIN cqx ct ON ct.cid = ica.centroid_id AND ct.i = cqx.i),
+      pqc AS MATERIALIZED (SELECT r.i, r.cid AS code, r.rx AS px
+        FROM rres r JOIN cpos s2 ON r.cid = s2.vec_id
+        WHERE s2.rn > (SELECT nlist FROM nl)
+          AND s2.rn <= (SELECT nlist FROM nl) + 16),
+      enc0 AS MATERIALIZED (SELECT r.cid, (r.i - 1) // 4 AS s, p.code,
+          SUM((r.rx - p.px) * (r.rx - p.px)) AS dist
+        FROM rres r JOIN pqc p ON r.i = p.i GROUP BY 1, 2, 3),
+      enc AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
+          row_number() OVER (PARTITION BY cid, s ORDER BY dist, code) AS rn
+        FROM enc0) WHERE rn = 1),
+      qres AS MATERIALIZED (SELECT cqx.cid AS da, cqx.i, cqx.x - ct.x AS rx
+        FROM cqx JOIN ipa ON cqx.cid = ipa.da
+        JOIN cqx ct ON ct.cid = ipa.centroid_id AND ct.i = cqx.i),
+      lut AS MATERIALIZED (SELECT q.da, (q.i - 1) // 4 AS s, p.code,
+          SUM((q.rx - p.px) * (q.rx - p.px)) AS d
+        FROM qres q JOIN pqc p ON q.i = p.i GROUP BY 1, 2, 3),
+      adc AS MATERIALIZED (SELECT ipa.da, enc.cid, SUM(lut.d) AS dist
+        FROM ipa JOIN ica ON ipa.centroid_id = ica.centroid_id
+        JOIN enc ON enc.cid = ica.cid
+        JOIN lut ON lut.da = ipa.da AND lut.s = enc.s AND lut.code = enc.code
+        GROUP BY 1, 2),
+      pool AS MATERIALIZED (SELECT da, cid FROM (SELECT da, cid,
+          row_number() OVER (PARTITION BY da ORDER BY dist, cid) AS rn
+        FROM adc) WHERE rn <= 32),
+      al AS MATERIALIZED (SELECT pool.da, pool.cid AS db, ${Round6c.cosSql("x", "y")} AS cos
+        FROM pool JOIN embeddings x ON pool.da = x.vec_id
+        JOIN embeddings y ON pool.cid = y.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2)
+      SELECT da, db, cos FROM al WHERE cos >= 0.35 ORDER BY da, db"""))
   )
 }

@@ -748,6 +748,43 @@ class OperatorsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("pqSemDedupBatch: pool >= cell size equals the exact same-cell scan") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") < 150)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // duplicate-heavy corpus (two copies of every vector, distinct ids)
+    // exercises the rep-level index + member expansion on both sides
+    val corpus = base.unionByName(
+      base.select((col("cid") + 1000L).as("cid"), col("ce")))
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+      .select(col("vec_id").as("da"), col("embedding").as("ea"))
+      .unionByName(emb.filter(col("vec_id") === 150)
+        .select((col("vec_id") + 2000L).as("da"), col("embedding").as("ea")))
+    val idx = Similarity.ivfPqIndex(corpus, nlist = 4, nSub = 8,
+      nCodes = 8, dim = 64)
+    // an unbounded pool covers every cell -> the PQ ingest scorer must
+    // reproduce the exact same-cell scan (scoreSemDedupBatchDeduped)
+    // bit-for-bit: same assignment, same rounded cosine, same expansion
+    val pq = Similarity.pqSemDedupBatch(batch, idx, m = 1000000,
+      threshold = 0.35).orderBy("da", "db").collect().toSeq
+    val reps = idx.grp.select(col("rep").as("pb"), col("ce").as("eb"))
+    val corpusReps = Similarity.assignToCentroids(reps, "pb", "eb", idx.cents)
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    val cmem = idx.grp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+    val direct = graft.queries.Round8.scoreSemDedupBatchDeduped(
+        batch, idx.cents, corpusReps, cmem)
+      .orderBy("da", "db").collect().toSeq
+    assert(pq == direct, "full-pool PQ ingest must equal the exact cell scan")
+    assert(pq.nonEmpty, "fixture must produce alerts")
+    // a binding pool emits a SUBSET (pool-bounded alerts, never extras)
+    val bounded = Similarity.pqSemDedupBatch(batch, idx, m = 2,
+        threshold = 0.35)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded.subsetOf(full), "bounded pool must be a subset")
+    spark.catalog.clearCache()
+  }
+
   test("Hierarchy.depths: clean chains resolve; dangling and cyclic get sentinel") {
     // 1 -> 0 (root, d=1); 2 -> 1 (d=2); 3 -> 9 (dangling: 9 not an id);
     // 4 -> 5, 5 -> 4 (cycle, never finishes); 6 -> NULL (null parent);

@@ -223,7 +223,11 @@ class RetryDeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q47_llm_ann_lsh",
       // round-8 advisor-driven family: the 1-row stats collect and the
       // advised-centroid build must survive first-attempt kills too
-      "q294_llm_ann_ivf_advised", "q299_llm_curation_advised")
+      "q294_llm_ann_ivf_advised", "q299_llm_curation_advised",
+      // round-9 compression family: rep-level residual encode +
+      // per-(rep, subspace) argmin + ADC pool cut must be attempt-
+      // invariant (all int64 arithmetic with total-order tie-breaks)
+      "q309_llm_ann_ivfpq")
     val baselines = names.map(n => n -> fp(SparkEntry.queries(n)(spark, sf))).toMap
     val killer = new FirstAttemptKiller(spark)
     spark.sparkContext.addSparkListener(killer)
