@@ -205,7 +205,9 @@ object Round7 {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val exact1 = graft.operators.Similarity.cosineTopK(qs, corpus, k = 1)
+        // exact top-1 = rank-1 of the shared fixture-keyed exact top-5
+        // artifact (one corpus-sized build per run, q303-recipe)
+        val exact1 = Round6c.exactTop5(s, dir).filter(col("rnk") === 1)
           .select(col("qid"), col("cid").as("true_top1"))
         val ann = graft.operators.Similarity.ivfTopKProbe(qs, corpus,
             k = 10, nlist = 16, nprobe = 8)
