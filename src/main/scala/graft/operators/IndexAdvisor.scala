@@ -61,7 +61,15 @@ object IndexAdvisor {
     RecallRow("lsh-multiprobe", Map("nPlanes" -> 6L, "k" -> 5L), 0.26),
     RecallRow("lsh-multitable", Map("nTables" -> 8L, "nPlanes" -> 4L, "k" -> 5L), 0.73),
     RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.844),
-    RecallRow("graph-beam", Map("d" -> 16L, "beam" -> 8L, "rounds" -> 3L), 0.296))
+    // the NN-Descent-REFINED graph (q304's measured points — the
+    // pre-refinement 0.296 row was stale against its own round and
+    // made adviseCalibrated pessimistic on the one family whose
+    // serving cost is corpus-size-independent): 0.448 at q303's own
+    // dials (pure edge-quality delta), 0.924 at the swept optimum.
+    // Build cost: ~deg+deg² bounded NoN rounds, 148 s / 2.42×/decade
+    // at the 100× probe (PROBES_r9.json) — an offline artifact.
+    RecallRow("graph-beam", Map("d" -> 16L, "beam" -> 8L, "rounds" -> 3L), 0.448),
+    RecallRow("graph-beam", Map("d" -> 24L, "beam" -> 24L, "rounds" -> 4L), 0.924))
 
   /** [[advise]] with the decision constants LEARNED from a measured
     * recall table instead of fixture-calibrated literals — the last
@@ -141,16 +149,30 @@ object IndexAdvisor {
     * says how many bytes the RESIDENT index may occupy. Full-precision
     * families (brute/IVF/LSH/graph) serve from the raw vectors:
     * nu·dim·4 bytes. When that exceeds `memoryBudgetBytes`, the advice
-    * switches to IVFPQ (q309): resident bytes = nu·(4 cell + nSub·4
-    * bits + 4 norm) — at dim=64/nSub=16 a 16× shrink — candidates
-    * still prune to nprobe/nlist, and the exact re-rank touches full
-    * vectors only through the m-bounded pool join (cold storage, not
-    * resident — the standard IVFADC serving argument). nprobe is
-    * widened to ceil(5·nlist/8) (the q309-swept dial: stacked pruning
-    * losses bind on CELL recall, measured 0.820/0.816 at 10/16); the
-    * rerank pool is min(candidateBudget, max(100, 3nu/20)) (the
-    * SQL-mirrored q308/q309 dial). All arithmetic in exact Long — the
-    * oracle replays it in BIGINT.
+    * switches to a COMPRESSED index, and both compressed family
+    * members are on the axis:
+    *
+    *   - IVFPQ (q309/q310): resident bytes = nu·(4 cell + nSub·4 bits
+    *     + 4 norm) — at dim=64/nSub=16 a 16× shrink — candidates prune
+    *     to nprobe/nlist (grows with nu), exact re-rank touches full
+    *     vectors only through the m-bounded pool join (cold storage —
+    *     the standard IVFADC serving argument). nprobe =
+    *     ceil(5·nlist/8) (the q309-swept dial: stacked pruning losses
+    *     bind on CELL recall); rerank pool = min(candidateBudget,
+    *     max(100, 3nu/20)) (the SQL-mirrored q308/q309 dial).
+    *   - graph-pq (q312, the DiskANN shape): resident bytes =
+    *     nu·(d·8 edges + nSub·4 bits + 4 norm) — MORE memory than
+    *     IVFPQ, but per-query cost beam·(d+1)·rounds ADC lookups +
+    *     beam exact cosines, CORPUS-SIZE-INDEPENDENT. Chosen when
+    *     IVFPQ's nu·nprobe/nlist candidate cost blows the candidate
+    *     budget and the graph index still fits memory (dials = the
+    *     q312 swept point: d=24, beam=24, rounds=4, measured
+    *     0.924/0.936 recall@5).
+    *
+    * If even the IVFPQ codes exceed `memoryBudgetBytes`, this FAILS
+    * LOUDLY (require) — an advice claiming a fit that is false is the
+    * silent-collapse class the round-9 sweeps kept catching. All
+    * arithmetic in exact Long — the oracle replays it in BIGINT.
     */
   def adviseServing(n: Long, dim: Int, dupRate: Double,
       targetRecall: Double, candidateBudget: Long,
@@ -164,15 +186,34 @@ object IndexAdvisor {
     else {
       val nSub = 16L
       val bytesPq = nu * (4L + nSub * 4L / 8L + 4L)
+      require(bytesPq <= memoryBudgetBytes,
+        s"no index family fits: even IVFPQ codes need $bytesPq B " +
+          s"(nu=$nu) > memory budget $memoryBudgetBytes B")
       val nlist = pow2Near(math.sqrt(nu.toDouble))
       val nprobe = math.max(1L, (5L * nlist + 7L) / 8L)
       val rerank = math.min(candidateBudget, math.max(100L, 3L * nu / 20L))
-      Advice("ivfpq", dedup,
+      val ivfpqCand = nu * nprobe / nlist
+      val graphD = 24L; val graphBeam = 24L; val graphRounds = 4L
+      val bytesGraphPq = nu * (graphD * 8L + nSub * 4L / 8L + 4L)
+      def ivfpq(extra: String) = Advice("ivfpq", dedup,
         Map("nlist" -> nlist, "nprobe" -> nprobe, "nSub" -> nSub,
           "nCodes" -> 16L, "rerank" -> rerank, "k" -> 5L),
-        nu * nprobe / nlist,
+        ivfpqCand,
         s"full-precision index $bytesFull B > memory budget $memoryBudgetBytes B — " +
-          s"IVFPQ codes fit at $bytesPq B (q309: 0.820/0.816 recall@5 at nprobe=5·nlist/8)")
+          s"IVFPQ codes fit at $bytesPq B (q309: 0.820/0.816 recall@5 at nprobe=5·nlist/8)" +
+          extra)
+      if (ivfpqCand <= candidateBudget) ivfpq("")
+      else if (bytesGraphPq <= memoryBudgetBytes)
+        Advice("graph-pq", dedup,
+          Map("d" -> graphD, "beam" -> graphBeam, "rounds" -> graphRounds,
+            "nSub" -> nSub, "nCodes" -> 16L, "k" -> 5L),
+          graphBeam * (graphD + 1L) * graphRounds,
+          s"IVFPQ needs $ivfpqCand candidates/query > budget $candidateBudget " +
+            s"and the graph index fits at $bytesGraphPq B <= $memoryBudgetBytes B — " +
+            "DiskANN-shaped serving: corpus-size-independent ADC beam + exact rerank (q312)")
+      else ivfpq(s" — graph-pq would meet the $candidateBudget candidate " +
+        s"budget but needs $bytesGraphPq B > memory budget; candidate " +
+        s"budget exceeded at $ivfpqCand (best fit under memory)")
     }
   }
 

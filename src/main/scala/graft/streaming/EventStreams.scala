@@ -333,7 +333,14 @@ object EventStreams {
     */
   def runToMemoryCheckpointed(df: DataFrame, name: String, ckpt: String,
       mode: String = "complete"): DataFrame = {
-    val out = graft.util.Scratch.dir(name)
+    // the sink dir is derived FROM the checkpoint path (not a fresh
+    // scratch dir per call): a RESUMED run replays only the new
+    // batches, so a per-call directory would silently drop every row
+    // the first run emitted — the resumed query must append to the
+    // same data dir its checkpoint refers to. Lifecycle follows the
+    // checkpoint (caller-owned; tests put both under Scratch roots).
+    val out = ckpt.stripSuffix("/") + "-sink"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(out))
     val writeMode = if (mode == "complete") "overwrite" else "append"
     val q = df.writeStream.outputMode(mode).foreachBatch {
       (b: DataFrame, _: Long) =>
