@@ -618,10 +618,56 @@ object Similarity {
     * construction) against a broadcast nCodes·dim codebook; the ADC
     * scan is one broadcast of the bounded query table hash-joined to
     * the n·nSub code rows with map-side partial aggregation; the
-    * rerank join is pool-bounded. The grouped-by-vector frame is
-    * persisted (two lineage paths: encode + member expansion) and
-    * released by the harness-level clearCache between queries.
+    * rerank join is pool-bounded. The encode runs through [[pqCodes]],
+    * which materializes the code table and releases its own persists
+    * (call-local lifecycle).
     */
+  /** The broadcast PQ codebook for `corpus`: quantized (q225 kernel)
+    * sub-slices of the first `nCodes` corpus vectors, one row per
+    * (coordinate, code) — the family's deterministic seeding
+    * convention. Shared by [[pqTopK]]'s encode/LUT and
+    * [[beamPqTopKFrom]]'s LUT. */
+  private def pqCodebook(corpus: DataFrame, nCodes: Int): DataFrame =
+    broadcast(quantCoords(corpus.orderBy("cid").limit(nCodes), "cid", "ce")
+      .select(col("i"), col("cid").as("code"), col("x").as("cx")))
+
+  /** Per-member PQ codes (cid, s, code) — the RESIDENT compressed
+    * representation shared by the scan-all server ([[pqTopK]]) and the
+    * DiskANN-shaped graph server ([[beamPqTopKFrom]]): per-subspace
+    * nearest code on exact int64 quantized L2 (ties on code id),
+    * encoded at REP level (one row per distinct vector — a pure
+    * function of the vector, replication-invariant) and expanded
+    * through the duplicate-group map. The output is materialized to
+    * scratch parquet before returning — an encode is an index-build
+    * artifact (built once, served many), the write releases the
+    * grouped-by-vector frame's persist HERE (call-local lifecycle, no
+    * reliance on a harness-level clearCache), and every consumer then
+    * plans against a flat scan instead of the encode tree. */
+  def pqCodes(corpus: DataFrame, nSub: Int, nCodes: Int,
+      dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    NativeExpressions.register(spark)
+    val dsub = dim / nSub
+    require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
+    val cb = pqCodebook(corpus, nCodes)
+    val grp = corpus.groupBy("ce")
+      .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encDist = quantCoords(grp.select("rep", "ce"), "rep", "ce")
+      .join(cb, Seq("i"))
+      .groupBy(col("rep"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+    val enc = encDist.withColumn("rn", row_number().over(
+        Window.partitionBy("rep", "s").orderBy(col("dist"), col("code"))))
+      .filter(col("rn") === 1).select("rep", "s", "code")
+    val codes = grp.select(col("rep"), explode(col("ids")).as("cid"))
+      .join(enc, "rep").select("cid", "s", "code")
+    val out = graft.util.Scratch.dir("pq_codes")
+    codes.write.mode("overwrite").parquet(out)
+    grp.unpersist()
+    spark.read.parquet(out)
+  }
+
   def pqTopK(
       queries: DataFrame, // qid, qe
       corpus: DataFrame, // cid, ce
@@ -633,26 +679,9 @@ object Similarity {
     NativeExpressions.register(queries.sparkSession)
     val dsub = dim / nSub
     require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
-    def quant(df: DataFrame, id: String, vec: String): DataFrame = df
-      .select(col(id), posexplode(col(vec)))
-      .select(col(id), (col("pos") + 1).as("i"),
-        floor(col("col").cast("double") * lit(1000000L)).as("x"))
-    val seeds = corpus.orderBy("cid").limit(nCodes)
-    val cb = broadcast(quant(seeds, "cid", "ce")
-      .select(col("i"), col("cid").as("code"), col("x").as("cx")))
-    val grp = corpus.groupBy("ce")
-      .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val encDist = quant(grp.select("rep", "ce"), "rep", "ce")
-      .join(cb, Seq("i"))
-      .groupBy(col("rep"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-    val enc = encDist.withColumn("rn", row_number().over(
-        Window.partitionBy("rep", "s").orderBy(col("dist"), col("code"))))
-      .filter(col("rn") === 1).select("rep", "s", "code")
-    val codes = grp.select(col("rep"), explode(col("ids")).as("cid"))
-      .join(enc, "rep").select("cid", "s", "code")
-    val qtab = broadcast(quant(queries, "qid", "qe").join(cb, Seq("i"))
+    val cb = pqCodebook(corpus, nCodes)
+    val codes = pqCodes(corpus, nSub, nCodes, dim)
+    val qtab = broadcast(quantCoords(queries, "qid", "qe").join(cb, Seq("i"))
       .groupBy(col("qid"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
       .agg(sum(col("x") * col("cx")).as("pdot")))
     val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
@@ -752,6 +781,16 @@ object Similarity {
     NativeExpressions.register(corpus.sparkSession)
     val dsub = dim / nSub
     require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
+    // an undersized corpus silently degrades instead of failing: the
+    // codebook seed range offset(nlist).limit(nCodes) comes back short
+    // or empty, enc is empty, ADC distance goes CONSTANT and recall
+    // reads 0 — the same silent-collapse class the round-9 DuckDB
+    // sweep caught for centroid-seeded codebooks. Fail loudly.
+    val nSeedRows = corpus.select("cid").orderBy("cid")
+      .limit(nlist + nCodes).count()
+    require(nSeedRows >= nlist + nCodes,
+      s"ivfPqIndex needs >= ${nlist + nCodes} corpus rows to seed " +
+        s"$nlist centroids + $nCodes codewords; got $nSeedRows")
     val cents = broadcast(corpus.orderBy("cid").limit(nlist)
       .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
     val centq = broadcast(
@@ -954,5 +993,172 @@ object Similarity {
     frontier.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+  }
+
+  /** DiskANN-shaped serving (Jayaram Subramanya et al., NeurIPS'19 —
+    * the industry composition of graph navigation × code compression):
+    * beam search over a bounded-degree neighbor graph where every
+    * candidate is ranked by ADC over the RESIDENT PQ codes — nSub
+    * integer lookups against the per-query table, never a
+    * full-precision dot — and the VISITED candidate list (every
+    * candidate any round scored — the paper's search list, ≤
+    * beam·(d+1)·rounds per query) is re-ranked at exact cosine through
+    * a bounded join to the cold-storage vectors. Re-ranking only the
+    * final frontier is NOT enough: the dial sweep measured it at
+    * 0.55–0.72 recall (pool containment binds — the q295/q308 lesson a
+    * third time), while the visited list reaches 0.984/0.880 at q304's
+    * own dials for the SAME walk cost. Composes [[nnDescentEdges]]
+    * (edge quality — a navigable graph is what lets the ADC-guided
+    * walk hill-climb) with [[pqCodes]] (representation compression):
+    * resident bytes/vector = d·8 (edge list) + nSub·log2(nCodes)/8
+    * (codes) + 4 (stored norm), so the whole serving index fits
+    * executor memory at corpus sizes where even the PQ-augmented IVF
+    * index's nprobe/nlist candidate scans blow the per-query budget.
+    * This is precisely DiskANN's design point: per-query cost
+    * beam·(d+1)·rounds ADC lookups + a same-bound exact re-rank —
+    * BOTH corpus-size-independent.
+    *
+    * Determinism: ADC partial dots are exact int64 (q225 quantized
+    * kernel) summed per candidate, divided ONCE by the true stored
+    * norms and rounded 6dp (the q307 recipe) — so the walk's frontier
+    * boundary is engine-portable and the whole serve carries an exact
+    * oracle. Candidates at qid = cid are dropped at scoring, exactly
+    * as [[beamTopKFrom]] does.
+    *
+    * Scale shape: per round, the candidate set is ≤ |Q|·beam·(d+1) BY
+    * CONSTRUCTION; it hash-joins the resident code table on cid (nSub
+    * rows per candidate) and the broadcast per-query LUT, then a
+    * window over ≤ beam·(d+1)-row groups. Every round's scored set is
+    * cut to scratch parquet (bounded |Q|·beam·(d+1) rows — the
+    * nnDescentEdges lineage rule: the next round references the
+    * frontier through two paths, the visited union re-references every
+    * round, and cache substitution through union + self-join aliasing
+    * is unreliable), so no persists outlive the call. The corpus
+    * (full vectors) is touched ONLY by the final rerank join.
+    */
+  def beamPqTopKFrom(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce — cold storage; final rerank only
+      edges: DataFrame, // u, v — the resident graph (refined artifact)
+      codes: DataFrame, // cid, s, code — the resident PQ codes artifact
+      entries: DataFrame, // qid, cid (bounded per qid)
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int): DataFrame = {
+    val scored = beamPqVisitedScored(queries, corpus, edges, codes,
+      entries, beam, rounds, nSub, nCodes, dim)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The ADC-guided walk + exact visited-list re-rank shared by the
+    * top-k server ([[beamPqTopKFrom]]) and the streaming ingest scorer
+    * ([[beamPqSemDedupBatch]]): returns every VISITED candidate with
+    * its exact rounded cosine (qid, cid, cos). */
+  private def beamPqVisitedScored(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      edges: DataFrame, // u, v
+      codes: DataFrame, // cid, s, code
+      entries: DataFrame, // qid, cid
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    NativeExpressions.register(spark)
+    val dsub = dim / nSub
+    require(dsub * nSub == dim, s"nSub $nSub must divide dim $dim")
+    val cb = pqCodebook(corpus, nCodes)
+    val qtab = broadcast(quantCoords(queries, "qid", "qe").join(cb, Seq("i"))
+      .groupBy(col("qid"), expr(s"(i - 1) div $dsub").as("s"), col("code"))
+      .agg(sum(col("x") * col("cx")).as("pdot")))
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    // stored norms: index metadata (4 B/vector, written with the codes
+    // in a production layout); one column-pruned scan here
+    val cn = corpus.select(col("cid"), expr("sqrt(vec_dot(ce, ce))").as("cn"))
+    def cut(df: DataFrame, label: String): DataFrame = {
+      val out = graft.util.Scratch.dir(s"beampq_$label")
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    var frontier = entries.select(col("qid"), col("cid"))
+    var visited: DataFrame = null // the DiskANN search list, round-cut
+    for (r <- 1 to rounds) {
+      val expanded = frontier.join(edges, frontier("cid") === edges("u"))
+        .select(col("qid"), col("v").as("cid"))
+        .unionByName(frontier.select("qid", "cid")).distinct()
+      val adc = expanded.join(codes, "cid")
+        .join(qtab, Seq("qid", "s", "code"))
+        .groupBy("qid", "cid").agg(sum("pdot").as("adc"))
+      val scored = adc
+        .join(broadcast(q.select(col("qid"), col("qn"))), "qid")
+        .join(cn, "cid")
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(col("adc").cast("double") /
+            (lit(1.0e12) * col("qn") * col("cn")), 6).as("cos"))
+      // one round-boundary write serves both consumers: the ranked
+      // frontier (navigation) and the visited accumulation (rerank)
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      val roundScored = cut(scored.withColumn("rn", row_number().over(w)),
+        s"r$r")
+      frontier = roundScored.filter(col("rn") <= beam).select("qid", "cid")
+      val ids = roundScored.select("qid", "cid")
+      visited = if (visited == null) ids else visited.unionByName(ids)
+    }
+    // the one full-precision stage: exact re-rank of the VISITED list
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    visited.distinct().join(broadcast(q), "qid").join(c, "cid")
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+  }
+
+  /** Per-micro-batch semantic-dedup scoring against a standing GRAPH
+    * index (q313) — the q305/q311 advisor→ingest loop on the GRAPH
+    * family: the resident standing index is the NN-Descent-refined
+    * edge set + PQ codes + stored norms (the q312 DiskANN layout); a
+    * probe micro-batch groups identical payloads (rep level —
+    * replication-invariant walk count), seeds each rep's walk at its 2
+    * nearest centroids (the q302 entry convention, `cents` broadcast),
+    * runs the ADC-guided beam walk over the standing edges, exact-
+    * re-ranks the bounded VISITED list against cold-storage vectors,
+    * emits pairs at cosine >= `threshold`, and expands through the
+    * probe group map. The alert set is visited-bounded (≤
+    * beam·(d+1)·rounds candidates per probe rep — corpus-size-
+    * independent, the honest walk/recall trade the q313 row measures
+    * against the exact scan); the corpus side is per-id (the graph is
+    * an id-level artifact), so duplicates cost pool slots, not extra
+    * cosines — the walk count never grows with replication.
+    */
+  def beamPqSemDedupBatch(
+      batch: DataFrame, // da, ea
+      corpus: DataFrame, // cid, ce — cold storage
+      edges: DataFrame, // u, v — standing refined graph
+      codes: DataFrame, // cid, s, code — standing PQ codes
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    NativeExpressions.register(batch.sparkSession)
+    val g = batch.groupBy("ea")
+      .agg(min("da").as("rep"), collect_list("da").as("ids"))
+    val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
+    val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
+      .select(col("qid"), col("centroid_id").as("cid"))
+    val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
+        beam, rounds, nSub, nCodes, dim)
+      .filter(col("cos") >= threshold)
+    val pmem = g.select(col("rep").as("qid"), explode(col("ids")).as("da"))
+    scored.join(pmem, Seq("qid"))
+      .select(col("da"), col("cid").as("db"), col("cos"))
   }
 }

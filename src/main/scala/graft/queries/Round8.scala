@@ -120,14 +120,17 @@ object Round8 {
   /** DuckDB replay of [[graft.operators.Similarity.lshKnnEdgesMultiTable]]:
     * per-table bucket CTEs (seeds 42..42+nTables-1, the q280 fragment
     * recipe), per-table per-bucket top-`d` out-edges, and the DISTINCT
-    * union as edge CTE `e`. */
+    * union as edge CTE `e`. `where` optionally restricts the corpus
+    * (q313's slot-filtered standing index); downstream joins filter
+    * themselves through the edge endpoints. */
   private[queries] def stitchedEdgesSql(d: Int, nPlanes: Int, nTables: Int,
-      out: String = "e"): String = {
+      out: String = "e", where: String = ""): String = {
+    val pred = if (where.isEmpty) "" else s" WHERE $where"
     val per = (0 until nTables).map { t =>
       val bucket = Round6.bucketSql(
         graft.operators.Similarity.hyperplanes(nPlanes, 64, 42L + t))
       s"""cb$t AS MATERIALIZED (SELECT vec_id AS cid, $bucket AS bucket
-        FROM (SELECT vec_id, embedding AS e FROM embeddings)),
+        FROM (SELECT vec_id, embedding AS e FROM embeddings$pred)),
       ep$t AS MATERIALIZED (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
         FROM cb$t a JOIN cb$t b ON a.bucket = b.bucket AND a.cid <> b.cid
         JOIN embeddings x ON a.cid = x.vec_id
@@ -377,11 +380,23 @@ object Round8 {
         s.sql(s"""INSERT INTO $tbl
           SELECT doc_id + 1000000, text, lang, n_chars FROM $seed
           WHERE doc_id % 100 = 1""")                                       // v4
-        graft.operators.Diff.snapshotDiff(
+        val diff = graft.operators.Diff.snapshotDiff(
             s.sql(s"SELECT * FROM $tbl VERSION AS OF 1"),
             s.table(tbl),
             keys = Seq("doc_id"), compare = Seq("text", "lang", "n_chars"))
           .orderBy("doc_id")
+        // materialize the (answer-sized) diff, then DROP the invocation's
+        // table: the namespacing fixed the interleave race but left one
+        // full document copy resident in the driver-side MemCatalog per
+        // invocation (clearCache does not free catalog tables — Bench's
+        // warm-up + two timed passes held 3 copies, and sweeps grew
+        // unboundedly). The returned frame reads flat scratch parquet,
+        // so the drop cannot invalidate it.
+        val out = graft.util.Scratch.dir("q296_diff")
+        diff.write.mode("overwrite").parquet(out)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.catalog.dropTempView(seed)
+        s.read.parquet(out).orderBy("doc_id")
       },
       Some("""SELECT doc_id,
         CASE WHEN doc_id % 10 = 3 THEN 'removed'
@@ -732,8 +747,14 @@ object Round8 {
         require(adv.family == "graph-beam",
           s"advisor picked ${adv.family}: a 64-cosine budget must " +
             "resolve to the corpus-size-independent family")
-        val edges = Similarity.lshKnnEdgesDeduped(corpus,
-          d = adv.params("d").toInt, nPlanes = 6, dim = 64).persist()
+        // the graph build is a fixture-keyed artifact (built once per
+        // harness run, label pins the dials) — each beam round then
+        // plans against a flat parquet scan, never the build tree
+        val d = adv.params("d").toInt
+        val edges = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", s"lshknn_d${d}_p6")(
+          Similarity.lshKnnEdgesDeduped(corpus, d = d, nPlanes = 6,
+            dim = 64))
         Similarity.beamTopK(qs, corpus, edges, k = 5,
           beam = adv.params("beam").toInt,
           rounds = adv.params("rounds").toInt)
@@ -779,8 +800,10 @@ object Round8 {
         val entries = Similarity.assignToCentroids(
             qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
           .select(col("qid"), col("centroid_id").as("cid"))
-        val edges = Similarity.lshKnnEdgesDeduped(corpus, d = 4,
-          nPlanes = 6, dim = 64).persist()
+        val edges = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "lshknn_d4_p6")(
+          Similarity.lshKnnEdgesDeduped(corpus, d = 4, nPlanes = 6,
+            dim = 64))
         Similarity.beamTopKFrom(qs, corpus, edges, entries, k = 5,
           beam = 8, rounds = 3)
       }),
@@ -833,8 +856,10 @@ object Round8 {
         val entries = Similarity.assignToCentroids(
             qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
           .select(col("qid"), col("centroid_id").as("cid"))
-        val edges = Similarity.lshKnnEdgesMultiTable(corpus, d = 4,
-          nPlanes = 6, dim = 64, nTables = 4).persist()
+        val edges = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "stitched_d4_p6_t4")(
+          Similarity.lshKnnEdgesMultiTable(corpus, d = 4,
+            nPlanes = 6, dim = 64, nTables = 4))
         Similarity.beamTopKFrom(qs, corpus, edges, entries, k = 5,
           beam = 8, rounds = 3)
       }),

@@ -34,7 +34,7 @@ object Round9 {
     * the un-hinted chain re-executed the whole upstream edge build per
     * reference — multiplicatively through 8 chained levels (measured
     * 20 min; hinted: 3.7 s, identical result). */
-  private def nnDescentSql(rounds: Int, d: Int, src: String,
+  private[queries] def nnDescentSql(rounds: Int, d: Int, src: String,
       out: String): String =
     (1 to rounds).map { i =>
       val in = if (i == 1) src else s"ne${i - 1}"
@@ -77,6 +77,25 @@ object Round9 {
   private[queries] val BeamWidth = 24
   private[queries] val BeamRounds = 4
 
+  /** The NN-Descent-refined graph as a fixture-keyed artifact (built
+    * once per harness run; labels pin the dials) — THE resident graph
+    * every graph-serving row walks: q304 (full-precision beam) and
+    * q312 (DiskANN — ADC-ranked beam over PQ codes) serve literally
+    * the same build. The stitched input is its own shared artifact
+    * (q303 reads it too); nnDescentEdges additionally materializes
+    * every refinement round internally (the lineage hard-cut). */
+  private[queries] def refinedGraphArtifact(s: SparkSession, dir: String,
+      corpus: DataFrame): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      s"nnd_d${NnDegree}_r${NnRounds}_stitched_d4_p6_t4") {
+      val stitched = graft.util.FixtureArtifact.parquet(s, dir,
+        "embeddings.parquet", "stitched_d4_p6_t4")(
+        Similarity.lshKnnEdgesMultiTable(corpus, d = 4,
+          nPlanes = 6, dim = 64, nTables = 4))
+      Similarity.nnDescentEdges(stitched, corpus,
+        d = NnDegree, rounds = NnRounds)
+    }
+
   /** q306's calibration measurement points: the q279 IVF row and the
     * q280 multi-table-LSH row, re-measured live. Target/budget sit
     * where the MEASURED table decides: budget = ceil(nu·11/20) in
@@ -97,7 +116,7 @@ object Round9 {
     * nSub-lookup ADC sum, and ONE terminal double division against the
     * true stored norms, rounded 6dp. All CTEs MATERIALIZED (the
     * round-9 chained-CTE gotcha). */
-  private def pqAdcSql(nSub: Int, nCodes: Int): String = {
+  private[queries] def pqAdcSql(nSub: Int, nCodes: Int): String = {
     val dsub = 64 / nSub
     s"""pqc AS MATERIALIZED (SELECT i.i AS i, e.vec_id AS code,
         CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS cx
@@ -225,13 +244,9 @@ object Round9 {
         val entries = Similarity.assignToCentroids(
             qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
           .select(col("qid"), col("centroid_id").as("cid"))
-        val stitched = Similarity.lshKnnEdgesMultiTable(corpus, d = 4,
-          nPlanes = 6, dim = 64, nTables = 4)
-        // nnDescentEdges returns a scratch-parquet-backed frame (every
-        // round boundary is materialized inside the operator — the
-        // lineage hard-cut that took the build from 68 s to 22 s)
-        val refined = Similarity.nnDescentEdges(stitched, corpus,
-          d = NnDegree, rounds = NnRounds)
+        // both build stages are fixture-keyed artifacts (built once
+        // per harness run) — see refinedGraphArtifact
+        val refined = refinedGraphArtifact(s, dir, corpus)
         Similarity.beamTopKFrom(qs, corpus, refined, entries, k = 5,
           beam = BeamWidth, rounds = BeamRounds)
       }),
@@ -399,8 +414,8 @@ object Round9 {
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
         // live calibration: measure the two candidate configs with the
         // same set-membership metric the harness scores the result by
-        val exact = Similarity.cosineTopK(qs, corpus, k = 5)
-          .select(col("qid"), col("cid")).persist()
+        // (the shared fixture-keyed exact artifact — one build per run)
+        val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
         val nq = exact.select("qid").distinct().count()
         def measured(ann: org.apache.spark.sql.DataFrame): Double = {
           val hits = exact
@@ -412,7 +427,6 @@ object Round9 {
           nlist = 16, nprobe = 8))
         val ml = measured(Similarity.lshMultiTableTopK(qs, corpus, k = 5,
           nPlanes = 4, dim = 64, nTables = 8))
-        exact.unpersist()
         val adv = IndexAdvisor.adviseCalibrated(n, dim = 64, dupRate,
           targetRecall = CalTarget, candidateBudget = calBudget(nu),
           measured = Seq(

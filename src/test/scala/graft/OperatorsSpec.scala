@@ -564,12 +564,22 @@ class OperatorsSpec extends SparkTestBase {
   test("IndexAdvisor.adviseCalibrated: measured rows re-derive (and can flip) decisions") {
     import graft.operators.IndexAdvisor
     import graft.operators.IndexAdvisor.RecallRow
-    // fixture table reproduces advise()'s family at the fixture
-    // operating point: target 0.85, ample budget -> only IVF's measured
-    // 0.844... no — 0.844 < 0.85, so the fallback kicks in; use 0.8
+    // with the refined-graph row (q304's 0.924) in the table, the
+    // graph family is cheapest-meeting-target at ANY large corpus (its
+    // cost is corpus-size-independent) — the calibrated advisor now
+    // genuinely prefers it, which is the round-9 verdict's point
     val fix = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.05, 0.8,
       5000000L, IndexAdvisor.fixtureRecallTable)
-    assert(fix.family == "ivf" && fix.params("nprobe") == fix.params("nlist") / 2)
+    assert(fix.family == "graph-beam" && fix.params("beam") == 24L)
+    // on the graph-free slice of the table, the fixture rows reproduce
+    // advise()'s family at the fixture operating point (the original
+    // calibration-reproduces-the-literals property)
+    val noGraph = IndexAdvisor.fixtureRecallTable
+      .filterNot(_.family == "graph-beam")
+    val fixIvf = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.05, 0.8,
+      5000000L, noGraph)
+    assert(fixIvf.family == "ivf" &&
+      fixIvf.params("nprobe") == fixIvf.params("nlist") / 2)
     // a corpus with DIFFERENT geometry: multi-table LSH measured 0.85
     // there (vs the fixture's 0.73) — the calibrated advisor flips the
     // 0.8-target family from IVF to the cheaper multi-table config
@@ -580,7 +590,7 @@ class OperatorsSpec extends SparkTestBase {
       5000000L, easyGeom)
     assert(flip.family == "lsh-multitable",
       s"cheaper measured-capable family must win: $flip")
-    assert(flip.candidatesPerQuery < fix.candidatesPerQuery)
+    assert(flip.candidatesPerQuery < fixIvf.candidatesPerQuery)
     // a HARD corpus: IVF at 1/2 only measured 0.6 — nothing meets 0.8,
     // the advisor falls back to the best measured config and says so
     val hardGeom = Seq(
@@ -620,6 +630,160 @@ class OperatorsSpec extends SparkTestBase {
       dup.params("nlist") == 32L)
     // determinism
     assert(IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 200000L) == tight)
+  }
+
+  test("adviseServing: graph branch on the memory axis (DiskANN flip)") {
+    // candidate budget binds AND the graph index fits: nu=2000 at a
+    // 450 kB budget — full precision (512 kB) doesn't fit, IVFPQ needs
+    // 1250 candidates/query > 300, graph-pq fits at 408 kB
+    val g = IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 450000L)
+    assert(g.family == "graph-pq" && g.params("d") == 24L &&
+      g.candidatesPerQuery == 24L * 25L * 4L)
+    // shrinking ONLY the memory budget flips graph-pq -> ivfpq (the
+    // graph no longer fits; best fit under memory, rationale says why)
+    val pq = IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 200000L)
+    assert(pq.family == "ivfpq" && pq.rationale.contains("graph-pq would"))
+    // raising ONLY the candidate budget flips graph-pq -> ivfpq too
+    // (when IVFPQ meets the candidate budget it wins on memory)
+    val pq2 = IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 1300L, 450000L)
+    assert(pq2.family == "ivfpq" && !pq2.rationale.contains("graph-pq"))
+    // nothing fits -> loud failure, never an advice claiming a false fit
+    intercept[IllegalArgumentException] {
+      IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 10000L)
+    }
+    // determinism
+    assert(IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 450000L) == g)
+  }
+
+  test("adviseCalibrated: the refined-graph fixture row is choosable") {
+    import graft.operators.IndexAdvisor
+    // a candidate budget no corpus-sized family can meet at n=1e7:
+    // only the graph rows' corpus-size-independent costs fit, and only
+    // the REFINED row (q304's 0.924) meets the 0.8 target — the stale
+    // pre-refinement 0.296 entry could never be chosen, which is what
+    // kept the advisor pessimistic on the graph family (round-9
+    // verdict finding #6)
+    val a = IndexAdvisor.adviseCalibrated(10000000L, 64, 0.0, 0.8, 3000L,
+      IndexAdvisor.fixtureRecallTable)
+    assert(a.family == "graph-beam" && a.params("beam") == 24L &&
+      a.params("d") == 24L, s"refined graph row must win: $a")
+  }
+
+  test("pqCodes + beamPqTopKFrom: complete graph + wide beam = exact top-k") {
+    // deterministic 24-node corpus (fixed LCG, nonzero vectors)
+    var st = 98765L
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    val vecs = (0L until 24L).map(i => (i, Array.fill(8)(nx())))
+    val corpus = vecs.toDF("cid", "ce")
+    // codes: one code per (member, subspace), codes drawn from seeds
+    val codes = Similarity.pqCodes(corpus, nSub = 4, nCodes = 8, dim = 8)
+    assert(codes.count() == 24L * 4L)
+    assert(codes.agg(max("code")).head().getLong(0) < 8L)
+    // replication-invariance of the encode: duplicating every vector
+    // 3x yields exactly the per-member expansion of the same codes
+    val dup = corpus.unionByName(corpus.withColumn("cid", col("cid") + 100L))
+      .unionByName(corpus.withColumn("cid", col("cid") + 200L))
+    val codesDup = Similarity.pqCodes(dup, nSub = 4, nCodes = 8, dim = 8)
+      .withColumn("cid", col("cid") % 100L).distinct()
+    def ts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ts(codesDup) == ts(codes))
+    // serving: with a COMPLETE graph, entries anywhere, and beam >=
+    // corpus size, the final pool contains every candidate, so the
+    // exact re-rank reproduces brute-force cosineTopK exactly
+    val qs = corpus.filter(col("cid") < 5)
+      .select(col("cid").as("qid"), col("ce").as("qe"))
+    val complete = (for (u <- 0L until 24L; v <- 0L until 24L if u != v)
+      yield (u, v)).toDF("u", "v")
+    val entries = qs.select(col("qid")).withColumn("cid", lit(0L))
+    val got = Similarity.beamPqTopKFrom(qs, corpus, complete, codes,
+        entries, k = 3, beam = 24, rounds = 1, nSub = 4, nCodes = 8,
+        dim = 8)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.cosineTopK(qs, corpus, k = 3)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact)
+  }
+
+  test("beamPqSemDedupBatch: complete-graph alerts = exact scan; dedup-first expansion") {
+    var st = 424242L
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    val corpus = (0L until 20L).map(i => (i, Array.fill(8)(nx())))
+      .toDF("cid", "ce")
+    val batch = (100L until 106L).map(i => (i, Array.fill(8)(nx())))
+      .toDF("da", "ea")
+    val codes = Similarity.pqCodes(corpus, nSub = 4, nCodes = 8, dim = 8)
+    val complete = (for (u <- 0L until 20L; v <- 0L until 20L if u != v)
+      yield (u, v)).toDF("u", "v")
+    val cents = broadcast(corpus.orderBy("cid").limit(4)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    def alerts(b: org.apache.spark.sql.DataFrame) =
+      Similarity.beamPqSemDedupBatch(b, corpus, complete, codes, cents,
+          beam = 20, rounds = 1, nSub = 4, nCodes = 8, dim = 8,
+          threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // complete graph + beam >= corpus: the visited list is the whole
+    // corpus, so alerts == the exact probe x corpus threshold scan
+    val got = alerts(batch)
+    val exact = Similarity.cosineTopK(
+        batch.select(col("da").as("qid"), col("ea").as("qe")), corpus,
+        k = 20)
+      .filter(col("cos") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact && got.nonEmpty)
+    // dedup-first: duplicated probe payloads expand through the group
+    // map — each copy gets exactly its original's alert rows
+    val dupBatch = batch.unionByName(
+      batch.withColumn("da", col("da") + 1000L))
+    val gotDup = alerts(dupBatch)
+    assert(gotDup == got ++ got.map { case (a, b) => (a + 1000L, b) })
+  }
+
+  test("q314 sampled calibration decides like full calibration at both SFs") {
+    import graft.operators.IndexAdvisor
+    import graft.operators.IndexAdvisor.RecallRow
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val corpus = emb
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val st = corpus.agg(count(lit(1)).as("n"),
+        countDistinct(col("ce")).as("nu")).head()
+      val n = st.getLong(0); val nu = st.getLong(1)
+      // the q306/q314 measurement+decision procedure over a given
+      // measurement corpus (full vs the fixed-size Lehmer sample)
+      def decide(c: org.apache.spark.sql.DataFrame): String = {
+        val exact = Similarity.cosineTopK(qs, c, k = 5)
+          .select("qid", "cid").persist()
+        val nq = exact.select("qid").distinct().count()
+        def m(ann: org.apache.spark.sql.DataFrame): Double = exact
+          .join(ann.select("qid", "cid"), Seq("qid", "cid"))
+          .count().toDouble / (5.0 * nq)
+        val mi = m(Similarity.ivfTopKProbe(qs, c, k = 5, nlist = 16,
+          nprobe = 8))
+        val ml = m(Similarity.lshMultiTableTopK(qs, c, k = 5, nPlanes = 4,
+          dim = 64, nTables = 8))
+        exact.unpersist()
+        IndexAdvisor.adviseCalibrated(n, 64, 1.0 - nu.toDouble / n, 0.5,
+          (nu * 11L + 19L) / 20L, Seq(
+            RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), mi),
+            RecallRow("lsh-multitable",
+              Map("nTables" -> 8L, "nPlanes" -> 4L, "k" -> 5L), ml))).family
+      }
+      val sample = corpus.orderBy(
+          pmod(col("cid") * lit(2654435761L), lit(1000003L)), col("cid"))
+        .limit(500)
+      val full = decide(corpus)
+      assert(decide(sample) == full, s"sampled decision must match at $dir")
+      // and the flip across SFs is preserved (the q306 geometry)
+      if (dir.endsWith("sf0.01")) assert(full == "lsh-multitable")
+      else assert(full == "ivf")
+    }
   }
 
   test("nnDescentEdges: degree cap, monotone best edge, exact on complete seed") {
