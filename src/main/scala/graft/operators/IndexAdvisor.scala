@@ -88,16 +88,14 @@ object IndexAdvisor {
     * measured. Feeding [[fixtureRecallTable]] reproduces [[advise]]'s
     * family choice at the fixture's operating points.
     */
-  def adviseCalibrated(n: Long, dim: Int, dupRate: Double,
-      targetRecall: Double, candidateBudget: Long,
-      measured: Seq[RecallRow]): Advice = {
-    require(measured.nonEmpty, "calibration needs >= 1 measured row")
-    val base = advise(n, dim, dupRate, targetRecall, candidateBudget)
-    if (base.family == "brute") return base
-    val dedup = dupRate >= 0.1
-    val nu = math.max(1L, math.round(n * (1.0 - dupRate)))
-    // re-derive each measured config's cost at THIS corpus size
-    val configs: Seq[(Advice, Double)] = measured.flatMap { r =>
+  /** Re-derive each measured config's per-query candidate cost (and
+    * operator params) at THIS corpus size — shared by
+    * [[adviseCalibrated]] and [[adviseCalibratedServing]]. The two
+    * compressed families (ivfpq, graph-pq) are understood too, so a
+    * measured table can span the whole ANN family. */
+  private def calibratedConfigs(nu: Long, dedup: Boolean,
+      candidateBudget: Long, measured: Seq[RecallRow]): Seq[(Advice, Double)] =
+    measured.flatMap { r =>
       def p(k: String, d: Long = 0L) = r.params.getOrElse(k, d)
       r.family match {
         case "ivf" if p("nprobe", 1L) > 0 && p("nlist", 1L) > 0 =>
@@ -127,9 +125,98 @@ object IndexAdvisor {
             Map("d" -> p("d", 4L), "beam" -> p("beam", 8L),
               "rounds" -> p("rounds", 3L)), cand,
             s"calibrated: measured ${r.recall} recall@k, corpus-size-independent cost") -> r.recall)
+        case "ivfpq" if p("nprobe", 1L) > 0 && p("nlist", 1L) > 0 =>
+          // the q309/q310 re-derivation: nlist grows with the corpus,
+          // nprobe keeps the MEASURED row's ratio, rerank is the
+          // SQL-mirrored q308 dial clamped by the candidate budget
+          val nlist = pow2Near(math.sqrt(nu.toDouble))
+          val nprobe = math.max(1L, p("nprobe", 1L) * nlist / p("nlist", 1L))
+          val rerank = math.min(candidateBudget,
+            math.max(100L, 3L * nu / 20L))
+          val cand = nu * nprobe / nlist
+          Some(Advice("ivfpq", dedup,
+            Map("nlist" -> nlist, "nprobe" -> nprobe,
+              "nSub" -> p("nSub", 16L), "nCodes" -> p("nCodes", 16L),
+              "rerank" -> rerank, "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k at nprobe/nlist=" +
+              s"${p("nprobe", 1L)}/${p("nlist", 1L)}") -> r.recall)
+        case "graph-pq" =>
+          val cand = p("beam", 24L) * (p("d", 24L) + 1L) * p("rounds", 4L)
+          Some(Advice("graph-pq", dedup,
+            Map("d" -> p("d", 24L), "beam" -> p("beam", 24L),
+              "rounds" -> p("rounds", 4L), "nSub" -> p("nSub", 16L),
+              "nCodes" -> p("nCodes", 16L), "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k, corpus-size-independent cost over resident codes") -> r.recall)
         case _ => None
       }
     }
+
+  /** Resident index bytes for an advised config at corpus size `nu` —
+    * the memory axis of [[adviseCalibratedServing]]. Full-precision
+    * families serve from raw vectors; graph-beam additionally holds
+    * its edge list; the compressed families hold codes (+ edges). */
+  private def residentBytes(a: Advice, nu: Long, dim: Int): Long = {
+    def p(k: String, d: Long) = a.params.getOrElse(k, d)
+    a.family match {
+      case "ivfpq" => nu * (4L + p("nSub", 16L) * 4L / 8L + 4L)
+      case "graph-pq" => nu * (p("d", 24L) * 8L + p("nSub", 16L) * 4L / 8L + 4L)
+      case "graph-beam" => nu * (dim * 4L + p("d", 4L) * 8L)
+      case _ => nu * dim * 4L
+    }
+  }
+
+  /** [[adviseCalibrated]] × [[adviseServing]] unified: decisions from
+    * the MEASURED recall table under BOTH budgets — per-query
+    * candidates AND resident-index bytes (q315). Each measured row
+    * re-derives its cost and params at this corpus
+    * ([[calibratedConfigs]], now spanning the compressed families) and
+    * its resident bytes ([[residentBytes]]); rows that fit neither
+    * budget are inadmissible; selection is adviseCalibrated's —
+    * cheapest admissible config meeting the target, (cost, recall
+    * DESC, family) tie-break, best-admissible fallback — and an empty
+    * admissible set FAILS LOUDLY (the adviseServing honesty rule).
+    * Brute force short-circuits only when the raw vectors themselves
+    * fit both budgets. All arithmetic exact Long (BIGINT-replayable).
+    */
+  def adviseCalibratedServing(n: Long, dim: Int, dupRate: Double,
+      targetRecall: Double, candidateBudget: Long,
+      memoryBudgetBytes: Long, measured: Seq[RecallRow]): Advice = {
+    require(measured.nonEmpty, "calibration needs >= 1 measured row")
+    require(memoryBudgetBytes > 0)
+    val dedup = dupRate >= 0.1
+    val nu = math.max(1L, math.round(n * (1.0 - dupRate)))
+    if (nu <= candidateBudget && nu * dim * 4L <= memoryBudgetBytes)
+      return Advice("brute", dedup, Map("k" -> 5L), nu,
+        s"corpus ($nu unique) fits both budgets — recall 1.0 at accepted cost (q46)")
+    val configs = calibratedConfigs(nu, dedup, candidateBudget, measured)
+    val admissible = configs.filter { case (a, _) =>
+      a.candidatesPerQuery <= candidateBudget &&
+        residentBytes(a, nu, dim) <= memoryBudgetBytes }
+    require(admissible.nonEmpty,
+      s"no measured family fits candidateBudget=$candidateBudget AND " +
+        s"memoryBudgetBytes=$memoryBudgetBytes at nu=$nu — measure a " +
+        "compressed config (ivfpq/graph-pq) or raise a budget")
+    val meeting = admissible.filter(_._2 >= targetRecall)
+    def pick(cs: Seq[(Advice, Double)]): Advice = cs.minBy { case (a, rec) =>
+      (a.candidatesPerQuery, -rec, a.family) }._1
+    if (meeting.nonEmpty) pick(meeting)
+    else {
+      val (a, _) = admissible.maxBy { case (a, r2) =>
+        (r2, -a.candidatesPerQuery.toDouble) }
+      a.copy(rationale = a.rationale +
+        s" — best measured below target $targetRecall")
+    }
+  }
+
+  def adviseCalibrated(n: Long, dim: Int, dupRate: Double,
+      targetRecall: Double, candidateBudget: Long,
+      measured: Seq[RecallRow]): Advice = {
+    require(measured.nonEmpty, "calibration needs >= 1 measured row")
+    val base = advise(n, dim, dupRate, targetRecall, candidateBudget)
+    if (base.family == "brute") return base
+    val dedup = dupRate >= 0.1
+    val nu = math.max(1L, math.round(n * (1.0 - dupRate)))
+    val configs = calibratedConfigs(nu, dedup, candidateBudget, measured)
     val inBudget = configs.filter(_._1.candidatesPerQuery <= candidateBudget)
     val meeting = inBudget.filter(_._2 >= targetRecall)
     def pick(cs: Seq[(Advice, Double)]): Advice = cs.minBy { case (a, rec) =>

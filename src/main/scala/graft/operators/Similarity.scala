@@ -856,11 +856,18 @@ object Similarity {
     val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
     val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    pool.join(broadcast(q), "qid").join(c, "cid")
+    val result = pool.join(broadcast(q), "qid").join(c, "cid")
       .select(col("qid"), col("cid"),
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+    // call-local cache lifecycle (the round-9 operator finding): the
+    // answer-sized result is materialized, then the index's grouped
+    // frame is released HERE — nothing waits for a harness clearCache
+    val out = graft.util.Scratch.dir("ivfpq_topk")
+    result.write.mode("overwrite").parquet(out)
+    idx.grp.unpersist()
+    queries.sparkSession.read.parquet(out)
   }
 
   /** Per-micro-batch semantic-dedup scoring against a PQ-compressed
@@ -937,8 +944,10 @@ object Similarity {
     * broadcast of |Q|·beam·(d+1) candidate rows hash-joined against the
     * corpus scan (corpus never shuffles), plus a window whose groups
     * are capped at beam·(d+1) rows (bounded-GROUP-SIZE, so the
-    * bounded-cardinality-partition trap does not apply). Frontiers are
-    * persisted: each feeds two lineage paths (edge expansion + union).
+    * bounded-cardinality-partition trap does not apply). Round
+    * boundaries are cut to scratch parquet — each frontier feeds two
+    * lineage paths (edge expansion + union), and the cut keeps the
+    * cache lifecycle call-local (no persists survive the call).
     */
   def beamTopK(
       queries: DataFrame, // qid, qe
@@ -970,13 +979,24 @@ object Similarity {
       k: Int,
       beam: Int,
       rounds: Int): DataFrame = {
-    NativeExpressions.register(queries.sparkSession)
+    val spark = queries.sparkSession
+    NativeExpressions.register(spark)
     val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
     val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    // each round boundary is CUT to scratch parquet (bounded |Q|·beam
+    // rows): the next round references the frontier through two lineage
+    // paths (edge expansion + union), and a persist would outlive the
+    // call (the round-9 operator-lifecycle finding) — the write is
+    // answer-sized and leaves nothing cached behind
+    def cut(df: DataFrame, label: String): DataFrame = {
+      val out = graft.util.Scratch.dir(s"beam_$label")
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
     var frontier = entries.select(col("qid"), col("cid"))
       .withColumn("cos", lit(null).cast("double"))
-    for (_ <- 1 to rounds) {
-      val f = frontier.persist()
+    for (r <- 1 to rounds) {
+      val f = frontier
       val expanded = f.join(edges, f("cid") === edges("u"))
         .select(col("qid"), col("v").as("cid"))
         .unionByName(f.select("qid", "cid")).distinct()
@@ -986,8 +1006,9 @@ object Similarity {
         .select(col("qid"), col("cid"),
           round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      frontier = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam).select(col("qid"), col("cid"), col("cos"))
+      frontier = cut(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("cid"), col("cos")), s"f$r")
     }
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     frontier.withColumn("rnk", row_number().over(w).cast("long"))

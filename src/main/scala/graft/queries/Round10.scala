@@ -552,6 +552,179 @@ object Round10 {
         SELECT qid, cid FROM annr_lsh
           WHERE (SELECT fam FROM chosen) = 'lsh-multitable'),
       ${Round6c.recallTailSql}"""
-      }))
+      })),
+
+    // ---- UNIFIED advisor: calibrated decisions under a memory budget ----
+    // q306 calibrates from measured rows (candidate budget only); q310
+    // decides compression from byte arithmetic (fixture-calibrated
+    // recall literals only). This row unifies the axes — the verdict's
+    // "one entry point taking measured rows AND memoryBudgetBytes":
+    // the q279 IVF row and the q309 IVFPQ row are re-measured LIVE
+    // through the harness's own exact-top-5 metric, and
+    // adviseCalibratedServing picks the cheapest measured config that
+    // fits BOTH budgets and meets the target. The decision genuinely
+    // flips on the MEMORY axis across SFs: at nu=500 both families fit
+    // the 200 kB budget and IVF wins on candidate cost (250 vs 312);
+    // at nu=2000 the full-precision IVF index (512 kB) is inadmissible
+    // and the advice is IVFPQ at the re-derived dials nlist=32/
+    // nprobe=20/rerank=300 — exactly q310's serve (0.920), but now
+    // reached from MEASURED recalls instead of fixture literals. The
+    // candidate budget 9·nu/10 is exact BIGINT (< nu so brute can't
+    // pre-empt; > both configs' re-derived costs so the candidate axis
+    // never masks the memory flip). Oracle replays both measurement
+    // pipelines (the IVFADC chain instantiated twice via CTE-name
+    // prefixes), the byte/cost/budget arithmetic, the admissibility
+    // filter, the (cost, rec DESC, fam) selection, and BOTH serving
+    // branches gated by the SQL-computed family.
+    "q315_llm_ann_calibrated_memory" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0)
+        val nu = st.getLong(1)
+        val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
+        val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
+        val nq = exact.select("qid").distinct().count()
+        def measured(ann: org.apache.spark.sql.DataFrame): Double = {
+          val hits = exact
+            .join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"))
+            .count()
+          hits.toDouble / (5.0 * nq)
+        }
+        val mi = measured(Similarity.ivfTopKProbe(qs, corpus, k = 5,
+          nlist = 16, nprobe = 8))
+        val mp = measured(Similarity.ivfPqTopK(qs, corpus, k = 5,
+          nlist = 16, nprobe = 10, nSub = 16, nCodes = 16, dim = 64,
+          rerank = math.max(100L, n * 3L / 20L).toInt))
+        val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
+          dupRate, targetRecall = Round9.CalTarget,
+          candidateBudget = nu * 9L / 10L,
+          memoryBudgetBytes = 200000L,
+          measured = Seq(
+            IndexAdvisor.RecallRow("ivf",
+              Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), mi),
+            IndexAdvisor.RecallRow("ivfpq",
+              Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
+                "nCodes" -> 16L, "k" -> 5L), mp)))
+        adv.family match {
+          case "ivf" => Similarity.ivfTopKProbe(qs, corpus, k = 5,
+            nlist = adv.params("nlist").toInt,
+            nprobe = adv.params("nprobe").toInt)
+          case "ivfpq" => Similarity.ivfPqTopK(qs, corpus, k = 5,
+            nlist = adv.params("nlist").toInt,
+            nprobe = adv.params("nprobe").toInt,
+            nSub = adv.params("nSub").toInt,
+            nCodes = adv.params("nCodes").toInt, dim = 64,
+            rerank = adv.params("rerank").toInt)
+          case other => sys.error(
+            s"unified advisor picked unreachable family $other")
+        }
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      nq AS (SELECT COUNT(DISTINCT qid) AS nq FROM exr),
+      -- measurement 1: the q279 IVF row (nlist=16, nprobe=8)
+      mcent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      mqa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, mcent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      mqa AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM mqa0) WHERE r <= 8),
+      mca0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM c2 q, mcent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      mca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM mca0) WHERE r = 1),
+      mscored AS (SELECT mqa.id AS qid, mca.id AS cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM mqa JOIN mca ON mqa.centroid_id = mca.centroid_id AND mqa.id <> mca.id
+        JOIN embeddings q ON mqa.id = q.vec_id
+        JOIN embeddings c ON mca.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      mannr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM mscored) WHERE rnk <= 5),
+      mi AS (SELECT CAST((SELECT COUNT(*) FROM exr JOIN mannr
+            ON exr.qid = mannr.qid AND exr.cid = mannr.cid) AS DOUBLE)
+          / (5.0 * (SELECT nq FROM nq)) AS rec),
+      -- measurement 2: the q309 IVFPQ row (16/10, 16x16, q308 rerank dial)
+      ${Round9.ivfPqSqlE("16", "10",
+        "GREATEST(100, (SELECT COUNT(*) FROM embeddings) * 3 // 20)",
+        nSub = 16, nCodes = 16, prefix = "p")},
+      mpannr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM prsc) WHERE rnk <= 5),
+      mp AS (SELECT CAST((SELECT COUNT(*) FROM exr JOIN mpannr
+            ON exr.qid = mpannr.qid AND exr.cid = mpannr.cid) AS DOUBLE)
+          / (5.0 * (SELECT nq FROM nq)) AS rec),
+      -- the unified decision: costs/bytes re-derived in BIGINT, rows
+      -- admissible iff they fit BOTH budgets, cheapest meeting target
+      st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM embeddings),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      np AS (SELECT GREATEST(1, (SELECT nlist FROM nl) // 2) AS nprobe),
+      np2 AS (SELECT GREATEST(1, (10 * (SELECT nlist FROM nl)) // 16) AS nprobe),
+      bud AS (SELECT ((SELECT nu FROM st) * 9) // 10 AS b),
+      rr AS (SELECT LEAST((SELECT b FROM bud),
+          GREATEST(100, 3 * (SELECT nu FROM st) // 20)) AS rerank),
+      cfg AS (
+        SELECT 'ivf' AS fam,
+            ((SELECT nu FROM st) * (SELECT nprobe FROM np)) // (SELECT nlist FROM nl) AS cand,
+            (SELECT nu FROM st) * 64 * 4 AS bytes,
+            (SELECT rec FROM mi) AS rec
+        UNION ALL
+        SELECT 'ivfpq' AS fam,
+            ((SELECT nu FROM st) * (SELECT nprobe FROM np2)) // (SELECT nlist FROM nl) AS cand,
+            (SELECT nu FROM st) * 13 AS bytes,
+            (SELECT rec FROM mp) AS rec),
+      adm AS (SELECT * FROM cfg
+        WHERE cand <= (SELECT b FROM bud) AND bytes <= 200000),
+      chosen AS (SELECT COALESCE(
+        (SELECT fam FROM adm WHERE rec >= ${Round9.CalTarget}
+         ORDER BY cand, rec DESC, fam LIMIT 1),
+        (SELECT fam FROM adm ORDER BY rec DESC, cand, fam LIMIT 1)) AS fam),
+      -- serving branch A: calibrated IVF over the full corpus
+      vcent AS (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < (SELECT nlist FROM nl)),
+      vqa0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, vcent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      vqa AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM vqa0) WHERE r <= (SELECT nprobe FROM np)),
+      vca0 AS (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM c2 q, vcent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      vca AS (SELECT id, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM vca0) WHERE r = 1),
+      vsc AS (SELECT vqa.id AS qid, vca.id AS cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM vqa JOIN vca ON vqa.centroid_id = vca.centroid_id AND vqa.id <> vca.id
+        JOIN embeddings q ON vqa.id = q.vec_id
+        JOIN embeddings c ON vca.id = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      annr_ivf AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM vsc) WHERE rnk <= 5),
+      -- serving branch B: IVFPQ at the re-derived dials (q310's chain)
+      ${Round9.ivfPqSqlE("(SELECT nlist FROM nl)", "(SELECT nprobe FROM np2)",
+        "(SELECT rerank FROM rr)", nSub = 16, nCodes = 16)},
+      annr AS (
+        SELECT qid, cid FROM annr_ivf
+          WHERE (SELECT fam FROM chosen) = 'ivf'
+        UNION ALL
+        SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM rsc) WHERE rnk <= 5 AND (SELECT fam FROM chosen) = 'ivfpq'),
+      ${Round6c.recallTailSql}"""))
   )
 }

@@ -163,51 +163,52 @@ object Round9 {
   /** [[ivfPqSql]] with the nlist / nprobe / rerank dials as SQL
     * EXPRESSIONS (scalar subqueries allowed) — q310 gates the chain on
     * its SQL-replayed advised dials; q309 passes literals. */
-  private def ivfPqSqlE(nlistE: String, nprobeE: String, rerankE: String,
-      nSub: Int, nCodes: Int): String = {
+  private[queries] def ivfPqSqlE(nlistE: String, nprobeE: String, rerankE: String,
+      nSub: Int, nCodes: Int, prefix: String = ""): String = {
     val dsub = 64 / nSub
-    s"""cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
+    def c(n: String) = prefix + n
+    s"""${c("cent")} AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
         FROM embeddings WHERE vec_id < ($nlistE)),
-      ia0 AS MATERIALIZED (SELECT e.vec_id AS cid, c.centroid_id,
+      ${c("ia0")} AS MATERIALIZED (SELECT e.vec_id AS cid, c.centroid_id,
           round(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
-        FROM embeddings e, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
-      ica AS MATERIALIZED (SELECT cid, centroid_id FROM (SELECT cid, centroid_id,
+        FROM embeddings e, ${c("cent")} c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      ${c("ica")} AS MATERIALIZED (SELECT cid, centroid_id FROM (SELECT cid, centroid_id,
           row_number() OVER (PARTITION BY cid ORDER BY d DESC, centroid_id) AS r
-        FROM ia0) WHERE r = 1),
-      iqa AS MATERIALIZED (SELECT cid AS qid, centroid_id FROM (SELECT cid, centroid_id,
+        FROM ${c("ia0")}) WHERE r = 1),
+      ${c("iqa")} AS MATERIALIZED (SELECT cid AS qid, centroid_id FROM (SELECT cid, centroid_id,
           row_number() OVER (PARTITION BY cid ORDER BY d DESC, centroid_id) AS r
-        FROM ia0 WHERE cid < 50) WHERE r <= ($nprobeE)),
-      cqx AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
+        FROM ${c("ia0")} WHERE cid < 50) WHERE r <= ($nprobeE)),
+      ${c("cqx")} AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
           CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
         FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),
-      rres AS MATERIALIZED (SELECT cqx.cid, cqx.i, cqx.x - ct.x AS rx
-        FROM cqx JOIN ica ON cqx.cid = ica.cid
-        JOIN cqx ct ON ct.cid = ica.centroid_id AND ct.i = cqx.i),
-      pqc AS MATERIALIZED (SELECT i, cid AS code, rx AS px FROM rres
+      ${c("rres")} AS MATERIALIZED (SELECT ${c("cqx")}.cid, ${c("cqx")}.i, ${c("cqx")}.x - ct.x AS rx
+        FROM ${c("cqx")} JOIN ${c("ica")} ON ${c("cqx")}.cid = ${c("ica")}.cid
+        JOIN ${c("cqx")} ct ON ct.cid = ${c("ica")}.centroid_id AND ct.i = ${c("cqx")}.i),
+      ${c("pqc")} AS MATERIALIZED (SELECT i, cid AS code, rx AS px FROM ${c("rres")}
         WHERE cid >= ($nlistE) AND cid < ($nlistE) + $nCodes),
-      enc0 AS MATERIALIZED (SELECT r.cid, (r.i - 1) // $dsub AS s, p.code,
+      ${c("enc0")} AS MATERIALIZED (SELECT r.cid, (r.i - 1) // $dsub AS s, p.code,
           SUM((r.rx - p.px) * (r.rx - p.px)) AS dist
-        FROM rres r JOIN pqc p ON r.i = p.i GROUP BY 1, 2, 3),
-      enc AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
+        FROM ${c("rres")} r JOIN ${c("pqc")} p ON r.i = p.i GROUP BY 1, 2, 3),
+      ${c("enc")} AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
           row_number() OVER (PARTITION BY cid, s ORDER BY dist, code) AS rn
-        FROM enc0) WHERE rn = 1),
-      qres AS MATERIALIZED (SELECT cqx.cid AS qid, iqa.centroid_id AS cl, cqx.i,
-          cqx.x - ct.x AS rx
-        FROM cqx JOIN iqa ON cqx.cid = iqa.qid
-        JOIN cqx ct ON ct.cid = iqa.centroid_id AND ct.i = cqx.i),
-      lut AS MATERIALIZED (SELECT q.qid, q.cl, (q.i - 1) // $dsub AS s, p.code,
+        FROM ${c("enc0")}) WHERE rn = 1),
+      ${c("qres")} AS MATERIALIZED (SELECT ${c("cqx")}.cid AS qid, ${c("iqa")}.centroid_id AS cl, ${c("cqx")}.i,
+          ${c("cqx")}.x - ct.x AS rx
+        FROM ${c("cqx")} JOIN ${c("iqa")} ON ${c("cqx")}.cid = ${c("iqa")}.qid
+        JOIN ${c("cqx")} ct ON ct.cid = ${c("iqa")}.centroid_id AND ct.i = ${c("cqx")}.i),
+      ${c("lut")} AS MATERIALIZED (SELECT q.qid, q.cl, (q.i - 1) // $dsub AS s, p.code,
           SUM((q.rx - p.px) * (q.rx - p.px)) AS d
-        FROM qres q JOIN pqc p ON q.i = p.i GROUP BY 1, 2, 3, 4),
-      adc AS MATERIALIZED (SELECT lut.qid, enc.cid, SUM(lut.d) AS dist
-        FROM enc JOIN ica ON enc.cid = ica.cid
-        JOIN lut ON lut.cl = ica.centroid_id AND lut.s = enc.s AND lut.code = enc.code
-        WHERE enc.cid <> lut.qid GROUP BY 1, 2),
-      pool AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
-          row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM adc)
+        FROM ${c("qres")} q JOIN ${c("pqc")} p ON q.i = p.i GROUP BY 1, 2, 3, 4),
+      ${c("adc")} AS MATERIALIZED (SELECT ${c("lut")}.qid, ${c("enc")}.cid, SUM(${c("lut")}.d) AS dist
+        FROM ${c("enc")} JOIN ${c("ica")} ON ${c("enc")}.cid = ${c("ica")}.cid
+        JOIN ${c("lut")} ON ${c("lut")}.cl = ${c("ica")}.centroid_id AND ${c("lut")}.s = ${c("enc")}.s AND ${c("lut")}.code = ${c("enc")}.code
+        WHERE ${c("enc")}.cid <> ${c("lut")}.qid GROUP BY 1, 2),
+      ${c("pool")} AS MATERIALIZED (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM ${c("adc")})
         WHERE rn <= ($rerankE)),
-      rsc AS MATERIALIZED (SELECT pool.qid, pool.cid, ${Round6c.cosSql("q", "c")} AS cos
-        FROM pool JOIN embeddings q ON pool.qid = q.vec_id
-        JOIN embeddings c ON pool.cid = c.vec_id,
+      ${c("rsc")} AS MATERIALIZED (SELECT ${c("pool")}.qid, ${c("pool")}.cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM ${c("pool")} JOIN embeddings q ON ${c("pool")}.qid = q.vec_id
+        JOIN embeddings c ON ${c("pool")}.cid = c.vec_id,
         (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY 1, 2)"""
   }

@@ -655,6 +655,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(IndexAdvisor.adviseServing(2000L, 64, 0.0, 0.8, 300L, 450000L) == g)
   }
 
+  test("adviseCalibratedServing: measured rows under both budgets (q315)") {
+    import graft.operators.IndexAdvisor
+    import graft.operators.IndexAdvisor.RecallRow
+    val rows = Seq(
+      RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.8),
+      RecallRow("ivfpq", Map("nlist" -> 16L, "nprobe" -> 10L,
+        "nSub" -> 16L, "nCodes" -> 16L, "k" -> 5L), 0.82))
+    // both fit the 200 kB budget at nu=500 -> candidate-cheapest wins
+    val a = IndexAdvisor.adviseCalibratedServing(500L, 64, 0.0, 0.5, 450L,
+      200000L, rows)
+    assert(a.family == "ivf" && a.candidatesPerQuery == 250L)
+    // 4x the vectors: the raw IVF index (512 kB) is inadmissible on
+    // MEMORY -> ivfpq at the re-derived dials (q310's serve)
+    val b = IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.5,
+      1800L, 200000L, rows)
+    assert(b.family == "ivfpq" && b.params("nlist") == 32L &&
+      b.params("nprobe") == 20L && b.params("rerank") == 300L)
+    // loosening ONLY the memory budget restores the cheaper IVF
+    val c0 = IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.5,
+      1800L, 1000000L, rows)
+    assert(c0.family == "ivf")
+    // nothing admissible -> loud failure, never a lying fit
+    intercept[IllegalArgumentException] {
+      IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.5, 1800L,
+        10000L, Seq(rows.head))
+    }
+    // brute short-circuits only when the raw vectors fit BOTH budgets
+    val br = IndexAdvisor.adviseCalibratedServing(100L, 64, 0.0, 0.9,
+      200L, 200000L, rows)
+    assert(br.family == "brute")
+    // determinism
+    assert(IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.5,
+      1800L, 200000L, rows) == b)
+  }
+
   test("adviseCalibrated: the refined-graph fixture row is choosable") {
     import graft.operators.IndexAdvisor
     // a candidate budget no corpus-sized family can meet at n=1e7:

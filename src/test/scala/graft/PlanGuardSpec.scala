@@ -144,12 +144,19 @@ class PlanGuardSpec extends SparkTestBase {
     "q310_llm_ann_ivfpq_advised",  // q309 class + the 1-row corpus-stats
                                    // scalar feeding adviseServing (q294
                                    // class)
-    "q306_llm_ann_calibrated"      // q279/q280 class: the harness's 50-row
+    "q306_llm_ann_calibrated",     // q279/q280 class: the harness's 50-row
                                    // query broadcast (exact side + both
                                    // measurement passes) + 16/32-row centroid
                                    // broadcasts; candidate joins are hash
                                    // equi-joins; decision inputs are 1-row
                                    // stats + recall scalars (q294 class)
+    "q315_llm_ann_calibrated_memory" // q306 class: the served branch's
+                                   // assignToCentroids crossJoins against
+                                   // limit-bounded centroid broadcasts; the
+                                   // measurement passes run eagerly (their
+                                   // plans are the whitelisted q279/q309
+                                   // shapes); decision inputs are 1-row
+                                   // stats + recall scalars
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,
