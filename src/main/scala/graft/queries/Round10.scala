@@ -297,6 +297,74 @@ object Round10 {
       SELECT qid AS da, cid AS db, cos FROM rsc WHERE cos >= 0.35
       ORDER BY da, db"""
 
+  /** q316's merge-table depth. 8 rounds keeps both the unrolled oracle
+    * and the training loop bounded while exercising multi-char symbol
+    * merges (later rounds merge symbols earlier rounds created). */
+  private[queries] val BpeRounds = 8
+
+  /** Shared word normalization (q171's): lowercase, non-letters to
+    * spaces, collapse, split; words of 2..30 chars. */
+  private val BpeNormSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))"""
+
+  /** DuckDB replay of `rounds` BPE merge-TRAINING rounds over the
+    * slot≠0 training corpus — the q171 kernel unrolled (the
+    * nnDescentSql chaining pattern): per round, count adjacent symbol
+    * pairs over the weighted distinct-word table (tp_i), pick the most
+    * frequent pair with the (cnt DESC, a, b) tie-break (tb_i — 1 row),
+    * and apply the boundary-anchored double replace everywhere
+    * (tvoc_i; the q171 non-overlap argument). Emits tb_1..tb_rounds
+    * (the MERGE TABLE — rank i IS the CTE index) and the final
+    * tvoc_rounds. COALESCE guards make an exhausted vocabulary merge
+    * nothing instead of NULLing the corpus. All CTEs MATERIALIZED. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val head =
+      s"""tw0 AS MATERIALIZED (SELECT unnest(string_split($BpeNormSql, ' ')) AS w
+        FROM documents WHERE (doc_id * 2654435761) % 10 <> 0),
+      tvoc0 AS MATERIALIZED (SELECT
+          ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' ' AS seq,
+          COUNT(*) AS f
+        FROM tw0 WHERE length(w) BETWEEN 2 AND 30 GROUP BY w)"""
+    val steps = (1 to rounds).map { i =>
+      s"""tp$i AS MATERIALIZED (SELECT sy[i.i] AS a, sy[i.i + 1] AS b, SUM(f) AS cnt
+        FROM (SELECT string_split(trim(seq), ' ') AS sy, f FROM tvoc${i - 1}),
+          (SELECT unnest(range(1, 31)) AS i) i
+        WHERE i.i + 1 <= len(sy) GROUP BY 1, 2),
+      tb$i AS MATERIALIZED (SELECT a, b FROM tp$i ORDER BY cnt DESC, a, b LIMIT 1),
+      tvoc$i AS MATERIALIZED (SELECT replace(replace(seq,
+          COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM tb$i), chr(1)),
+          COALESCE((SELECT ' ' || a || b || ' ' FROM tb$i), chr(1))),
+          COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM tb$i), chr(1)),
+          COALESCE((SELECT ' ' || a || b || ' ' FROM tb$i), chr(1))) AS seq, f
+        FROM tvoc${i - 1})"""
+    }
+    (head +: steps).mkString(",\n      ")
+  }
+
+  /** DuckDB replay of the ENCODE stage: the frozen merge table
+    * (tb_1..tb_rounds) applied IN RANK ORDER to the slot=0 probe
+    * corpus's distinct words — the same chained double-replace, one
+    * CTE per rank. Emits pvoc_rounds (seq, f) plus pw (w, f). */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val head =
+      s"""pw0 AS MATERIALIZED (SELECT unnest(string_split($BpeNormSql, ' ')) AS w
+        FROM documents WHERE (doc_id * 2654435761) % 10 = 0),
+      pw AS MATERIALIZED (SELECT w, COUNT(*) AS f FROM pw0
+        WHERE length(w) BETWEEN 2 AND 30 GROUP BY w),
+      pvoc0 AS MATERIALIZED (SELECT
+          ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' ' AS seq,
+          f FROM pw)"""
+    val steps = (1 to rounds).map { i =>
+      s"""pvoc$i AS MATERIALIZED (SELECT replace(replace(seq,
+          COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM tb$i), chr(1)),
+          COALESCE((SELECT ' ' || a || b || ' ' FROM tb$i), chr(1))),
+          COALESCE((SELECT ' ' || a || ' ' || b || ' ' FROM tb$i), chr(1)),
+          COALESCE((SELECT ' ' || a || b || ' ' FROM tb$i), chr(1))) AS seq, f
+        FROM pvoc${i - 1})"""
+    }
+    (head +: steps).mkString(",\n      ")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- DiskANN-shaped serving: graph navigation × PQ compression -----
@@ -726,5 +794,126 @@ object Round10 {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
           FROM rsc) WHERE rnk <= 5 AND (SELECT fam FROM chosen) = 'ivfpq'),
       ${Round6c.recallTailSql}"""))
+,
+
+    // ---- BPE tokenizer: train merge table, ENCODE with it ---------------
+    // q171 trains ONE merge round; the missing tokenizer half is
+    // APPLYING a frozen merge table to encode text — iterative
+    // pair-merge in rank order, vocabulary-bounded rounds. Train/apply
+    // split on the q305 slot convention: 8 merge rounds are induced on
+    // the slot≠0 documents (each round = the q171 kernel: weighted
+    // adjacent-pair count over the DISTINCT-word table, (cnt DESC, a,
+    // b) argmax, boundary-anchored double replace — all per-word work
+    // bounded by vocabulary size and word length, never corpus size),
+    // the merge table is a fixture-keyed artifact (a TOKENIZER is the
+    // canonical train-once-apply-many artifact), and the slot=0 probe
+    // corpus is ENCODED by folding the frozen merges in rank order —
+    // one composed 2R-deep replace projection per distinct probe word
+    // (codegen'd, rep-level, replication-invariant; the 8-row merge
+    // collect is the bounded plan-choice class). Output: the encoded
+    // probe corpus's top-25 token frequencies (the symbol string IS
+    // the token id — ids are a bijection away) plus three
+    // reconciliation rows computed INDEPENDENTLY by both engines:
+    // __total_words__ (reconciles with the q49-class corpus word
+    // count), __total_chars__, and __total_tokens__ — chars = tokens +
+    // merges-applied by construction, so the hash compare cross-checks
+    // the whole encode, not just the head of the distribution. Oracle:
+    // the training rounds UNROLLED as chained MATERIALIZED CTEs (the
+    // nnDescentSql pattern — WITH RECURSIVE can't argmax per round)
+    // and the encode chain replayed per rank.
+    "q316_llm_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val slot = pmod(col("doc_id") * lit(2654435761L), lit(10L))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        def vocabOf(d: DataFrame): DataFrame = d
+          .select(explode(split(norm, " ")).as("w"))
+          .filter(length(col("w")).between(2, 30))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        def adjPairs(df: DataFrame): DataFrame = df
+          .select(col("f"), split(trim(col("seq")), " ").as("sy"))
+          .select(col("f"), explode(expr(
+            "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i+1] AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("f").as("cnt"))
+        val mergesDf = graft.util.FixtureArtifact.parquet(s, dir,
+          "documents.parquet", s"bpe_merges_r$BpeRounds") {
+          var voc = vocabOf(docs.filter(slot =!= 0))
+            .select(concat(lit(" "),
+              array_join(expr("filter(split(w, ''), x -> x != '')"), " "),
+              lit(" ")).as("seq"), col("f"))
+          val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+          for (r <- 1 to BpeRounds) {
+            // the per-round argmax is a 1-row scalar (plan-choice
+            // class); each round boundary is cut to scratch parquet
+            // (the iterative-build lineage rule)
+            val best = adjPairs(voc)
+              .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+              .select("a", "b").collect()
+            if (best.nonEmpty) {
+              val a = best(0).getString(0); val b = best(0).getString(1)
+              acc += ((r.toLong, a, b))
+              val pat = s" $a $b "; val rep = s" $a$b "
+              val out = graft.util.Scratch.dir(s"bpe_t$r")
+              voc.select(expr(
+                  s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
+                  .as("seq"), col("f"))
+                .write.mode("overwrite").parquet(out)
+              voc = s.read.parquet(out)
+            }
+          }
+          import s.implicits._
+          acc.toSeq.toDF("rank", "a", "b")
+        }
+        val merges = mergesDf.orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        val pw = vocabOf(docs.filter(slot === 0))
+        val enc = merges.foldLeft(pw.select(
+            concat(lit(" "),
+              array_join(expr("filter(split(w, ''), x -> x != '')"), " "),
+              lit(" ")).as("seq"), col("f"), col("w"))) {
+          case (d, (a, b)) =>
+            val pat = s" $a $b "; val rep = s" $a$b "
+            d.select(expr(
+              s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
+              .as("seq"), col("f"), col("w"))
+        }
+        val tf = enc.select(explode(split(trim(col("seq")), " ")).as("token"),
+            col("f"))
+          .groupBy("token").agg(sum("f").cast("long").as("freq"))
+        val top = tf.orderBy(col("freq").desc, col("token")).limit(25)
+        val stats = enc.agg(
+          sum(col("f")).cast("long").as("words"),
+          sum(col("f") * length(col("w"))).cast("long").as("chars"),
+          sum(col("f") * size(split(trim(col("seq")), " ")))
+            .cast("long").as("toks"))
+        val statRows = stats.select(explode(array(
+          struct(lit("__total_words__").as("token"), col("words").as("freq")),
+          struct(lit("__total_chars__").as("token"), col("chars").as("freq")),
+          struct(lit("__total_tokens__").as("token"), col("toks").as("freq"))))
+          .as("r")).select(col("r.token"), col("r.freq"))
+        top.unionByName(statRows)
+          .orderBy(col("freq").desc, col("token"))
+      },
+      Some(s"""WITH ${bpeTrainSql(BpeRounds)},
+      ${bpeEncodeSql(BpeRounds)},
+      ptoks AS (SELECT unnest(string_split(trim(seq), ' ')) AS token, f
+        FROM pvoc$BpeRounds),
+      tf AS (SELECT token, CAST(SUM(f) AS BIGINT) AS freq FROM ptoks GROUP BY 1),
+      top AS (SELECT token, freq FROM (SELECT token, freq,
+          row_number() OVER (ORDER BY freq DESC, token) AS rn FROM tf)
+        WHERE rn <= 25),
+      stats AS (
+        SELECT '__total_words__' AS token, CAST(SUM(f) AS BIGINT) AS freq FROM pw
+        UNION ALL
+        SELECT '__total_chars__', CAST(SUM(f * length(w)) AS BIGINT) FROM pw
+        UNION ALL
+        SELECT '__total_tokens__',
+          CAST(SUM(f * len(string_split(trim(seq), ' '))) AS BIGINT)
+        FROM pvoc$BpeRounds)
+      SELECT token, freq FROM (SELECT * FROM top UNION ALL SELECT * FROM stats)
+      ORDER BY freq DESC, token"""))
   )
 }
