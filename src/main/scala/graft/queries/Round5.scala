@@ -896,13 +896,12 @@ object Round5 {
     // feeds both the join and the union).
     "q227_graph_sssp" -> QueryDef(
       (s, dir) => {
-        val co = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val edges = co.as("a").join(co.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_suppkey") =!= col("b.l_suppkey"))
-          .groupBy(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-          .agg(count(lit(1)).as("cnt"))
+        // the expensive order-key self-join is the shared fixture
+        // artifact (q169's build); co-occurrence is symmetric, so the
+        // u<v half expands to both directions by a cheap union
+        val pc = Round4b.supplierCoPairs(s, dir)
+        val edges = pc.select(col("u").as("src"), col("v").as("dst"), col("w").as("cnt"))
+          .unionAll(pc.select(col("v").as("src"), col("u").as("dst"), col("w").as("cnt")))
           .select(col("src"), col("dst"),
             expr("1 + 1000000 DIV cnt").as("w"))
           .persist()
