@@ -663,7 +663,8 @@ object Round10 {
           nlist = 16, nprobe = 8))
         val mp = measured(Similarity.ivfPqTopK(qs, corpus, k = 5,
           nlist = 16, nprobe = 10, nSub = 16, nCodes = 16, dim = 64,
-          rerank = math.max(100L, n * 3L / 20L).toInt))
+          rerank = math.max(100L, n * 3L / 20L).toInt,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq"))))
         val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
           dupRate, targetRecall = Round9.CalTarget,
           candidateBudget = nu * 9L / 10L,
@@ -683,7 +684,8 @@ object Round10 {
             nprobe = adv.params("nprobe").toInt,
             nSub = adv.params("nSub").toInt,
             nCodes = adv.params("nCodes").toInt, dim = 64,
-            rerank = adv.params("rerank").toInt)
+            rerank = adv.params("rerank").toInt,
+            artifact = Some((dir, "embeddings.parquet", "ivfpq")))
           case other => sys.error(
             s"unified advisor picked unreachable family $other")
         }

@@ -648,7 +648,8 @@ object Round9 {
         val n = corpus.count() // plan-choice scalar (q295 class)
         Similarity.ivfPqTopK(qs, corpus, k = 5, nlist = 16, nprobe = 10,
           nSub = 16, nCodes = 16, dim = 64,
-          rerank = math.max(100L, n * 3L / 20L).toInt)
+          rerank = math.max(100L, n * 3L / 20L).toInt,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq")))
       }),
       Some(s"""${Round6c.exactRecallCte},
       ${ivfPqSql(nlist = 16, nprobe = 10, nSub = 16, nCodes = 16)},
@@ -690,7 +691,8 @@ object Round9 {
             nprobe = adv.params("nprobe").toInt,
             nSub = adv.params("nSub").toInt,
             nCodes = adv.params("nCodes").toInt,
-            dim = 64, rerank = adv.params("rerank").toInt)
+            dim = 64, rerank = adv.params("rerank").toInt,
+            artifact = Some((dir, "embeddings.parquet", "ivfpq")))
         else {
           // the fits-in-memory branch: advise() delegation; on a
           // dup-heavy corpus that ALSO fits, dedup-first IVF serving
@@ -783,7 +785,8 @@ object Round9 {
         val idx = Similarity.ivfPqIndex(corpus0,
           nlist = adv.params("nlist").toInt,
           nSub = adv.params("nSub").toInt,
-          nCodes = adv.params("nCodes").toInt, dim = 64)
+          nCodes = adv.params("nCodes").toInt, dim = 64,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq_slotc")))
         // the standing pieces joined per micro-batch are materialized
         // once (grp is persisted inside ivfPqIndex); released after
         // the stream drains (q297/q298 discipline)
