@@ -1180,6 +1180,50 @@ object Similarity {
     * an id-level artifact), so duplicates cost pool slots, not extra
     * cosines — the walk count never grows with replication.
     */
+  /** Incremental maintenance of a standing graph index — the DiskANN
+    * INSERT path (q317): each new rep (one per distinct payload in the
+    * micro-batch — the index is rep-level) walks the standing graph
+    * ([[beamPqVisitedScored]]: ADC-guided, exact re-rank of the
+    * bounded visited list), its top-`dOut` visited neighbors by
+    * (cos DESC, cid) become the NEW NODE's out-edges (bounded and
+    * per-rep-deterministic), and each chosen target contributes a
+    * candidate REVERSE edge (standing node → new rep) so the graph
+    * stays navigable TOWARD inserted nodes. Reverse edges are emitted
+    * UNCAPPED — the reader caps them at top-`dOut` per standing node
+    * over the ACCUMULATED set (cos DESC, new id): capping at read time
+    * is what makes the maintained edge set BATCH-SPLIT INVARIANT (a
+    * per-batch cap would depend on which reps happened to share a
+    * micro-batch — the q296-class ordering hazard). Forward and
+    * reverse key spaces are disjoint by the ingest slot split, so an
+    * idempotent MERGE on (u, v) accumulates safely.
+    */
+  def graphInsertBatch(
+      batch: DataFrame, // da, ea
+      corpus: DataFrame, // cid, ce — cold storage
+      edges: DataFrame, // u, v — standing refined graph
+      codes: DataFrame, // cid, s, code — standing PQ codes
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      dOut: Int): DataFrame = {
+    NativeExpressions.register(batch.sparkSession)
+    val g = batch.groupBy("ea").agg(min("da").as("rep"))
+    val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
+    val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
+      .select(col("qid"), col("centroid_id").as("cid"))
+    val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
+      beam, rounds, nSub, nCodes, dim)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val fwd = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= dOut)
+      .select(col("qid").as("u"), col("cid").as("v"), col("cos"))
+    fwd.unionByName(
+      fwd.select(col("v").as("u"), col("u").as("v"), col("cos")))
+  }
+
   def beamPqSemDedupBatch(
       batch: DataFrame, // da, ea
       corpus: DataFrame, // cid, ce — cold storage

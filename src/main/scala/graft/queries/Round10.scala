@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.operators.{IndexAdvisor, Similarity}
 import graft.sources.Tables
@@ -916,6 +917,120 @@ object Round10 {
           CAST(SUM(f * len(string_split(trim(seq), ' '))) AS BIGINT)
         FROM pvoc$BpeRounds)
       SELECT token, freq FROM (SELECT * FROM top UNION ALL SELECT * FROM stats)
-      ORDER BY freq DESC, token"""))
+      ORDER BY freq DESC, token""")),
+
+    // ---- incremental graph-index maintenance (the DiskANN insert) ------
+    // q313 alerts against the standing graph but never UPDATES it; this
+    // row is the named next step (round-9 verdict item 4's optional
+    // half): each streamed rep is INSERTED — its ADC-guided walk's
+    // exact-reranked visited list supplies the new node's top-8
+    // out-edges, and each chosen target gets a candidate reverse edge
+    // so the graph stays navigable TOWARD inserted nodes (the
+    // NN-Descent reverse-neighbor discipline applied online). Reverse
+    // edges accumulate uncapped in the MERGE table and are capped at
+    // READ time (top-8 per standing node, cos DESC then new-id) —
+    // batch-split invariant by construction: a per-batch cap would
+    // depend on which reps shared a micro-batch (spec-tested: one
+    // batch vs two halves yield identical final edge sets). Forward
+    // and reverse key spaces are disjoint by the slot split, so the
+    // idempotent MERGE accumulates safely. Per-rep insert cost =
+    // one q312 walk + dOut edge writes — corpus-size-independent.
+    // Oracle: the q313 walk chain, exact re-rank, top-8 forward
+    // selection, the reverse union, and the read-time cap replayed
+    // with the same slot-gated window.
+    "q317_stream_graph_insert" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+        graft.plans.NativeExpressions.register(s)
+        val corpus0 = emb.filter(slot =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val st = corpus0.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0); val nu = st.getLong(1)
+        val adv = IndexAdvisor.adviseServing(n, dim = 64,
+          dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n,
+          targetRecall = 0.8, candidateBudget = 200L,
+          memoryBudgetBytes = 224L * nu)
+        require(adv.family == "graph-pq",
+          s"the 224 B/vector budget must force the graph index: $adv")
+        val edges = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet",
+          s"nnd_d${adv.params("d")}_r${Round9.NnRounds}_stitched_d4_p6_t4_slotc") {
+          val stitched = graft.util.FixtureArtifact.parquet(s, dir,
+            "embeddings.parquet", "stitched_d4_p6_t4_slotc")(
+            Similarity.lshKnnEdgesMultiTable(corpus0, d = 4,
+              nPlanes = 6, dim = 64, nTables = 4))
+          Similarity.nnDescentEdges(stitched, corpus0,
+            d = adv.params("d").toInt, rounds = Round9.NnRounds)
+        }
+        val codes = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "pqcodes_s16_c16_slotc")(
+          Similarity.pqCodes(corpus0, nSub = adv.params("nSub").toInt,
+            nCodes = adv.params("nCodes").toInt, dim = 64))
+        val cents = broadcast(corpus0.orderBy("cid").limit(16)
+          .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.graph_inserts")
+        s.sql("""CREATE TABLE graftmem.graph_inserts
+          (u BIGINT, v BIGINT, cos DOUBLE)""")
+        val src = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val probe = src.filter(
+            pmod(col("vec_id") * lit(2654435761L), lit(10L)) === 0)
+          .select(col("vec_id").as("da"), col("embedding").as("ea"))
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              Similarity.graphInsertBatch(batch, corpus0, edges, codes,
+                  cents, beam = adv.params("beam").toInt,
+                  rounds = adv.params("rounds").toInt,
+                  nSub = adv.params("nSub").toInt,
+                  nCodes = adv.params("nCodes").toInt, dim = 64, dOut = 8)
+                .createOrReplaceTempView("q317_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.graph_inserts t USING q317_batch b
+                  ON t.u = b.u AND t.v = b.v
+                  WHEN NOT MATCHED THEN INSERT (u, v, cos)
+                    VALUES (b.u, b.v, b.cos)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // the read-time reverse cap: forward rows (u = inserted rep,
+        // slot 0) pass through — already <= dOut per rep by
+        // construction; standing nodes keep their top-8 accumulated
+        // reverse edges (cos DESC, new id)
+        val acc = s.sql("SELECT u, v, cos FROM graftmem.graph_inserts")
+        val wCap = Window.partitionBy("u").orderBy(col("cos").desc, col("v"))
+        acc.withColumn("rn",
+            when(pmod(col("u") * lit(2654435761L), lit(10L)) === 0, lit(0))
+              .otherwise(row_number().over(wCap)))
+          .filter(col("rn") <= 8)
+          .select(col("u"), col("v"), col("cos"))
+          .orderBy("u", "v")
+      },
+      Some(s"""WITH ${Round8.stitchedEdgesSql(d = 4, nPlanes = 6, nTables = 4,
+        out = "e0", where = CorpPred)},
+      ${Round9.nnDescentSql(rounds = Round9.NnRounds, d = Round9.NnDegree,
+        src = "e0", out = "e")},
+      ${ingestPqSql(nSub = 16, nCodes = 16, nCents = 16)},
+      ${beamRoundsAdcSql(rounds = IngestRounds, beam = IngestBeam)},
+      rsc AS MATERIALIZED (SELECT pool.qid, pool.cid, ${Round6c.cosSql("q", "c")} AS cos
+        FROM pool JOIN embeddings q ON pool.qid = q.vec_id
+        JOIN embeddings c ON pool.cid = c.vec_id,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      fwd AS MATERIALIZED (SELECT qid AS u, cid AS v, cos FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+          FROM rsc) WHERE rn <= 8),
+      allx AS MATERIALIZED (SELECT u, v, cos FROM fwd
+        UNION ALL SELECT v AS u, u AS v, cos FROM fwd),
+      capped AS (SELECT u, v, cos FROM (SELECT u, v, cos,
+          CASE WHEN (u * 2654435761) % 10 = 0 THEN 0
+               ELSE row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) END AS rn
+        FROM allx) WHERE rn <= 8)
+      SELECT u, v, cos FROM capped ORDER BY u, v"""))
   )
 }

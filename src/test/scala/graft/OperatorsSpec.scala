@@ -821,6 +821,44 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("graphInsertBatch: batch-split invariant maintenance (q317)") {
+    var st = 13579L
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    val corpus = (0L until 20L).map(i => (i, Array.fill(8)(nx())))
+      .toDF("cid", "ce")
+    val batch = (100L until 106L).map(i => (i, Array.fill(8)(nx())))
+      .toDF("da", "ea")
+    val codes = Similarity.pqCodes(corpus, nSub = 4, nCodes = 8, dim = 8)
+    val complete = (for (u <- 0L until 20L; v <- 0L until 20L if u != v)
+      yield (u, v)).toDF("u", "v")
+    val cents = broadcast(corpus.orderBy("cid").limit(4)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    // the MERGE-accumulate + read-time cap, as the q317 reader does
+    // (probe ids here are >= 100 instead of the slot hash)
+    def finalEdges(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val acc = batches.map(b =>
+          Similarity.graphInsertBatch(b, corpus, complete, codes, cents,
+            beam = 20, rounds = 1, nSub = 4, nCodes = 8, dim = 8, dOut = 3))
+        .reduce(_ unionByName _).dropDuplicates("u", "v")
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("cos").desc, col("v"))
+      acc.withColumn("rn", when(col("u") >= 100L, lit(0))
+          .otherwise(row_number().over(wCap)))
+        .filter(col("rn") <= 3).select("u", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val whole = finalEdges(Seq(batch))
+    val split = finalEdges(Seq(batch.filter(col("da") < 103L),
+      batch.filter(col("da") >= 103L)))
+    assert(whole == split && whole.nonEmpty)
+    // every inserted node has exactly dOut out-edges; standing nodes
+    // are capped at dOut accumulated reverse edges
+    val outDeg = whole.groupBy(_._1).view.mapValues(_.size)
+    assert((100L until 106L).forall(outDeg(_) == 3))
+    assert(outDeg.filter(_._1 < 100L).values.forall(_ <= 3))
+  }
+
   test("nnDescentEdges: degree cap, monotone best edge, exact on complete seed") {
     // deterministic 30-node corpus (fixed LCG, nonzero vectors)
     var st = 12345L
