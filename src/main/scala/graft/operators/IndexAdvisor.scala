@@ -192,10 +192,29 @@ object IndexAdvisor {
     val admissible = configs.filter { case (a, _) =>
       a.candidatesPerQuery <= candidateBudget &&
         residentBytes(a, nu, dim) <= memoryBudgetBytes }
-    require(admissible.nonEmpty,
-      s"no measured family fits candidateBudget=$candidateBudget AND " +
-        s"memoryBudgetBytes=$memoryBudgetBytes at nu=$nu — measure a " +
-        "compressed config (ivfpq/graph-pq) or raise a budget")
+    if (admissible.isEmpty) {
+      // the corpus-size-independent escape (q322, mirroring
+      // adviseServing's documented fallback semantics): when every
+      // measured row blows the candidate budget, a measured
+      // graph-family row whose INDEX fits memory is still the best
+      // available advice — its cost is the only one that stops
+      // growing with nu. Selection among graph rows: recall DESC,
+      // then cheaper (the adviseCalibrated fallback-tier order).
+      val graphFit = configs.filter { case (a, _) =>
+        (a.family == "graph-pq" || a.family == "graph-beam") &&
+          residentBytes(a, nu, dim) <= memoryBudgetBytes }
+      require(graphFit.nonEmpty,
+        s"no measured family fits candidateBudget=$candidateBudget AND " +
+          s"memoryBudgetBytes=$memoryBudgetBytes at nu=$nu — measure a " +
+          "compressed config (ivfpq/graph-pq) or raise a budget")
+      val (a, _) = graphFit.maxBy { case (a2, r2) =>
+        (r2, -a2.candidatesPerQuery.toDouble) }
+      return a.copy(rationale = a.rationale +
+        s" — no measured family fits candidateBudget=$candidateBudget; " +
+        s"best available: graph cost ${a.candidatesPerQuery} is " +
+        "corpus-size-independent (every scan-based family's cost grows " +
+        "with nu) and the index fits the memory budget")
+    }
     val meeting = admissible.filter(_._2 >= targetRecall)
     def pick(cs: Seq[(Advice, Double)]): Advice = cs.minBy { case (a, rec) =>
       (a.candidatesPerQuery, -rec, a.family) }._1
@@ -312,6 +331,95 @@ object IndexAdvisor {
       else ivfpq(s" — graph-pq would meet the $candidateBudget candidate " +
         s"budget but needs $bytesGraphPq B > memory budget; candidate " +
         s"budget exceeded at $ivfpqCand (best fit under memory)")
+    }
+  }
+
+  /** Calibrated selection for ATTRIBUTE-FILTERED serving (q320) — the
+    * production "metadata predicate × vector top-k" shape. Inputs are
+    * the standing corpus size `nu` (unique vectors) and the predicate's
+    * surviving count `fNu` (the selectivity, kept as an exact integer
+    * pair so the whole decision replays in BIGINT — never a float
+    * fraction). Decision order:
+    *
+    *   1. `fNu <= candidateBudget` → **brute-filtered**: scan exactly
+    *      the predicate's survivors — recall 1.0 at a cost the budget
+    *      already accepts. Under selective filters this is the honest
+    *      production answer (a 5% filter on any corpus the scan-based
+    *      budgets could serve leaves a subset brute force can): every
+    *      filtered index only discards candidates the budget could
+    *      afford to score.
+    *   2. Otherwise pick among MEASURED filtered rows (the q318/q319
+    *      harness rows): per-query cost re-derived at THIS (nu, fNu) —
+    *      ivf-filtered scans probed cells ∩ filter, expected
+    *      fNu·nprobe/nlist survivors (nlist re-derived at sqrt(nu),
+    *      nprobe scaled to keep the measured row's over-probe ratio);
+    *      graph-filtered walks the FULL graph (cost beam·(d+1)·rounds —
+    *      corpus-size- AND selectivity-independent; only the bounded
+    *      re-rank is filtered). Cheapest admissible config meeting the
+    *      target; (cost, recall DESC, family) tie-break;
+    *      best-admissible fallback.
+    *   3. Nothing admissible → the measured graph-filtered row (its
+    *      cost stops growing with nu), loudly; no graph row measured →
+    *      fail loudly.
+    */
+  def adviseFiltered(nu: Long, fNu: Long, targetRecall: Double,
+      candidateBudget: Long, measured: Seq[RecallRow]): Advice = {
+    require(nu > 0 && fNu >= 0 && fNu <= nu && candidateBudget > 0)
+    if (fNu <= candidateBudget)
+      return Advice("brute-filtered", dedupFirst = false, Map("k" -> 5L),
+        fNu, s"filtered subset ($fNu of $nu ids) fits the candidate " +
+          "budget — exact scan of the predicate's survivors, recall 1.0")
+    val configs: Seq[(Advice, Double)] = measured.flatMap { r =>
+      def p(k: String, d: Long = 0L) = r.params.getOrElse(k, d)
+      r.family match {
+        case "ivf-filtered" if p("nlist", 1L) > 0 && p("nprobe", 1L) > 0 =>
+          val nlist = pow2Near(math.sqrt(nu.toDouble))
+          val nprobe = math.min(nlist,
+            math.max(1L, p("nprobe", 1L) * nlist / p("nlist", 1L)))
+          val cand = fNu * nprobe / nlist
+          Some(Advice("ivf-filtered", dedupFirst = false,
+            Map("nlist" -> nlist, "nprobe" -> nprobe, "k" -> p("k", 5L)),
+            cand,
+            s"calibrated: measured ${r.recall} filtered recall@k at " +
+              s"nprobe/nlist=${p("nprobe", 1L)}/${p("nlist", 1L)} — " +
+              "standing full-corpus index, predicate applied to the " +
+              "probed cell lists") -> r.recall)
+        case "graph-filtered" =>
+          val cand = p("beam", 24L) * (p("d", 24L) + 1L) * p("rounds", 4L)
+          Some(Advice("graph-filtered", dedupFirst = false,
+            Map("d" -> p("d", 24L), "beam" -> p("beam", 24L),
+              "rounds" -> p("rounds", 4L), "nSub" -> p("nSub", 16L),
+              "nCodes" -> p("nCodes", 16L), "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} filtered recall@k — full-" +
+              "graph walk, filter on the bounded re-rank only; cost " +
+              "corpus-size- and selectivity-independent") -> r.recall)
+        case _ => None
+      }
+    }
+    require(configs.nonEmpty,
+      "filtered calibration needs >= 1 measured ivf-filtered/" +
+        "graph-filtered row once fNu exceeds the budget")
+    val admissible = configs.filter(_._1.candidatesPerQuery <= candidateBudget)
+    val meeting = admissible.filter(_._2 >= targetRecall)
+    def pick(cs: Seq[(Advice, Double)]): Advice = cs.minBy { case (a, rec) =>
+      (a.candidatesPerQuery, -rec, a.family) }._1
+    if (meeting.nonEmpty) pick(meeting)
+    else if (admissible.nonEmpty) {
+      val (a, _) = admissible.maxBy { case (a2, r2) =>
+        (r2, -a2.candidatesPerQuery.toDouble) }
+      a.copy(rationale = a.rationale +
+        s" — best measured below target $targetRecall")
+    } else {
+      val graph = configs.filter(_._1.family == "graph-filtered")
+      require(graph.nonEmpty,
+        s"no measured filtered family fits candidateBudget=" +
+          s"$candidateBudget at (nu=$nu, fNu=$fNu) and no graph row " +
+          "was measured")
+      val (a, _) = graph.maxBy { case (a2, r2) =>
+        (r2, -a2.candidatesPerQuery.toDouble) }
+      a.copy(rationale = a.rationale +
+        s" — no measured filtered family fits candidateBudget=" +
+        s"$candidateBudget; best available (cost stops growing with nu)")
     }
   }
 

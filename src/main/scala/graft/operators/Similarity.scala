@@ -226,6 +226,53 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** ATTRIBUTE-FILTERED IVF serving (q318/q320) — the most common
+    * production vector-query shape: filter by metadata (lang, source,
+    * date window), THEN nearest neighbors. The index is the STANDING
+    * full-corpus one ([[ivfTopKProbe]]'s: centroids and cell
+    * assignments are built over the WHOLE corpus and do not change per
+    * filter — rebuilding an index per predicate is not a serving
+    * pattern); the filter applies at QUERY TIME to the scanned cell
+    * lists, as a semi-join against `keep` (cid) — production pushes
+    * the predicate into the cell-list scan over the metadata column,
+    * which the semi-join models without binding this operator to where
+    * the attribute lives. The known failure mode this operator exists
+    * to measure: under a selective filter the probed cells EMPTY OUT —
+    * expected surviving candidates ≈ sel·nu·nprobe/nlist — so recall
+    * collapses unless nprobe is raised (over-probing, the q318 sweep)
+    * or the filtered subset is brute-forced outright (fNu ≤ budget —
+    * the advisor's filtered short-circuit, q320). Scale shape:
+    * identical to [[ivfTopKProbe]] plus one hash semi-join on the
+    * candidate side (filter-sized build, broadcastable when the
+    * predicate is selective).
+    */
+  def ivfTopKProbeWhere(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce — the standing index's corpus (FULL)
+      keep: DataFrame, // cid — ids passing the metadata predicate
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val centroids = broadcast(
+      corpus.orderBy("cid").limit(nlist)
+        .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val qb = assignToCentroids(
+      queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")),
+      "qid", "qe", centroids, nprobe)
+    val cb = assignToCentroids(
+      corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")),
+      "cid", "ce", centroids, 1)
+      .join(keep.select("cid"), Seq("cid"), "left_semi")
+    val scored = qb.join(cb, "centroid_id")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF with a Lloyd-REFINED coarse quantizer: seed centroids from the
     * first `nlist` corpus vectors, run `rounds` k-means iterations on
     * the int64-quantized embeddings (the q225 kernel — floor(x·1e6)
@@ -585,6 +632,43 @@ object Similarity {
         .filter(col("rn") <= d).select(col("u"), col("v")), s"e$r")
     }
     edges
+  }
+
+  /** Standing-graph DELETE + COMPACTION — the other half of the
+    * incremental maintenance story ([[graphInsertBatch]] inserts;
+    * takedowns/TTL delete). Deletion is logical-then-physical: the
+    * accumulated tombstone set drops every edge with a tombstoned
+    * ENDPOINT (two anti-joins — u-side removes the node's own
+    * out-list, v-side removes it from every standing node's out-list,
+    * which is the read-time form of reverse-edge cleanup: no walk can
+    * reach a deleted node), and the compaction pass repairs the
+    * navigability damage — nodes that lost out-edges to deletion get
+    * them back through `rounds` NN-Descent refinement rounds over the
+    * pruned edge set and the SURVIVING corpus ([[nnDescentEdges]]:
+    * candidates are neighbors-of-neighbors, scored exact, top-`d`
+    * kept — tombstoned nodes cannot re-enter because the corpus join
+    * no longer contains their vectors). On a COMPLETE seed the
+    * pruned-then-refined graph is row-identical to a from-scratch
+    * rebuild on the survivors (complete(V)∖T ≡ complete(V∖T) — the
+    * spec's exact-equivalence anchor); on sparse production seeds the
+    * equivalence is approximate and the harness measures the recall
+    * the compacted graph actually serves (q321). Scale shape: two
+    * hash anti-joins against the tombstone set (broadcastable — a
+    * takedown set is small) + the refinement rounds' bounded-candidate
+    * joins; nothing corpus-quadratic.
+    */
+  def graphDeleteCompact(
+      edges: DataFrame, // u, v — the standing graph
+      corpus: DataFrame, // cid, ce — cold storage (full, pre-delete)
+      tombstones: DataFrame, // cid — deleted node ids
+      d: Int,
+      rounds: Int): DataFrame = {
+    val t = tombstones.select("cid")
+    val survivors = corpus.join(t, Seq("cid"), "left_anti")
+    val pruned = edges
+      .join(t.select(col("cid").as("u")), Seq("u"), "left_anti")
+      .join(t.select(col("cid").as("v")), Seq("v"), "left_anti")
+    nnDescentEdges(pruned, survivors, d, rounds)
   }
 
   /** Product-quantization top-k (Jégou et al., PAMI'11): split the
@@ -1099,10 +1183,72 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** ATTRIBUTE-FILTERED DiskANN-shaped serving (q319/q320): the walk
+    * NAVIGATES THE FULL GRAPH — frontier ranking stays unfiltered,
+    * because filtered-out nodes are exactly what keeps the graph
+    * connected under a selective predicate (pruning them from the walk
+    * is the known recall-collapse mode: the filtered subgraph
+    * fragments) — and the filter applies where DiskANN's own filtered
+    * variant applies it, to the RESULT pool: the exact re-rank stage
+    * scores only visited ∩ `keep`, so the expensive full-precision
+    * joins are filter-pruned and the emitted top-k all satisfy the
+    * predicate. Recall under a selective filter is pool containment of
+    * the FILTERED truth in the visited list (the q295/q308 law on a
+    * new axis) — the q319 sweep measures exactly that at ~50% and ~5%
+    * selectivity, with `rounds`/`beam` as the recovery dials (more
+    * walk = more visited = more filtered survivors). Per-query cost is
+    * still ≤ beam·(d+1)·rounds ADC lookups + a ≤-same-bound exact
+    * re-rank — corpus-size-independent AND selectivity-independent on
+    * the walk side.
+    */
+  def beamPqTopKFromWhere(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce — cold storage; final rerank only
+      edges: DataFrame, // u, v — the resident graph (FULL corpus)
+      codes: DataFrame, // cid, s, code — the resident PQ codes
+      entries: DataFrame, // qid, cid (bounded per qid)
+      keep: DataFrame, // cid — ids passing the metadata predicate
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int): DataFrame = {
+    val scored = beamPqVisitedScored(queries, corpus, edges, codes,
+      entries, beam, rounds, nSub, nCodes, dim, keep = Some(keep))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The exact-reranked VISITED list of one ADC-guided walk (qid, cid,
+    * cos) — the DiskANN search list with exact scores. Public so a
+    * dial-grid query (q319) can run ONE walk and re-rank several
+    * filtered views of the bounded pool (a filtered top-k from this
+    * frame is value-identical to [[beamPqTopKFromWhere]]: same
+    * visited ∩ keep candidate set, same exact scores — spec-tested);
+    * [[beamPqTopKFrom]] / [[beamPqTopKFromWhere]] are its top-k
+    * serving forms. */
+  def beamPqVisited(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      edges: DataFrame, // u, v
+      codes: DataFrame, // cid, s, code
+      entries: DataFrame, // qid, cid
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int): DataFrame =
+    beamPqVisitedScored(queries, corpus, edges, codes, entries, beam,
+      rounds, nSub, nCodes, dim)
+
   /** The ADC-guided walk + exact visited-list re-rank shared by the
     * top-k server ([[beamPqTopKFrom]]) and the streaming ingest scorer
     * ([[beamPqSemDedupBatch]]): returns every VISITED candidate with
-    * its exact rounded cosine (qid, cid, cos). */
+    * its exact rounded cosine (qid, cid, cos). `keep` (optional)
+    * restricts the EXACT RE-RANK to visited ∩ keep — the walk itself
+    * always navigates unfiltered (see [[beamPqTopKFromWhere]]). */
   private def beamPqVisitedScored(
       queries: DataFrame, // qid, qe
       corpus: DataFrame, // cid, ce
@@ -1113,7 +1259,8 @@ object Similarity {
       rounds: Int,
       nSub: Int,
       nCodes: Int,
-      dim: Int): DataFrame = {
+      dim: Int,
+      keep: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     NativeExpressions.register(spark)
     val dsub = dim / nSub
@@ -1157,10 +1304,72 @@ object Similarity {
       visited = if (visited == null) ids else visited.unionByName(ids)
     }
     // the one full-precision stage: exact re-rank of the VISITED list
+    // (∩ keep when filtering — prune BEFORE the expensive vector join)
     val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
-    visited.distinct().join(broadcast(q), "qid").join(c, "cid")
+    val pool = keep.foldLeft(visited.distinct()) { (v, kset) =>
+      v.join(kset.select("cid"), Seq("cid"), "left_semi") }
+    pool.join(broadcast(q), "qid").join(c, "cid")
       .select(col("qid"), col("cid"),
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+  }
+
+  /** Incremental maintenance of a standing graph index — the DiskANN
+    * INSERT path (q317): each new rep (one per distinct payload in the
+    * micro-batch — walks are rep-level, replication-invariant) walks
+    * the standing graph ([[beamPqVisitedScored]]: ADC-guided, exact
+    * re-rank of the bounded visited list), its top-`dOut` visited
+    * neighbors by (cos DESC, cid) become the NEW NODE's out-edges
+    * (bounded and per-rep-deterministic), and each chosen target
+    * contributes a candidate REVERSE edge (standing node → new rep) so
+    * the graph stays navigable TOWARD inserted nodes. The rep's edges
+    * are then EXPANDED through the batch's duplicate-group map — every
+    * inserted id gets its own out-edges and its own reverse
+    * candidates, which is sound because duplicate members' walks are
+    * identical by construction (entries tie-break on centroid id over
+    * identical embeddings; the walk's qid ≠ cid guard is inert across
+    * the ingest slot split, so the rep's scores ARE each member's
+    * scores) — the round-10 advice catch: without the expansion,
+    * duplicate payloads would silently insert edge-less nodes, and
+    * which member got edges would depend on the micro-batch split.
+    * Reverse edges are emitted UNCAPPED — the reader caps them at
+    * top-`dOut` per standing node over the ACCUMULATED set (cos DESC,
+    * new id): capping at read time is what makes the maintained edge
+    * set BATCH-SPLIT INVARIANT (a per-batch cap would depend on which
+    * reps happened to share a micro-batch — the q296-class ordering
+    * hazard). Forward and reverse key spaces are disjoint by the
+    * ingest slot split, so an idempotent MERGE on (u, v) accumulates
+    * safely.
+    */
+  def graphInsertBatch(
+      batch: DataFrame, // da, ea
+      corpus: DataFrame, // cid, ce — cold storage
+      edges: DataFrame, // u, v — standing refined graph
+      codes: DataFrame, // cid, s, code — standing PQ codes
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      dOut: Int): DataFrame = {
+    NativeExpressions.register(batch.sparkSession)
+    val g = batch.groupBy("ea")
+      .agg(min("da").as("rep"), collect_list("da").as("ids"))
+    val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
+    val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
+      .select(col("qid"), col("centroid_id").as("cid"))
+    val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
+      beam, rounds, nSub, nCodes, dim)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val fwdRep = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= dOut)
+      .select(col("qid"), col("cid"), col("cos"))
+    // expand the rep's chosen edges to every duplicate member id
+    val mem = g.select(col("rep").as("qid"), explode(col("ids")).as("da"))
+    val fwd = fwdRep.join(mem, Seq("qid"))
+      .select(col("da").as("u"), col("cid").as("v"), col("cos"))
+    fwd.unionByName(
+      fwd.select(col("v").as("u"), col("u").as("v"), col("cos")))
   }
 
   /** Per-micro-batch semantic-dedup scoring against a standing GRAPH
@@ -1180,50 +1389,6 @@ object Similarity {
     * an id-level artifact), so duplicates cost pool slots, not extra
     * cosines — the walk count never grows with replication.
     */
-  /** Incremental maintenance of a standing graph index — the DiskANN
-    * INSERT path (q317): each new rep (one per distinct payload in the
-    * micro-batch — the index is rep-level) walks the standing graph
-    * ([[beamPqVisitedScored]]: ADC-guided, exact re-rank of the
-    * bounded visited list), its top-`dOut` visited neighbors by
-    * (cos DESC, cid) become the NEW NODE's out-edges (bounded and
-    * per-rep-deterministic), and each chosen target contributes a
-    * candidate REVERSE edge (standing node → new rep) so the graph
-    * stays navigable TOWARD inserted nodes. Reverse edges are emitted
-    * UNCAPPED — the reader caps them at top-`dOut` per standing node
-    * over the ACCUMULATED set (cos DESC, new id): capping at read time
-    * is what makes the maintained edge set BATCH-SPLIT INVARIANT (a
-    * per-batch cap would depend on which reps happened to share a
-    * micro-batch — the q296-class ordering hazard). Forward and
-    * reverse key spaces are disjoint by the ingest slot split, so an
-    * idempotent MERGE on (u, v) accumulates safely.
-    */
-  def graphInsertBatch(
-      batch: DataFrame, // da, ea
-      corpus: DataFrame, // cid, ce — cold storage
-      edges: DataFrame, // u, v — standing refined graph
-      codes: DataFrame, // cid, s, code — standing PQ codes
-      cents: DataFrame, // centroid_id, centroid (broadcast)
-      beam: Int,
-      rounds: Int,
-      nSub: Int,
-      nCodes: Int,
-      dim: Int,
-      dOut: Int): DataFrame = {
-    NativeExpressions.register(batch.sparkSession)
-    val g = batch.groupBy("ea").agg(min("da").as("rep"))
-    val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
-    val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
-      .select(col("qid"), col("centroid_id").as("cid"))
-    val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
-      beam, rounds, nSub, nCodes, dim)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    val fwd = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= dOut)
-      .select(col("qid").as("u"), col("cid").as("v"), col("cos"))
-    fwd.unionByName(
-      fwd.select(col("v").as("u"), col("u").as("v"), col("cos")))
-  }
-
   def beamPqSemDedupBatch(
       batch: DataFrame, // da, ea
       corpus: DataFrame, // cid, ce — cold storage

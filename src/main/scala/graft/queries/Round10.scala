@@ -754,7 +754,12 @@ object Round10 {
         UNION ALL
         SELECT 'ivfpq' AS fam,
             ((SELECT nu FROM st) * (SELECT nprobe FROM np2)) // (SELECT nlist FROM nl) AS cand,
-            (SELECT nu FROM st) * 13 AS bytes,
+            -- residentBytes("ivfpq") = nu*(4 cell + nSub*4/8 code + 4 norm)
+            -- = nu*16 at nSub=16 — MUST mirror IndexAdvisor.residentBytes
+            -- exactly (the round-10 advice catch: nu*13 here silently
+            -- diverged from Scala's nu*16 for nu in (12500, 15384] at
+            -- the 200 kB budget; fixtures happened to agree)
+            (SELECT nu FROM st) * 16 AS bytes,
             (SELECT rec FROM mp) AS rec),
       adm AS (SELECT * FROM cfg
         WHERE cand <= (SELECT b FROM bud) AND bytes <= 200000),

@@ -35,31 +35,31 @@ object Round9 {
     * reference — multiplicatively through 8 chained levels (measured
     * 20 min; hinted: 3.7 s, identical result). */
   private[queries] def nnDescentSql(rounds: Int, d: Int, src: String,
-      out: String): String =
+      out: String, p: String = ""): String =
     (1 to rounds).map { i =>
-      val in = if (i == 1) src else s"ne${i - 1}"
+      val in = if (i == 1) src else s"${p}ne${i - 1}"
       val rev =
-        s"""nr$i AS MATERIALIZED (SELECT u, v FROM (
+        s"""${p}nr$i AS MATERIALIZED (SELECT u, v FROM (
           SELECT r.u, r.v, row_number() OVER (PARTITION BY r.u ORDER BY r.v) AS rn
           FROM (SELECT v AS u, u AS v FROM $in) r) WHERE rn <= $d)"""
       val und =
-        s"""nu$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
-          SELECT u, v FROM $in UNION ALL SELECT u, v FROM nr$i))"""
+        s"""${p}nu$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+          SELECT u, v FROM $in UNION ALL SELECT u, v FROM ${p}nr$i))"""
       val cand =
-        s"""nc$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
-          SELECT u, v FROM nu$i
+        s"""${p}nc$i AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+          SELECT u, v FROM ${p}nu$i
           UNION ALL
-          SELECT a.u, b.v FROM nu$i a JOIN nu$i b ON a.v = b.u)
+          SELECT a.u, b.v FROM ${p}nu$i a JOIN ${p}nu$i b ON a.v = b.u)
         WHERE u <> v)"""
       val score =
-        s"""ns$i AS MATERIALIZED (SELECT nc$i.u, nc$i.v, ${Round6c.cosSql("x", "y")} AS cos
-          FROM nc$i JOIN embeddings x ON nc$i.u = x.vec_id
-          JOIN embeddings y ON nc$i.v = y.vec_id
+        s"""${p}ns$i AS MATERIALIZED (SELECT ${p}nc$i.u, ${p}nc$i.v, ${Round6c.cosSql("x", "y")} AS cos
+          FROM ${p}nc$i JOIN embeddings x ON ${p}nc$i.u = x.vec_id
+          JOIN embeddings y ON ${p}nc$i.v = y.vec_id
           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2)"""
-      val name = if (i == rounds) out else s"ne$i"
+      val name = if (i == rounds) out else s"${p}ne$i"
       val keep =
         s"""$name AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
-          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ns$i)
+          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ${p}ns$i)
         WHERE rn <= $d)"""
       Seq(rev, und, cand, score, keep).mkString(",\n      ")
     }.mkString(",\n      ")

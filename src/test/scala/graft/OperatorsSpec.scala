@@ -857,6 +857,22 @@ class OperatorsSpec extends SparkTestBase {
     val outDeg = whole.groupBy(_._1).view.mapValues(_.size)
     assert((100L until 106L).forall(outDeg(_) == 3))
     assert(outDeg.filter(_._1 < 100L).values.forall(_ <= 3))
+
+    // DUPLICATE payloads (the round-10 advice catch): every member of
+    // a duplicate group gets its OWN out-edges — identical v-sets,
+    // since duplicate members' walks are identical by construction —
+    // and the result is invariant to the dup group straddling batches
+    val dupRow = batch.filter(col("da") === 100L)
+      .select(col("ea")).head().getSeq[Float](0).toArray
+    val dups = Seq((106L, dupRow), (107L, dupRow)).toDF("da", "ea")
+    val batchD = batch.unionByName(dups)
+    val wholeD = finalEdges(Seq(batchD))
+    val vs = (u: Long) => wholeD.filter(_._1 == u).map(_._2)
+    assert(vs(106L) == vs(100L) && vs(107L) == vs(100L) && vs(100L).nonEmpty,
+      "dup members must carry the rep's out-edges")
+    val splitD = finalEdges(Seq(batchD.filter(col("da") <= 105L),
+      batchD.filter(col("da") > 105L))) // dups in a LATER batch than rep
+    assert(wholeD == splitD, "dup group straddling batches must not matter")
   }
 
   test("nnDescentEdges: degree cap, monotone best edge, exact on complete seed") {

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{IndexAdvisor, Similarity}
+import graft.operators.IndexAdvisor.RecallRow
+
+/** Round-11 contracts: the filtered advisor's tiers, the
+  * adviseCalibratedServing corpus-size-independent escape, the
+  * shared-walk ≡ filtered-serve equivalence, and the delete+compact
+  * algebra (complete-seed ≡ rebuild; insert-then-delete round-trip).
+  */
+class Round11Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic small corpus (the graphInsertBatch spec's LCG)
+  private def lcgCorpus(seed: Long, n: Int, dim: Int) = {
+    var st = seed
+    def nx(): Float = { st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33).toInt % 1000) / 500.0f) - 1.0f + 0.001f }
+    (0L until n.toLong).map(i => (i, Array.fill(dim)(nx())))
+  }
+
+  test("adviseFiltered: tiers — brute short-circuit, measured, escape") {
+    // tier 1: the filtered subset fits the budget
+    val a1 = IndexAdvisor.adviseFiltered(10000L, 400L, 0.8, 800L, Nil)
+    assert(a1.family == "brute-filtered" && a1.candidatesPerQuery == 400L)
+    // tier 2: measured ivf-filtered row, cost re-derived at (nu, fNu):
+    // nlist = pow2Near(sqrt(4000)) = 64, nprobe = 12*64/16 = 48,
+    // cand = 2000*48/64 = 1500
+    val ivfRow = RecallRow("ivf-filtered",
+      Map("nlist" -> 16L, "nprobe" -> 12L, "k" -> 5L), 0.92)
+    val a2 = IndexAdvisor.adviseFiltered(4000L, 2000L, 0.8, 1600L,
+      Seq(ivfRow))
+    assert(a2.family == "ivf-filtered")
+    assert(a2.params("nlist") == 64L && a2.params("nprobe") == 48L)
+    assert(a2.candidatesPerQuery == 1500L)
+    // graph-filtered wins when the scan-based cost blows the budget
+    val graphRow = RecallRow("graph-filtered",
+      Map("d" -> 24L, "beam" -> 24L, "rounds" -> 4L), 0.83)
+    val a3 = IndexAdvisor.adviseFiltered(4000L, 2000L, 0.8, 1400L,
+      Seq(ivfRow, graphRow)) // ivf cand 1500 > 1400; graph 2400 > 1400
+    assert(a3.family == "graph-filtered", s"escape tier must fire: $a3")
+    assert(a3.rationale.contains("best available"))
+    // below-target admissible rows fall back to best measured
+    val a4 = IndexAdvisor.adviseFiltered(4000L, 2000L, 0.99, 1600L,
+      Seq(ivfRow))
+    assert(a4.family == "ivf-filtered" &&
+      a4.rationale.contains("below target"))
+    // loud failure: nothing measured, nothing fits
+    intercept[IllegalArgumentException] {
+      IndexAdvisor.adviseFiltered(4000L, 2000L, 0.8, 100L, Nil)
+    }
+  }
+
+  test("adviseCalibratedServing: corpus-size-independent escape tier (q322)") {
+    val rows = Seq(
+      RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.844),
+      RecallRow("ivfpq", Map("nlist" -> 16L, "nprobe" -> 10L,
+        "nSub" -> 16L, "nCodes" -> 16L, "k" -> 5L), 0.816),
+      RecallRow("graph-pq", Map("d" -> 24L, "beam" -> 24L, "rounds" -> 4L,
+        "nSub" -> 16L, "nCodes" -> 16L, "k" -> 5L), 0.88))
+    for (nu <- Seq(500L, 2000L)) {
+      // q322's operating point: nothing admissible at 200 candidates;
+      // the measured graph row fits memory (204 <= 224 B/vector)
+      val a = IndexAdvisor.adviseCalibratedServing(nu, 64, 0.0, 0.8,
+        200L, 224L * nu, rows)
+      assert(a.family == "graph-pq", s"escape must fire at nu=$nu: $a")
+      assert(a.rationale.contains("best available"))
+      // raising the candidate budget to 2500 admits IVFPQ (cheaper) —
+      // the normal selection tier takes over
+      val b = IndexAdvisor.adviseCalibratedServing(nu, 64, 0.0, 0.8,
+        2500L, 224L * nu, rows)
+      assert(b.family == "ivfpq", s"admissible tier must pick ivfpq: $b")
+      // and with no graph row measured, the original loud failure holds
+      intercept[IllegalArgumentException] {
+        IndexAdvisor.adviseCalibratedServing(nu, 64, 0.0, 0.8,
+          200L, 224L * nu, rows.take(2))
+      }
+    }
+  }
+
+  test("beamPqTopKFromWhere == shared-walk filtered top-5 (q319's algebra)") {
+    val corpus = lcgCorpus(97531L, 24, 8).toDF("cid", "ce")
+    val queries = lcgCorpus(8642L, 3, 8).map { case (i, e) => (100L + i, e) }
+      .toDF("qid", "qe")
+    val edges = (for (u <- 0L until 24L; v <- 0L until 24L
+      if u != v && (u + v) % 3 != 0) yield (u, v)).toDF("u", "v")
+    val codes = Similarity.pqCodes(corpus, nSub = 4, nCodes = 8, dim = 8)
+    val cents = broadcast(corpus.orderBy("cid").limit(4)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val entries = Similarity.assignToCentroids(queries, "qid", "qe",
+      cents, nKeep = 2).select(col("qid"), col("centroid_id").as("cid"))
+    val keep = corpus.filter(col("cid") % 2 === 0).select("cid")
+    val direct = Similarity.beamPqTopKFromWhere(queries, corpus, edges,
+        codes, entries, keep, k = 5, beam = 6, rounds = 2, nSub = 4,
+        nCodes = 8, dim = 8)
+      .select("qid", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vis = Similarity.beamPqVisited(queries, corpus, edges, codes,
+      entries, beam = 6, rounds = 2, nSub = 4, nCodes = 8, dim = 8)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val shared = vis.join(keep, Seq("cid"), "left_semi")
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("qid", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct == shared && direct.nonEmpty)
+    // every emitted id satisfies the predicate
+    assert(direct.forall(_._2 % 2 == 0))
+  }
+
+  test("graphDeleteCompact: complete-seed delete+compact == rebuild (q321)") {
+    val vecs = lcgCorpus(24680L, 20, 8)
+    val corpus = vecs.toDF("cid", "ce")
+    val complete = (for (u <- 0L until 20L; v <- 0L until 20L if u != v)
+      yield (u, v)).toDF("u", "v")
+    val tomb = Seq(3L, 7L, 11L).toDF("cid")
+    val compacted = Similarity.graphDeleteCompact(complete, corpus, tomb,
+        d = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rebuild from scratch on the survivors: complete(V \ T) — which
+    // the pruned complete graph equals BY THE ANTI-JOIN ALGEBRA
+    val survivors = corpus.filter(!col("cid").isin(3L, 7L, 11L))
+    val completeSurv = (for {
+      u <- 0L until 20L if !Set(3L, 7L, 11L)(u)
+      v <- 0L until 20L if u != v && !Set(3L, 7L, 11L)(v)
+    } yield (u, v)).toDF("u", "v")
+    val rebuilt = Similarity.nnDescentEdges(completeSurv, survivors,
+        d = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted == rebuilt && compacted.nonEmpty)
+    // no tombstoned endpoint survives anywhere
+    assert(compacted.forall { case (u, v) =>
+      !Set(3L, 7L, 11L)(u) && !Set(3L, 7L, 11L)(v) })
+  }
+
+  test("insert then delete round-trips to the original edge set (q317/q321)") {
+    val corpus = lcgCorpus(1357L, 20, 8).toDF("cid", "ce")
+    val batch = lcgCorpus(8080L, 4, 8).map { case (i, e) => (100L + i, e) }
+      .toDF("da", "ea")
+    val standing = (for (u <- 0L until 20L; v <- 0L until 20L if u != v)
+      yield (u, v)).toDF("u", "v")
+    val codes = Similarity.pqCodes(corpus, nSub = 4, nCodes = 8, dim = 8)
+    val cents = broadcast(corpus.orderBy("cid").limit(4)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val inserted = Similarity.graphInsertBatch(batch, corpus, standing,
+      codes, cents, beam = 8, rounds = 1, nSub = 4, nCodes = 8, dim = 8,
+      dOut = 3)
+    val maintained = standing.select(col("u"), col("v"))
+      .unionByName(inserted.select("u", "v")).dropDuplicates("u", "v")
+    val tomb = batch.select(col("da").as("cid"))
+    val after = maintained
+      .join(tomb.select(col("cid").as("u")), Seq("u"), "left_anti")
+      .join(tomb.select(col("cid").as("v")), Seq("v"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val original = standing.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == original,
+      "deleting the inserted ids must restore the standing edge set exactly")
+  }
+
+  test("q320 filtered decisions replay at both SFs") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val corpus = emb
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val nu = corpus.count()
+      val keepS = emb.filter(
+          pmod(col("vec_id") * lit(2654435761L), lit(20L)) === 3)
+        .select(col("vec_id").as("cid"))
+      val advS = IndexAdvisor.adviseFiltered(nu, keepS.count(), 0.8, 800L, Nil)
+      assert(advS.family == "brute-filtered",
+        s"5% filter must short-circuit at $dir")
+      val keepB = emb.filter(col("label") < 5).select(col("vec_id").as("cid"))
+      val fNuB = keepB.count()
+      if (dir.endsWith("sf0.01")) {
+        assert(fNuB <= 800L, s"sf0.01 f50 must take the brute tier ($fNuB)")
+        assert(IndexAdvisor.adviseFiltered(nu, fNuB, 0.8, 800L, Nil)
+          .family == "brute-filtered")
+      } else {
+        assert(fNuB > 800L, s"sf0.1 f50 must take the measured tier ($fNuB)")
+        val exf = Similarity.cosineTopK(qs,
+            corpus.join(keepB, Seq("cid"), "left_semi"), k = 5)
+          .select("qid", "cid").persist()
+        val nq = exf.select("qid").distinct().count()
+        val hits = exf.join(Similarity.ivfTopKProbeWhere(qs, corpus, keepB,
+            k = 5, nlist = 16, nprobe = 12).select("qid", "cid"),
+          Seq("qid", "cid")).count()
+        exf.unpersist()
+        val m1 = hits.toDouble / (5.0 * nq)
+        assert(m1 >= 0.8, s"measured over-probed filtered recall $m1")
+        val adv = IndexAdvisor.adviseFiltered(nu, fNuB, 0.8, 800L, Seq(
+          RecallRow("ivf-filtered",
+            Map("nlist" -> 16L, "nprobe" -> 12L, "k" -> 5L), m1)))
+        assert(adv.family == "ivf-filtered")
+        assert(adv.params("nlist") == 32L && adv.params("nprobe") == 24L)
+        assert(adv.candidatesPerQuery == fNuB * 24L / 32L)
+      }
+    }
+  }
+}
