@@ -14,6 +14,17 @@ import graft.functions.TextFunctions
   * only docs sharing a shingle (inverted-index join), MinHash-LSH joins
   * only docs sharing a band bucket. Both shuffle on content-derived keys
   * so they parallelize by key, with banding bounding the candidate set.
+  *
+  * CACHE LIFETIME CONTRACT: persists here (shingle index, ranked
+  * prefix, duplicate-group map, CC edge frontier) back the RETURNED
+  * frame — both join sides / the expansion read them when the caller
+  * consumes the result — so they cannot be released inside the call.
+  * Their scope is the returned frame's lifetime: the Verify/Bench
+  * harness releases them via `spark.catalog.clearCache()` between
+  * queries; a library embedder that outlives the result must do the
+  * same (or materialize the result and clearCache). Call-local
+  * intermediates (componentsStar's superseded frontiers) are released
+  * in place.
   */
 object Dedup {
 

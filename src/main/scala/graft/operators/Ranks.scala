@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * Each data-sized relation is touched by one hash exchange (the bin
   * totals) and one per-bin sort — no global sort anywhere, so the plan
   * survives a 1000-executor scale-up with bins ≈ executor parallelism.
+  *
+  * CACHE LIFETIME CONTRACT: persists here (the hot-key-flagged input,
+  * per-bin local ranks) back the RETURNED frame — the cold and hot
+  * lineage paths both read them when the caller consumes the result —
+  * so they cannot be released inside the call. Their scope is the
+  * returned frame's lifetime: the Verify/Bench harness releases them
+  * via `spark.catalog.clearCache()` between queries; a library
+  * embedder that outlives the result must do the same (or materialize
+  * the result and clearCache).
   */
 object Ranks {
 

@@ -14,6 +14,17 @@ import graft.plans.NativeExpressions
   * path is [[lshTopK]]: bucket corpus and queries by random-hyperplane
   * sign bits and only score within matching buckets (recall < 1,
   * bounded work per bucket).
+  *
+  * CACHE LIFETIME CONTRACT: the few persists that remain here
+  * (ivfLloydTopK's quantized coords + final centroids,
+  * lshKnnEdgesDeduped's duplicate-group map) back the RETURNED frame
+  * and cannot be released inside the call; their scope is the returned
+  * frame's lifetime (the Verify/Bench harness clearCache()s between
+  * queries; embedders that outlive the result must do the same).
+  * Everything with a call-local lifecycle releases in place: pqCodes /
+  * ivfPqIndex unpersist after their scratch-parquet writes, and the
+  * iterative builds (nnDescentEdges, the beam walks) cut every round
+  * boundary to scratch parquet instead of persisting at all.
   */
 object Similarity {
 

@@ -150,6 +150,18 @@ class PlanGuardSpec extends SparkTestBase {
                                    // broadcasts; candidate joins are hash
                                    // equi-joins; decision inputs are 1-row
                                    // stats + recall scalars (q294 class)
+    "q318_llm_ann_filtered_ivf",   // q279 class ×4 serves: 50-row query +
+                                   // 16-row centroid broadcasts
+                                   // (assignToCentroids crossJoins); the
+                                   // filter is a hash semi-join on cid;
+                                   // the filtered exact sides are read
+                                   // back from fixture artifacts
+    "q320_llm_ann_advise_filtered", // q294+q318 class: the served branch's
+                                   // centroid broadcasts (or the q46-class
+                                   // 50-row query broadcast when the
+                                   // brute-filtered tier fires) + 1-row
+                                   // corpus/filter-count scalars feeding
+                                   // adviseFiltered
     "q315_llm_ann_calibrated_memory" // q306 class: the served branch's
                                    // assignToCentroids crossJoins against
                                    // limit-bounded centroid broadcasts; the
