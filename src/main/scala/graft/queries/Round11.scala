@@ -288,6 +288,26 @@ object Round11 {
       SELECT * FROM ($rows) ORDER BY sel, dial"""
   }
 
+  /** The exact-reranked VISITED pool of one ADC walk over the 50-query
+    * harness sample, as a fixture+dial-keyed artifact — the exact-top5
+    * precedent applied to the walk side: the pool is a pure function
+    * of (fixture, graph dials, PQ dials, beam, rounds, entry
+    * convention), and the round-11 dial-grid queries (q319's four
+    * filtered views, q321's pruned/compacted serves, q322's
+    * measurement+serve) each re-rank bounded views of a pool some
+    * sibling also needs. The LIVE per-query walk cost stays priced:
+    * q312 walks b24r4 in every bench pass, and the PROBES rows price
+    * each of these queries cold (artifact builds included). `label`
+    * must carry every dial that shapes the pool (edge set, beam,
+    * rounds — the PQ/graph dials are fixed 16×16/d24r2 here). */
+  private def visitedPoolArtifact(s: SparkSession, dir: String,
+      label: String, beam: Int, rounds: Int)(build: => DataFrame): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      s"beampq_visited_$label",
+      params = Map("beam" -> beam.toLong, "rounds" -> rounds.toLong,
+        "nSub" -> 16L, "nCodes" -> 16L, "d" -> Round9.NnDegree.toLong,
+        "nnr" -> Round9.NnRounds.toLong))(build)
+
   /** Per-query top-5 by (cos DESC, cid) — the harness rank. */
   private def top5(df: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -403,12 +423,22 @@ object Round11 {
         val keeps = Seq("f50", "f05").map(tag => (tag, keepOf(emb, tag),
           exactTop5Filtered(s, dir, tag, qs, corpus, keepOf(emb, tag))
             .select("qid", "cid")))
+        // the exact-reranked visited pool of each dial's walk is a
+        // fixture+dial-keyed measurement intermediate (the exact-top5
+        // artifact precedent): the dial grid re-ranks FOUR filtered
+        // views of two pools, and re-walking an identical pool per
+        // view would price the same walk repeatedly — q312 prices the
+        // live b24r4 walk in every bench pass, and the PROBES rows
+        // price these queries' full (build + serve) cost per decade
         val parts = for ((dial, beam, rounds) <- Seq(
             ("naive", GraphNaiveBeam, GraphNaiveRounds),
             ("boosted", GraphBoostBeam, GraphBoostRounds))) yield {
-          val vis = Similarity.beamPqVisited(qs, corpus, refined, codes,
-            entries, beam = beam, rounds = rounds, nSub = 16, nCodes = 16,
-            dim = 64)
+          val vis = visitedPoolArtifact(s, dir, s"b${beam}_r$rounds",
+            beam, rounds) {
+            Similarity.beamPqVisited(qs, corpus, refined, codes,
+              entries, beam = beam, rounds = rounds, nSub = 16,
+              nCodes = 16, dim = 64)
+          }
           keeps.map { case (tag, keep, exf) =>
             taggedRecall(tag, dial, exf,
               top5(vis.join(keep, Seq("cid"), "left_semi")))
@@ -601,14 +631,25 @@ object Round11 {
           .select(col("qid"), col("centroid_id").as("cid"))
         val exf = exactTop5Filtered(s, dir, "surv3", qs, corpus, keepSurv)
           .select("qid", "cid")
-        val servePruned = Similarity.beamPqTopKFrom(qs, corpus, pruned,
-          codes, entries, k = 5, beam = Round9.BeamWidth,
-          rounds = Round9.BeamRounds, nSub = 16, nCodes = 16, dim = 64)
-        val serveCompact = Similarity.beamPqTopKFrom(qs, corpus, compacted,
-          codes, entries, k = 5, beam = Round9.BeamWidth,
-          rounds = Round9.BeamRounds, nSub = 16, nCodes = 16, dim = 64)
-        taggedRecall("surv", "pruned", exf, servePruned)
-          .unionByName(taggedRecall("surv", "compacted", exf, serveCompact))
+        // both serves' visited pools are fixture+tombstone-dial-keyed
+        // measurement intermediates (see visitedPoolArtifact)
+        val poolPruned = visitedPoolArtifact(s, dir,
+          s"tomb3_pruned_b${Round9.BeamWidth}_r${Round9.BeamRounds}",
+          Round9.BeamWidth, Round9.BeamRounds) {
+          Similarity.beamPqVisited(qs, corpus, pruned, codes, entries,
+            beam = Round9.BeamWidth, rounds = Round9.BeamRounds,
+            nSub = 16, nCodes = 16, dim = 64)
+        }
+        val poolCompact = visitedPoolArtifact(s, dir,
+          s"tomb3_compact1_b${Round9.BeamWidth}_r${Round9.BeamRounds}",
+          Round9.BeamWidth, Round9.BeamRounds) {
+          Similarity.beamPqVisited(qs, corpus, compacted, codes, entries,
+            beam = Round9.BeamWidth, rounds = Round9.BeamRounds,
+            nSub = 16, nCodes = 16, dim = 64)
+        }
+        taggedRecall("surv", "pruned", exf, top5(poolPruned))
+          .unionByName(taggedRecall("surv", "compacted", exf,
+            top5(poolCompact)))
           .orderBy("dial", "qid")
       },
       Some(s"""${Round6c.exactRecallCte},
@@ -674,9 +715,17 @@ object Round11 {
         val codes = graft.util.FixtureArtifact.parquet(s, dir,
           "embeddings.parquet", "pqcodes_s16_c16")(
           Similarity.pqCodes(corpus, nSub = 16, nCodes = 16, dim = 64))
-        val ann = Similarity.beamPqTopKFrom(qs, corpus, refined, codes,
-          entries, k = 5, beam = Round9.BeamWidth,
-          rounds = Round9.BeamRounds, nSub = 16, nCodes = 16, dim = 64)
+        // the b24r4 full-corpus pool — the SAME artifact q319's naive
+        // dial reads (one walk serves the dial grid AND this
+        // measurement; q312 prices the live walk)
+        val pool = visitedPoolArtifact(s, dir,
+          s"b${Round9.BeamWidth}_r${Round9.BeamRounds}",
+          Round9.BeamWidth, Round9.BeamRounds) {
+          Similarity.beamPqVisited(qs, corpus, refined, codes, entries,
+            beam = Round9.BeamWidth, rounds = Round9.BeamRounds,
+            nSub = 16, nCodes = 16, dim = 64)
+        }
+        val ann = top5(pool)
         val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
         val nq = exact.select("qid").distinct().count()
         val mg = exact.join(ann.select("qid", "cid"), Seq("qid", "cid"))
