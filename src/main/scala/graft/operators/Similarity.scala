@@ -264,18 +264,47 @@ object Similarity {
       k: Int,
       nlist: Int,
       nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist)
+    ivfTopKProbeWhereIndexed(queries, cents,
+      ivfAssignIndex(corpus, cents), keep, k, nprobe)
+  }
+
+  /** The standing IVF index's centroid set (the family's deterministic
+    * seeding convention: the nlist lowest-id corpus vectors). */
+  def ivfCentroids(corpus: DataFrame, nlist: Int): DataFrame = {
+    NativeExpressions.register(corpus.sparkSession)
+    broadcast(corpus.orderBy("cid").limit(nlist)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+  }
+
+  /** The standing IVF index TABLE: every corpus vector with its norm
+    * and rank-1 cell (cid, ce, cn, centroid_id) — the build-once
+    * artifact a serving tier keeps resident. Exposed so queries whose
+    * nlist grows with the corpus (q320's re-derived serve) can route
+    * the build through FixtureArtifact instead of re-assigning
+    * nu·nlist dots inline per serve. */
+  def ivfAssignIndex(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    NativeExpressions.register(corpus.sparkSession)
+    assignToCentroids(
+      corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")),
+      "cid", "ce", cents, 1)
+  }
+
+  /** [[ivfTopKProbeWhere]] against a prebuilt index table `cb`
+    * ([[ivfAssignIndex]]'s shape). */
+  def ivfTopKProbeWhereIndexed(
+      queries: DataFrame, // qid, qe
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      cb: DataFrame, // cid, ce, cn, centroid_id — the standing index
+      keep: DataFrame, // cid — ids passing the metadata predicate
+      k: Int,
+      nprobe: Int): DataFrame = {
     NativeExpressions.register(queries.sparkSession)
-    val centroids = broadcast(
-      corpus.orderBy("cid").limit(nlist)
-        .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
     val qb = assignToCentroids(
       queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")),
-      "qid", "qe", centroids, nprobe)
-    val cb = assignToCentroids(
-      corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))")),
-      "cid", "ce", centroids, 1)
-      .join(keep.select("cid"), Seq("cid"), "left_semi")
-    val scored = qb.join(cb, "centroid_id")
+      "qid", "qe", cents, nprobe)
+    val filtered = cb.join(keep.select("cid"), Seq("cid"), "left_semi")
+    val scored = qb.join(filtered, "centroid_id")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))

@@ -476,7 +476,8 @@ object Round11 {
     // adviseFiltered formalizes what q318's sweep showed: the decision
     // inputs are the exact integer pair (nu, fNu) — never a float
     // selectivity — plus measured filtered rows. Operating point:
-    // candidate budget 800, target 0.8. The 5% filter SHORT-CIRCUITS to
+    // candidate budget max(2nu/5, 800) (= 800 at both test SFs), target
+    // 0.8. The 5% filter SHORT-CIRCUITS to
     // brute-filtered at both SFs (fNu = 25/100 ≤ 800 — under selective
     // predicates, exact scan of the survivors is the honest production
     // answer; every filtered index only discards candidates the budget
@@ -502,24 +503,30 @@ object Round11 {
         val keepB = keepOf(emb, "f50")
         val keepS = keepOf(emb, "f05")
         val nu = corpus.count()
+        // budget scales with the corpus (exact BIGINT: max(2nu/5, 800)
+        // — equal to 800 at BOTH test SFs, so the sf-level decisions
+        // are exactly the swept ones; at the 10x/100x probe scales the
+        // same formula keeps every tier live instead of tripping the
+        // f05 short-circuit require on a fixture-sized constant)
+        val budget = math.max(2L * nu / 5L, 800L)
         val fNuS = keepS.count()
         val advS = IndexAdvisor.adviseFiltered(nu, fNuS,
-          targetRecall = 0.8, candidateBudget = 800L, measured = Nil)
+          targetRecall = 0.8, candidateBudget = budget, measured = Nil)
         require(advS.family == "brute-filtered",
           s"the 5% filter must short-circuit to brute-filtered: $advS")
         val fNuB = keepB.count()
         val exfB = exactTop5Filtered(s, dir, "f50", qs, corpus, keepB)
           .select("qid", "cid")
         val advB =
-          if (fNuB <= 800L) IndexAdvisor.adviseFiltered(nu, fNuB,
-            targetRecall = 0.8, candidateBudget = 800L, measured = Nil)
+          if (fNuB <= budget) IndexAdvisor.adviseFiltered(nu, fNuB,
+            targetRecall = 0.8, candidateBudget = budget, measured = Nil)
           else {
             val nq = exfB.select("qid").distinct().count()
             val hits = exfB.join(Similarity.ivfTopKProbeWhere(qs, corpus,
                 keepB, k = 5, nlist = 16, nprobe = IvfF50Np)
                 .select("qid", "cid"), Seq("qid", "cid")).count()
             IndexAdvisor.adviseFiltered(nu, fNuB, targetRecall = 0.8,
-              candidateBudget = 800L, measured = Seq(
+              candidateBudget = budget, measured = Seq(
                 IndexAdvisor.RecallRow("ivf-filtered",
                   Map("nlist" -> 16L, "nprobe" -> IvfF50Np.toLong,
                     "k" -> 5L), hits.toDouble / (5.0 * nq))))
@@ -527,9 +534,19 @@ object Round11 {
         val ann = advB.family match {
           case "brute-filtered" => Similarity.cosineTopK(qs,
             corpus.join(keepB, Seq("cid"), "left_semi"), k = 5)
-          case "ivf-filtered" => Similarity.ivfTopKProbeWhere(qs, corpus,
-            keepB, k = 5, nlist = advB.params("nlist").toInt,
-            nprobe = advB.params("nprobe").toInt)
+          case "ivf-filtered" =>
+            // the re-derived-nlist standing index is a build-once
+            // artifact (nu x nlist assignment dots — nlist grows with
+            // sqrt(nu), so an inline rebuild per serve would be the
+            // superlinear term at the probe scales)
+            val nlist = advB.params("nlist").toInt
+            val cents = Similarity.ivfCentroids(corpus, nlist)
+            val cb = graft.util.FixtureArtifact.parquet(s, dir,
+              "embeddings.parquet", s"ivf_assign_nl$nlist",
+              params = Map("nlist" -> nlist.toLong))(
+              Similarity.ivfAssignIndex(corpus, cents))
+            Similarity.ivfTopKProbeWhereIndexed(qs, cents, cb, keepB,
+              k = 5, nprobe = advB.params("nprobe").toInt)
           case other => sys.error(
             s"filtered advisor picked unreachable family $other")
         }
@@ -547,13 +564,14 @@ object Round11 {
            (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
               GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
          FROM stq)),
+      bud AS (SELECT GREATEST((2 * (SELECT nu FROM stq)) // 5, 800) AS b),
       npx AS (SELECT LEAST((SELECT nlist FROM nl),
         GREATEST(1, $IvfF50Np * (SELECT nlist FROM nl) // 16)) AS np),
       cdx AS (SELECT ((SELECT f FROM fb) * (SELECT np FROM npx))
         // (SELECT nlist FROM nl) AS cand),
       chosen AS (SELECT CASE
-        WHEN (SELECT f FROM fb) <= 800 THEN 'brute-filtered'
-        WHEN (SELECT cand FROM cdx) <= 800 THEN 'ivf-filtered'
+        WHEN (SELECT f FROM fb) <= (SELECT b FROM bud) THEN 'brute-filtered'
+        WHEN (SELECT cand FROM cdx) <= (SELECT b FROM bud) THEN 'ivf-filtered'
         END AS fam),
       ${ivfStandingSql("(SELECT nlist FROM nl)", "vv")},
       ${ivfFilteredAnnr("f50", "(SELECT np FROM npx)", "vb", "vv")},
