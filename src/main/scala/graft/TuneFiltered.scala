@@ -20,6 +20,9 @@ object TuneFiltered {
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(s"$outDir/delete_compact.sql"),
       graft.queries.Round11.deleteCompactProbeSql)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$outDir/slo_filtered.sql"),
+      graft.queries.Round11.sloFilteredProbeSql)
     println(s"wrote sweep SQL to $outDir")
   }
 }

@@ -423,7 +423,10 @@ object IndexAdvisor {
     }
   }
 
-  private def pow2Near(x: Double): Long = {
+  /** The family's power-of-2 index-size rule (nlist ~ sqrt(nu), snapped
+    * to the ratio-nearer power of 2) — exposed to queries so decision
+    * requires can replay the advisor's integer arithmetic exactly. */
+  private[graft] def pow2Near(x: Double): Long = {
     val l = math.max(1.0, x)
     val lower = java.lang.Long.highestOneBit(l.toLong)
     val upper = lower << 1

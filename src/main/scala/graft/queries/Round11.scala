@@ -196,6 +196,13 @@ object Round11 {
   private[queries] val GraphBoostBeam = 32 // beam is the recovery dial:
   private[queries] val GraphBoostRounds = 5 // f05 0.976/0.832 swept
 
+  // ---- q323's fixed-SLO dials (swept in DuckDB via sloFilteredProbeSql
+  // BEFORE wiring: sampled ivf np12 = 0.924/0.924; best small-dial walk
+  // b9r4 = 0.888/0.616 — the honest negative at sf0.1). Declared before
+  // `defs` per the q161 object-init rule. -------------------------------
+  private[queries] val SloBeam = 9L
+  private[queries] val SloRounds = 4L
+
   // ---- q321's takedown predicate (~14% of the corpus) ------------------
   private[queries] val TombPred = "(vec_id * 2654435761) % 3 = 1"
   private[queries] val SurvPred = "(vec_id * 2654435761) % 3 <> 1"
@@ -286,6 +293,79 @@ object Round11 {
       $pools,
       $annrs
       SELECT * FROM ($rows) ORDER BY sel, dial"""
+  }
+
+  /** Sweep probe (q323): (a) the SAMPLED filtered-IVF measurement —
+    * the q314 Lehmer-500 sample carrying the filtered axis: standing
+    * 16-cell index over the sample, filter applied to the probed
+    * cells, recall vs the sampled filtered exact top-5 — and (b) the
+    * SMALL-DIAL graph walks whose candidate count beam·(d+1)·rounds
+    * fits a FIXED serving SLO budget (the standing d=24 graph costs
+    * 2400/query at q312's dials — more than sf0.1's whole f50
+    * survivor set, so a fixed budget needs leaner dials to keep the
+    * graph family admissible). Run in DuckDB at both SFs BEFORE any
+    * Spark wiring (the round-9 rule). */
+  private[graft] def sloFilteredProbeSql: String = {
+    val sampled = s"""smp AS MATERIALIZED (SELECT vec_id AS cid, embedding AS e
+        FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 500),
+      mcent AS MATERIALIZED (SELECT cid AS centroid_id, e AS centroid
+        FROM smp ORDER BY cid LIMIT 16),
+      mq0 AS MATERIALIZED (SELECT q.id, c.centroid_id,
+          round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM q2 q, mcent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      mqa AS MATERIALIZED (SELECT id AS qid, centroid_id, r FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM mq0) WHERE r <= 16),
+      mc0 AS MATERIALIZED (SELECT s.cid AS id, c.centroid_id,
+          round(SUM(CAST(s.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM smp s, mcent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      mca AS MATERIALIZED (SELECT id AS cid, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM mc0) WHERE r = 1),
+      exs AS MATERIALIZED (SELECT qid, cid FROM (SELECT ex0.qid, ex0.cid,
+          row_number() OVER (PARTITION BY ex0.qid ORDER BY ex0.cos DESC, ex0.cid) AS rnk
+        FROM ex0 JOIN smp s ON ex0.cid = s.cid
+        JOIN fset_f50 f ON ex0.cid = f.cid) WHERE rnk <= 5)"""
+    val nps = Seq(8, 10, 12, 14, 16)
+    val mserves = nps.map { np =>
+      s"""m${np}cand AS MATERIALIZED (SELECT mqa.qid, mca.cid
+        FROM mqa JOIN mca ON mqa.centroid_id = mca.centroid_id
+        JOIN fset_f50 f ON mca.cid = f.cid
+        WHERE mqa.r <= $np AND mqa.qid <> mca.cid),
+      m${np}annr AS (SELECT qid, cid FROM (SELECT c.qid, c.cid,
+          row_number() OVER (PARTITION BY c.qid ORDER BY e.cos DESC, c.cid) AS rnk
+        FROM m${np}cand c JOIN ex0 e ON e.qid = c.qid AND e.cid = c.cid)
+      WHERE rnk <= 5)"""
+    }.mkString(",\n      ")
+    val mrows = nps.map { np =>
+      s"""SELECT 'smp' AS sel, 'np$np' AS dial, round(AVG(recall), 3) AS rec
+        FROM (${taggedTailSql("smp", s"np$np", "exs", s"m${np}annr")})"""
+    }.mkString(" UNION ALL ")
+    val dials = Seq((8, 3), (8, 4), (9, 4), (12, 3), (16, 2))
+    val chains = dials.map(_._1).distinct.map(b =>
+      beamAdcP(rounds = 4, beam = b, p = s"h$b", edge = "e",
+        entry = "gbent", psc = "psc")).mkString(",\n      ")
+    val pools = dials.map { case (b, r) =>
+      poolSql(s"h$b", r, s"spool_b${b}_r$r") }.mkString(",\n      ")
+    val annrs = dials.map { case (b, r) =>
+      graphFilteredAnnr("f50", s"spool_b${b}_r$r", s"sw_b${b}_r$r") }
+      .mkString(",\n      ")
+    val grows = dials.map { case (b, r) =>
+      s"""SELECT 'f50' AS sel, 'b${b}r$r' AS dial, round(AVG(recall), 3) AS rec
+        FROM (${taggedTailSql("f50", s"b${b}r$r", "exf_f50", s"sw_b${b}_r${r}annr")})"""
+    }.mkString(" UNION ALL ")
+    s"""${Round6c.exactRecallCte},
+      ${fsetExfSql("f50", F50Pred)},
+      $sampled,
+      $mserves,
+      $fullGraphCtes,
+      ${graphEntrySql("g",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16")},
+      $chains,
+      $pools,
+      $annrs
+      SELECT * FROM ($mrows UNION ALL $grows) ORDER BY sel, dial"""
   }
 
   /** The exact-reranked VISITED pool of one ADC walk over the 50-query
@@ -810,6 +890,261 @@ object Round11 {
           row_number() OVER (PARTITION BY pl.qid ORDER BY e2.cos DESC, pl.cid) AS rnk
         FROM vpool pl JOIN ex0 e2 ON e2.qid = pl.qid AND e2.cid = pl.cid)
         WHERE rnk <= 5 AND (SELECT fam FROM chosen) = 'graph-pq'),
-      ${Round6c.recallTailSql}"""))
+      ${Round6c.recallTailSql}""")),
+
+    // ---- filtered serving under a FIXED SLO budget (sampled calib.) -----
+    // q320's candidate budget scales with the corpus (max(2nu/5, 800) —
+    // the demonstration dial that keeps every tier live at every probe
+    // scale, at the price of corpus-proportional serve work). This twin
+    // is the production shape: the budget is a FIXED per-query latency
+    // SLO (900 candidates), the IVF measurement runs on the q314
+    // Lehmer-500 SAMPLE (corpus-size-independent: standing 16-cell
+    // index over the sample, filter applied to the probed cells,
+    // recall vs the sampled filtered exact — swept 0.924/0.924 at np12
+    // BEFORE wiring), and the graph row is measured at the leanest
+    // dials a 900-candidate budget affords: beam 9, rounds 4 → cand =
+    // 9·(24+1)·4 = 900 exactly (q312's b24r4 walk costs 2400/query —
+    // more than sf0.1's entire f50 survivor set; a fixed budget can't
+    // buy it). The sweep's honest negative: NO small-dial walk reaches
+    // 0.8 at sf0.1 (b9r4 = 0.616; the q307 precedent) — so the family
+    // ladder a fixed SLO produces is brute (fNu <= 900, sf0.01) →
+    // measured ivf-filtered (re-derived nlist=32/np=24, cand 747 <=
+    // 900, sf0.1) → graph-filtered through the BEST-BELOW-TARGET
+    // fallback tier once fNu·np/nlist outgrows the budget (10×/100× —
+    // the only family whose cost stops growing with the corpus; its
+    // recall there is the serve's honest ceiling). The decision
+    // replays in exact BIGINT; the requires pin the advisor's pick to
+    // the same integer CASE the oracle runs (a future fixture hitting
+    // the icand == 900 tie with a >=0.8 graph row fails LOUDLY here
+    // rather than silently diverging). Serve = the chosen family over
+    // the FULL corpus; at the graph tier the measurement pipeline IS
+    // the serve (the q322 rule).
+    "q323_llm_ann_filtered_slo" -> QueryDef(
+      (s, dir) => {
+        val B = 900L
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val keepB = keepOf(emb, "f50")
+        val nu = corpus.count()
+        val fNuB = keepB.count()
+        val exfB = exactTop5Filtered(s, dir, "f50", qs, corpus, keepB)
+          .select("qid", "cid")
+        val advB =
+          if (fNuB <= B) IndexAdvisor.adviseFiltered(nu, fNuB,
+            targetRecall = 0.8, candidateBudget = B, measured = Nil)
+          else {
+            // (a) sampled IVF measurement — the q314 Lehmer sample
+            val sample = corpus.orderBy(
+                pmod(col("cid") * lit(2654435761L), lit(1000003L)),
+                col("cid"))
+              .limit(Round10.CalSampleK)
+            val exS = Similarity.cosineTopK(qs,
+                sample.join(keepB, Seq("cid"), "left_semi"), k = 5)
+              .select("qid", "cid").persist()
+            val nqS = exS.select("qid").distinct().count()
+            val mi = exS.join(Similarity.ivfTopKProbeWhere(qs, sample,
+                keepB, k = 5, nlist = 16, nprobe = IvfF50Np)
+                .select("qid", "cid"), Seq("qid", "cid")).count()
+              .toDouble / (5.0 * nqS)
+            exS.unpersist()
+            // (b) graph measurement at the budget's leanest dials —
+            // the b9r4 pool is the serve's own artifact
+            val gm = {
+              val pool = sloGraphPool(s, dir, qs, corpus)
+              val ann = top5(pool.join(keepB, Seq("cid"), "left_semi"))
+              val nq = exfB.select("qid").distinct().count()
+              exfB.join(ann, Seq("qid", "cid")).count()
+                .toDouble / (5.0 * nq)
+            }
+            IndexAdvisor.adviseFiltered(nu, fNuB, targetRecall = 0.8,
+              candidateBudget = B, measured = Seq(
+                IndexAdvisor.RecallRow("ivf-filtered",
+                  Map("nlist" -> 16L, "nprobe" -> IvfF50Np.toLong,
+                    "k" -> 5L), mi),
+                IndexAdvisor.RecallRow("graph-filtered",
+                  Map("d" -> Round9.NnDegree.toLong, "beam" -> SloBeam,
+                    "rounds" -> SloRounds, "nSub" -> 16L,
+                    "nCodes" -> 16L, "k" -> 5L), gm)))
+          }
+        // pin the advisor's pick to the oracle's integer CASE replay
+        val nlist = IndexAdvisor.pow2Near(math.sqrt(nu.toDouble))
+        val np = math.min(nlist, math.max(1L, IvfF50Np * nlist / 16L))
+        val icand = fNuB * np / nlist
+        val expect =
+          if (fNuB <= B) "brute-filtered"
+          else if (icand <= B) "ivf-filtered"
+          else "graph-filtered"
+        require(advB.family == expect,
+          s"SLO decision replay diverged: advisor ${advB.family} vs " +
+            s"integer CASE $expect (nu=$nu fNu=$fNuB icand=$icand B=$B)")
+        val ann = advB.family match {
+          case "brute-filtered" => Similarity.cosineTopK(qs,
+            corpus.join(keepB, Seq("cid"), "left_semi"), k = 5)
+          case "ivf-filtered" =>
+            val cents = Similarity.ivfCentroids(corpus, nlist.toInt)
+            val cb = graft.util.FixtureArtifact.parquet(s, dir,
+              "embeddings.parquet", s"ivf_assign_nl$nlist",
+              params = Map("nlist" -> nlist))(
+              Similarity.ivfAssignIndex(corpus, cents))
+            Similarity.ivfTopKProbeWhereIndexed(qs, cents, cb, keepB,
+              k = 5, nprobe = advB.params("nprobe").toInt)
+          case "graph-filtered" =>
+            top5(sloGraphPool(s, dir, qs, corpus)
+              .join(keepB, Seq("cid"), "left_semi"))
+          case other => sys.error(
+            s"SLO filtered advisor picked unreachable family $other")
+        }
+        taggedRecall("f50", advB.family, exfB, ann).orderBy("qid")
+      },
+      Some(s"""${Round6c.exactRecallCte},
+      ${fsetExfSql("f50", F50Pred)},
+      stq AS (SELECT COUNT(*) AS nu FROM embeddings),
+      fb AS (SELECT COUNT(*) AS f FROM fset_f50),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM stq)),
+      npx AS (SELECT LEAST((SELECT nlist FROM nl),
+        GREATEST(1, $IvfF50Np * (SELECT nlist FROM nl) // 16)) AS np),
+      cdx AS (SELECT ((SELECT f FROM fb) * (SELECT np FROM npx))
+        // (SELECT nlist FROM nl) AS cand),
+      chosen AS (SELECT CASE
+        WHEN (SELECT f FROM fb) <= 900 THEN 'brute-filtered'
+        WHEN (SELECT cand FROM cdx) <= 900 THEN 'ivf-filtered'
+        ELSE 'graph-filtered' END AS fam),
+      ${ivfStandingSql("(SELECT nlist FROM nl)", "vv")},
+      ${ivfFilteredAnnr("f50", "(SELECT np FROM npx)", "vb", "vv")},
+      $fullGraphCtes,
+      ${graphEntrySql("g",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16")},
+      ${beamAdcP(rounds = 4, beam = 9, p = "h9", edge = "e",
+        entry = "gbent", psc = "psc")},
+      ${poolSql("h9", 4, "spool")},
+      ${graphFilteredAnnr("f50", "spool", "sg")},
+      annx AS (
+        SELECT qid, cid FROM exf_f50
+          WHERE (SELECT fam FROM chosen) = 'brute-filtered'
+        UNION ALL
+        SELECT qid, cid FROM vbannr
+          WHERE (SELECT fam FROM chosen) = 'ivf-filtered'
+        UNION ALL
+        SELECT qid, cid FROM sgannr
+          WHERE (SELECT fam FROM chosen) = 'graph-filtered')
+      SELECT 'f50' AS sel, (SELECT fam FROM chosen) AS dial, q.qid,
+        CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT DISTINCT qid FROM exf_f50) q LEFT JOIN (
+        SELECT exf_f50.qid, COUNT(*) AS h FROM exf_f50
+        JOIN annx ON exf_f50.qid = annx.qid AND exf_f50.cid = annx.cid
+        GROUP BY 1) h ON q.qid = h.qid
+      ORDER BY q.qid""")),
+
+    // ---- perplexity-class scoring in fixed-point log space --------------
+    // The q260 bigram LM's log-space half, closing the round-10
+    // verdict's last "missing" row: per-document negative log-
+    // likelihood of the Laplace-smoothed bigram model, every ln
+    // computed by [[graft.operators.FixedPoint]]'s DEFINED micro-nat
+    // integer recipe — so the whole score column is BIGINT and hashes
+    // identically across engines (no float compare anywhere). Per
+    // pair: nll = ln_fx(c1+V) - ln_fx(c2+1) >= 0 (the -ln p of q260's
+    // exact rational p); per doc: the exact BIGINT sum and its
+    // integer-floor mean (micro-nats/pair — e^(avg/10^6) is the
+    // perplexity a CCNet-style filter thresholds on). Scale shape:
+    // ln runs over the DISTINCT count values only (Zipf-bounded, a
+    // broadcast), joined back per pair — the corpus-sized work stays
+    // the two word-count shuffles the q260 family already pays.
+    "q324_llm_perplexity_fixedln" -> QueryDef(
+      (s, dir) => {
+        val refSrcs = Seq("src1", "src2", "src3", "src4", "src5")
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("tl"))
+        def pairsOf(df: DataFrame): DataFrame = {
+          val tks = df.select(col("doc_id"), posexplode(col("tl")))
+            .select(col("doc_id"), col("pos"), col("col").as("w1"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")
+          tks.withColumn("w2", lead("w1", 1).over(w))
+            .filter(col("w2").isNotNull)
+            .select(col("doc_id"), col("w1"), col("w2"))
+        }
+        val refTok = tok.filter(col("source").isin(refSrcs: _*))
+        val refPairs = pairsOf(refTok)
+        val vDf = refTok.select(explode(col("tl")).as("w"))
+          .agg(countDistinct("w").as("v")).withColumn("one", lit(1))
+        val hist = refPairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val big = refPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val sc = pairsOf(tok)
+          .join(big, Seq("w1", "w2"), "left")
+          .join(hist, Seq("w1"), "left")
+          .withColumn("one", lit(1))
+          .join(broadcast(vDf), Seq("one"))
+          .select(col("doc_id"),
+            (coalesce(col("c2"), lit(0L)) + 1L).as("num"),
+            (coalesce(col("c1"), lit(0L)) + col("v")).as("den"))
+        val lnt = graft.operators.FixedPoint.lnFxTable(
+          sc.select(col("den").as("n"))
+            .union(sc.select(col("num").as("n"))).distinct())
+        val lden = broadcast(lnt.select(col("n").as("den"),
+          col("ln_fx").as("ln_den")))
+        val lnum = broadcast(lnt.select(col("n").as("num"),
+          col("ln_fx").as("ln_num")))
+        sc.join(lden, Seq("den")).join(lnum, Seq("num"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("ln_den") - col("ln_num")).as("nll_fx"))
+          .withColumn("nll_avg_fx", expr("nll_fx div n_pairs"))
+          .select("doc_id", "n_pairs", "nll_fx", "nll_avg_fx")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS tl FROM documents),
+      rt AS (SELECT * FROM tok WHERE source IN ('src1','src2','src3','src4','src5')),
+      vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(tl) AS w FROM rt)),
+      rp AS (SELECT tl[p] AS w1, tl[p+1] AS w2 FROM
+        (SELECT tl, unnest(range(1, len(tl))) AS p FROM rt)),
+      hist AS (SELECT w1, COUNT(*) AS c1 FROM rp GROUP BY 1),
+      big AS (SELECT w1, w2, COUNT(*) AS c2 FROM rp GROUP BY 1, 2),
+      dp AS (SELECT doc_id, tl[p] AS w1, tl[p+1] AS w2 FROM
+        (SELECT doc_id, tl, unnest(range(1, len(tl))) AS p FROM tok)),
+      sc AS MATERIALIZED (SELECT doc_id,
+          CAST(COALESCE(b.c2, 0) + 1 AS BIGINT) AS num,
+          CAST(COALESCE(h.c1, 0) + vv.v AS BIGINT) AS den
+        FROM dp LEFT JOIN big b USING (w1, w2) LEFT JOIN hist h USING (w1)
+        CROSS JOIN vv),
+      nv AS (SELECT den AS n FROM sc UNION SELECT num AS n FROM sc),
+      ${graft.operators.FixedPoint.lnFxSql("nv", "lnt")}
+      SELECT sc.doc_id, COUNT(*) AS n_pairs,
+        CAST(SUM(ld.ln_fx - ln2.ln_fx) AS BIGINT) AS nll_fx,
+        CAST(CAST(SUM(ld.ln_fx - ln2.ln_fx) AS BIGINT) // COUNT(*) AS BIGINT) AS nll_avg_fx
+      FROM sc JOIN lnt ld ON sc.den = ld.n JOIN lnt ln2 ON sc.num = ln2.n
+      GROUP BY sc.doc_id ORDER BY sc.doc_id"""))
   )
+
+  /** The b9r4 visited pool over the full standing graph — q323's graph
+    * measurement AND its graph-tier serve (one artifact, the q322
+    * measured-pipeline-is-the-serve rule). */
+  private def sloGraphPool(s: SparkSession, dir: String,
+      qs: DataFrame, corpus: DataFrame): DataFrame = {
+    val refined = Round9.refinedGraphArtifact(s, dir, corpus)
+    val codes = graft.util.FixtureArtifact.parquet(s, dir,
+      "embeddings.parquet", "pqcodes_s16_c16")(
+      Similarity.pqCodes(corpus, nSub = 16, nCodes = 16, dim = 64))
+    val cents = broadcast(corpus.orderBy("cid").limit(16)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val entries = Similarity.assignToCentroids(
+        qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
+      .select(col("qid"), col("centroid_id").as("cid"))
+    visitedPoolArtifact(s, dir, s"b${SloBeam}_r$SloRounds",
+      SloBeam.toInt, SloRounds.toInt) {
+      Similarity.beamPqVisited(qs, corpus, refined, codes, entries,
+        beam = SloBeam.toInt, rounds = SloRounds.toInt,
+        nSub = 16, nCodes = 16, dim = 64)
+    }
+  }
 }

@@ -162,6 +162,18 @@ class PlanGuardSpec extends SparkTestBase {
                                    // brute-filtered tier fires) + 1-row
                                    // corpus/filter-count scalars feeding
                                    // adviseFiltered
+    "q323_llm_ann_filtered_slo",   // q320 class: the served branch's
+                                   // 50-row query broadcast (brute tier at
+                                   // sf0.01) or centroid broadcasts (ivf
+                                   // tier); decision inputs are 1-row
+                                   // corpus/filter-count scalars; the
+                                   // sampled measurement runs eagerly over
+                                   // the limit-bounded Lehmer-500 sample
+    "q324_llm_perplexity_fixedln", // q260 class: the 1-row vocabulary-size
+                                   // scalar (V) joins on a constant key
+                                   // (folds to a bounded NL join); the
+                                   // ln table joins are hash equi-joins
+                                   // on the Zipf-bounded distinct counts
     "q315_llm_ann_calibrated_memory" // q306 class: the served branch's
                                    // assignToCentroids crossJoins against
                                    // limit-bounded centroid broadcasts; the

@@ -200,4 +200,85 @@ class Round11Spec extends SparkTestBase {
       }
     }
   }
+
+  test("q323 fixed-SLO decision ladder: brute -> ivf -> graph fallback") {
+    val B = 900L
+    // sf0.01 shape: survivors fit the SLO -> brute
+    assert(IndexAdvisor.adviseFiltered(500L, 254L, 0.8, B, Nil)
+      .family == "brute-filtered")
+    // sf0.1 shape: both measured rows admissible (ivf 747 <= 900,
+    // graph 9*25*4 = 900 <= 900) but only ivf meets target (the swept
+    // 0.924 sample vs the walk's honest 0.616) -> min-cand ivf
+    val ivfRow = RecallRow("ivf-filtered",
+      Map("nlist" -> 16L, "nprobe" -> 12L, "k" -> 5L), 0.924)
+    val graphRow = RecallRow("graph-filtered",
+      Map("d" -> 24L, "beam" -> 9L, "rounds" -> 4L,
+        "nSub" -> 16L, "nCodes" -> 16L, "k" -> 5L), 0.616)
+    val a1 = IndexAdvisor.adviseFiltered(2000L, 996L, 0.8, B,
+      Seq(ivfRow, graphRow))
+    assert(a1.family == "ivf-filtered" && a1.candidatesPerQuery == 747L,
+      s"sf0.1 shape must serve the measured ivf tier: $a1")
+    assert(a1.params("nlist") == 32L && a1.params("nprobe") == 24L)
+    // 10x shape: ivf re-derived cand = 9960*96/128 = 7470 > 900 ->
+    // inadmissible; graph (900 <= 900) is the only admissible family,
+    // below target -> the best-measured fallback, loudly rationalized
+    val a2 = IndexAdvisor.adviseFiltered(20000L, 9960L, 0.8, B,
+      Seq(ivfRow, graphRow))
+    assert(a2.family == "graph-filtered" &&
+      a2.rationale.contains("below target"),
+      s"at 10x the fixed SLO must fall back to the graph walk: $a2")
+    assert(a2.candidatesPerQuery == 900L)
+  }
+
+  test("FixedPoint.lnFx: exact integers, both engines' arithmetic") {
+    import graft.operators.FixedPoint
+    // the independent recipe (BigInt floor division == Long div on
+    // nonnegative operands)
+    def ref(n: Long): Long = {
+      val b = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      val m = n * 1000000L / (1L << b)
+      val z = (m - 1000000L) * 1000000L / (m + 1000000L)
+      val z2 = z * z / 1000000L
+      val t3 = z * z2 / 1000000L
+      val t5 = t3 * z2 / 1000000L
+      val t7 = t5 * z2 / 1000000L
+      val t9 = t7 * z2 / 1000000L
+      b * 693147L + 2L * (z + t3 / 3 + t5 / 5 + t7 / 7 + t9 / 9)
+    }
+    val ns = Seq(1L, 2L, 3L, 5L, 7L, 10L, 100L, 999L, 12345L,
+      1000000L, 987654321L)
+    val got = FixedPoint.lnFxTable(ns.toDF("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- ns) {
+      assert(got(n) == ref(n), s"lnFx($n): ${got(n)} != ref ${ref(n)}")
+      // a defined score, within ~15 micro-nats of true ln
+      assert(math.abs(got(n) - math.log(n.toDouble) * 1e6) < 15.0,
+        s"lnFx($n) drifted from ln: ${got(n)}")
+    }
+    assert(got(1L) == 0L && got(2L) == FixedPoint.Ln2Fx)
+  }
+
+  test("q324 nll algebra: pair nll = lnFx(den) - lnFx(num), avg = div") {
+    import graft.operators.FixedPoint
+    // a 2-doc toy corpus through the exact q324 arithmetic
+    val sc = Seq((1L, 3L, 12L), (1L, 1L, 12L), (2L, 2L, 15L))
+      .toDF("doc_id", "num", "den")
+    val lnt = FixedPoint.lnFxTable(
+      sc.select(col("den").as("n")).union(sc.select(col("num").as("n")))
+        .distinct())
+    val lden = lnt.select(col("n").as("den"), col("ln_fx").as("ln_den"))
+    val lnum = lnt.select(col("n").as("num"), col("ln_fx").as("ln_num"))
+    val out = sc.join(lden, Seq("den")).join(lnum, Seq("num"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"),
+        sum(col("ln_den") - col("ln_num")).as("nll_fx"))
+      .withColumn("nll_avg_fx", expr("nll_fx div n_pairs"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ln = lnt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d1 = (ln(12L) - ln(3L)) + (ln(12L) - ln(1L))
+    assert(out(1L) == ((2L, d1, d1 / 2L)))
+    assert(out(2L) == ((1L, ln(15L) - ln(2L), ln(15L) - ln(2L))))
+    // nll is nonnegative by construction (num <= den everywhere)
+    assert(out.values.forall(_._2 >= 0L))
+  }
 }
