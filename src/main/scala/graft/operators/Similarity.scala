@@ -204,11 +204,32 @@ object Similarity {
     NativeExpressions.register(df.sparkSession)
     val scored = df.crossJoin(cents)
       .withColumn("__d", round(expr(s"vec_dot($vecCol, centroid)"), 6))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("__d").desc, col("centroid_id"))
-    scored.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nKeep)
-      .drop("__d", "__r", "centroid")
+    if (nKeep == 1) {
+      // the rank-1 argmax — (__d DESC, centroid_id ASC) — as a
+      // map-side-combinable aggregate: max(struct(__d, -centroid_id))
+      // is value-identical to the rank-1 window row, but the
+      // crossJoin's nlist-per-id rows collapse in the partial
+      // aggregate BEFORE any exchange, where the window form sorted
+      // the full nu·nlist frame through a shuffle (at the 100×
+      // probe's re-derived nlist=512 index that window was a
+      // 102M-row sort — q320's dominant term). `first` of the
+      // carried columns is deterministic because ids are unique in
+      // every caller's frame (one row per cid/rep — the crossJoin
+      // replicates them verbatim per centroid).
+      val others = df.columns.filter(_ != idCol).toSeq
+      val aggs = max(struct(col("__d"),
+          (-col("centroid_id")).as("__nid"))).as("__m") +:
+        others.map(c => first(col(c)).as(c))
+      scored.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+        .withColumn("centroid_id", -col("__m.__nid"))
+        .select(df.columns.map(col).toSeq :+ col("centroid_id"): _*)
+    } else {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("__d").desc, col("centroid_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nKeep)
+        .drop("__d", "__r", "centroid")
+    }
   }
 
   def ivfTopKProbe(
