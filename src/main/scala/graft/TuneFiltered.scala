@@ -23,6 +23,9 @@ object TuneFiltered {
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(s"$outDir/slo_filtered.sql"),
       graft.queries.Round11.sloFilteredProbeSql)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$outDir/maintained_filtered.sql"),
+      graft.queries.Round11.maintainedFilteredProbeSql)
     println(s"wrote sweep SQL to $outDir")
   }
 }

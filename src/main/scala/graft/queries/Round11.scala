@@ -309,6 +309,42 @@ object Round11 {
       SELECT * FROM ($rows) ORDER BY sel, dial"""
   }
 
+  /** Sweep probe (q325): filtered recall ON THE MAINTAINED GRAPH —
+    * takedown 1/3 (q321's tombstones), one compaction round, then f50
+    * filtered serving against the exact top-5 over survivors ∩ f50.
+    * Dials: the q321 serve point (b24r4) and the q319 boost (b32r5),
+    * swept in DuckDB at both SFs BEFORE the Spark side. */
+  private[graft] def maintainedFilteredProbeSql: String = {
+    val dials = Seq((24, 4), (32, 5))
+    val walks = dials.map { case (b, r) =>
+      beamAdcP(rounds = r, beam = b, p = s"mf$b", edge = "ec1",
+        entry = "sbent", psc = "psc") }.mkString(",\n      ")
+    val pools = dials.map { case (b, r) =>
+      poolSql(s"mf$b", r, s"mfpool_b${b}_r$r") }.mkString(",\n      ")
+    val annrs = dials.map { case (b, r) =>
+      graphFilteredAnnr("sf50", s"mfpool_b${b}_r$r", s"mfa_b${b}_r$r") }
+      .mkString(",\n      ")
+    val rows = dials.map { case (b, r) =>
+      s"""SELECT 'sf50' AS sel, 'b${b}r$r' AS dial, round(AVG(recall), 3) AS rec
+        FROM (${taggedTailSql("sf50", s"b${b}r$r", "exf_sf50", s"mfa_b${b}_r${r}annr")})"""
+    }.mkString(" UNION ALL ")
+    s"""${Round6c.exactRecallCte},
+      ${fsetExfSql("sf50", s"($SurvPred) AND ($F50Pred)")},
+      $fullGraphCtes,
+      tomb AS MATERIALIZED (SELECT vec_id AS cid FROM embeddings WHERE $TombPred),
+      ed AS MATERIALIZED (SELECT e.u, e.v FROM e
+        WHERE e.u NOT IN (SELECT cid FROM tomb)
+          AND e.v NOT IN (SELECT cid FROM tomb)),
+      ${Round9.nnDescentSql(rounds = 1, d = Round9.NnDegree,
+        src = "ed", out = "ec1", p = "k1")},
+      ${graphEntrySql("s",
+        s"SELECT vec_id, embedding FROM embeddings WHERE $SurvPred ORDER BY vec_id LIMIT 16")},
+      $walks,
+      $pools,
+      $annrs
+      SELECT * FROM ($rows) ORDER BY sel, dial"""
+  }
+
   /** Sweep probe (q323): (a) the SAMPLED filtered-IVF measurement —
     * the q314 Lehmer-500 sample carrying the filtered axis: standing
     * 16-cell index over the sample, filter applied to the probed
@@ -1152,7 +1188,99 @@ object Round11 {
         CAST(SUM(ld.ln_fx - ln2.ln_fx) AS BIGINT) AS nll_fx,
         CAST(CAST(SUM(ld.ln_fx - ln2.ln_fx) AS BIGINT) // COUNT(*) AS BIGINT) AS nll_avg_fx
       FROM sc JOIN lnt ld ON sc.den = ld.n JOIN lnt ln2 ON sc.num = ln2.n
-      GROUP BY sc.doc_id ORDER BY sc.doc_id"""))
+      GROUP BY sc.doc_id ORDER BY sc.doc_id""")),
+
+    // ---- filters × deletes: serving the MAINTAINED graph under a
+    // predicate ------------------------------------------------------
+    // Production indexes are BOTH maintained (takedowns — q321) and
+    // served under metadata filters (q319); this row scores the
+    // composition: 1/3 tombstoned, one compaction round, then f50
+    // filtered serving, exact side = top-5 over survivors ∩ f50. The
+    // walk navigates the full MAINTAINED graph (tombstones are gone
+    // from the edge set; f50-filtered-out nodes stay in the walk —
+    // the q319 rule), the filter applies to the exact re-rank of the
+    // visited pool, where keep = survivors ∩ f50 (a tombstoned id can
+    // never be served, by construction of the pruned+compacted edges,
+    // and the re-rank's semi-join makes it structural). DuckDB sweep
+    // (both SFs, before wiring): q321's serve point b24r4 holds at
+    // 1.0/0.908 under the combined predicate — compaction repairs
+    // navigability enough that the ~1/3-selectivity filter costs ~0
+    // vs the unfiltered compacted serve (0.912) — and the q319 boost
+    // dial b32r5 recovers to 1.0/0.952. Output: both dials' recall
+    // rows; the b24r4 pool is q321's own artifact (one walk serves
+    // the maintenance row AND this composition), b32r5 prices the
+    // boosted walk's pool build in this row.
+    "q325_llm_ann_filtered_maintained" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val tomb = emb.filter(
+            pmod(col("vec_id") * lit(2654435761L), lit(3L)) === 1)
+          .select(col("vec_id").as("cid"))
+        val keep = emb.filter(
+            pmod(col("vec_id") * lit(2654435761L), lit(3L)) =!= 1 &&
+              col("label") < 5)
+          .select(col("vec_id").as("cid"))
+        val refined = Round9.refinedGraphArtifact(s, dir, corpus)
+        val codes = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "pqcodes_s16_c16")(
+          Similarity.pqCodes(corpus, nSub = 16, nCodes = 16, dim = 64))
+        val compacted = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet",
+          s"compact_tomb3_d${Round9.NnDegree}_r1_nnd_d${Round9.NnDegree}_r${Round9.NnRounds}",
+          params = Map("d" -> Round9.NnDegree.toLong, "rounds" -> 1L))(
+          Similarity.graphDeleteCompact(refined, corpus, tomb,
+            d = Round9.NnDegree, rounds = 1))
+        val survivors = corpus.join(tomb, Seq("cid"), "left_anti")
+        val cents = broadcast(survivors.orderBy("cid").limit(16)
+          .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        val entries = Similarity.assignToCentroids(
+            qs.select(col("qid"), col("qe")), "qid", "qe", cents, nKeep = 2)
+          .select(col("qid"), col("centroid_id").as("cid"))
+        val exf = exactTop5Filtered(s, dir, "surv3f50", qs, corpus, keep)
+          .select("qid", "cid")
+        val parts = Seq((Round9.BeamWidth, Round9.BeamRounds),
+            (GraphBoostBeam, GraphBoostRounds)).map { case (b, r) =>
+          val pool = visitedPoolArtifact(s, dir,
+            s"tomb3_compact1_b${b}_r$r", b, r) {
+            Similarity.beamPqVisited(qs, corpus, compacted, codes,
+              entries, beam = b, rounds = r, nSub = 16, nCodes = 16,
+              dim = 64)
+          }
+          taggedRecall("sf50", s"b${b}r$r", exf,
+            top5(pool.join(keep, Seq("cid"), "left_semi")))
+        }
+        parts.reduce(_ unionByName _).orderBy("dial", "qid")
+      },
+      Some(s"""${Round6c.exactRecallCte},
+      ${fsetExfSql("sf50", s"($SurvPred) AND ($F50Pred)")},
+      $fullGraphCtes,
+      tomb AS MATERIALIZED (SELECT vec_id AS cid FROM embeddings WHERE $TombPred),
+      ed AS MATERIALIZED (SELECT e.u, e.v FROM e
+        WHERE e.u NOT IN (SELECT cid FROM tomb)
+          AND e.v NOT IN (SELECT cid FROM tomb)),
+      ${Round9.nnDescentSql(rounds = 1, d = Round9.NnDegree,
+        src = "ed", out = "ec1", p = "k1")},
+      ${graphEntrySql("s",
+        s"SELECT vec_id, embedding FROM embeddings WHERE $SurvPred ORDER BY vec_id LIMIT 16")},
+      ${beamAdcP(rounds = Round9.BeamRounds, beam = Round9.BeamWidth,
+        p = "mfa", edge = "ec1", entry = "sbent", psc = "psc")},
+      ${beamAdcP(rounds = GraphBoostRounds, beam = GraphBoostBeam,
+        p = "mfb", edge = "ec1", entry = "sbent", psc = "psc")},
+      ${poolSql("mfa", Round9.BeamRounds, "mfpool_a")},
+      ${poolSql("mfb", GraphBoostRounds, "mfpool_b")},
+      ${graphFilteredAnnr("sf50", "mfpool_a", "xma")},
+      ${graphFilteredAnnr("sf50", "mfpool_b", "xmb")}
+      SELECT * FROM (
+        ${taggedTailSql("sf50", s"b${Round9.BeamWidth}r${Round9.BeamRounds}",
+          "exf_sf50", "xmaannr")}
+        UNION ALL
+        ${taggedTailSql("sf50", s"b${GraphBoostBeam}r$GraphBoostRounds",
+          "exf_sf50", "xmbannr")})
+      ORDER BY dial, qid"""))
   )
 
   /** The b9r4 visited pool over the full standing graph — q323's graph
