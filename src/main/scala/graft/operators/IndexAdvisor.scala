@@ -147,6 +147,22 @@ object IndexAdvisor {
               "rounds" -> p("rounds", 4L), "nSub" -> p("nSub", 16L),
               "nCodes" -> p("nCodes", 16L), "k" -> p("k", 5L)), cand,
             s"calibrated: measured ${r.recall} recall@k, corpus-size-independent cost over resident codes") -> r.recall)
+        case "ivf-sq8" if p("nprobe", 1L) > 0 && p("nlist", 1L) > 0 =>
+          // the q326 family: IVF pruning over int8 scalar-quantized
+          // codes. Same re-derivation as ivf (nlist grows with the
+          // corpus, the measured nprobe/nlist ratio is kept); the
+          // exact rerank is the measured m (a fixed handful — SQ8
+          // ranking is near-lossless, the q326 sweep), never
+          // corpus-derived like ivfpq's
+          val den = math.max(1L, p("nlist", 1L) / p("nprobe", 1L))
+          val nlist = pow2Near(math.sqrt(nu.toDouble))
+          val nprobe = math.max(1L, nlist / den)
+          val cand = nu * nprobe / nlist
+          Some(Advice("ivf-sq8", dedup,
+            Map("nlist" -> nlist, "nprobe" -> nprobe,
+              "m" -> p("m", 8L), "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k over SQ8 codes " +
+              s"at nprobe=nlist/$den, rerank m=${p("m", 8L)}") -> r.recall)
         case _ => None
       }
     }
@@ -159,6 +175,7 @@ object IndexAdvisor {
     def p(k: String, d: Long) = a.params.getOrElse(k, d)
     a.family match {
       case "ivfpq" => nu * (4L + p("nSub", 16L) * 4L / 8L + 4L)
+      case "ivf-sq8" => nu * (dim * 1L + 4L + 4L) // int8 codes + rescale + cell
       case "graph-pq" => nu * (p("d", 24L) * 8L + p("nSub", 16L) * 4L / 8L + 4L)
       case "graph-beam" => nu * (dim * 4L + p("d", 4L) * 8L)
       case _ => nu * dim * 4L

@@ -1,0 +1,543 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{FixedPoint, IndexAdvisor, Ranks, Similarity}
+import graft.sources.Tables
+
+/** Round-11 second batch: the SQ8 compression point on the ANN
+  * memory/recall curve (q326 — FAISS's production-default `IVF,SQ8`
+  * layout) and DSIR-style target-domain data selection (q327 — the
+  * importance-resampling step of a training-data pipeline, scored in
+  * the fixed-point log space q324 introduced).
+  */
+object Round11b {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  // ---- q327 helpers (declared BEFORE defs — object-init order) -------
+
+  /** Hashed-feature domain for the DSIR bigram features. 4096 buckets:
+    * small enough that the per-feature count tables broadcast (the
+    * counts side is B-bounded regardless of corpus size), large enough
+    * that the fixture's ~40k distinct bigrams spread ~10 deep. */
+  private val DsirBuckets = 4096L
+
+  /** The q172 portable word hash (8-char base-31 polynomial, Lehmer-
+    * mixed mod a prime < 2^60) — exact int64 in both engines. */
+  private val HashPows = Seq(27512614111L, 887503681L, 28629151L,
+    923521L, 29791L, 961L, 31L, 1L)
+
+  private def wordHm(c: Column): Column = {
+    val poly = HashPows.zipWithIndex.map { case (p, j) =>
+      ascii(substring(c, j + 1, 1)).cast("long") * lit(p)
+    }.reduce(_ + _)
+    poly * lit(48271L) % lit(1152921504606846883L)
+  }
+
+  /** DuckDB replay of [[wordHm]] over a word column expression. */
+  private def wordHmSql(w: String): String =
+    s"""((list_sum(list_transform(range(1, 9), j ->
+       CASE WHEN j <= length($w) THEN ascii($w[j:j]) ELSE 0 END
+       * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
+     * 48271) % 1152921504606846883)"""
+
+  // ---- q326/q328 oracle fragments (the SQ8 standing index) ------------
+
+  /** Standing SQ8 index CTEs over [[Round6c.exactRecallCte]]'s q2/c2:
+    * `cent` (16 lowest-id centroids), `ca` (rank-1 cell assignment),
+    * `qa` (query probe ranks, all 16 kept — sliced per serve), `sq8`
+    * (int8 codes + the fixed-point rescale rc; list_reduce matches
+    * vec_dot's sequential fold, round ties away from zero in both
+    * engines — the q96 rule). */
+  private def sq8StandingSql(sp: String): String =
+    s"""${sp}cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 16),
+      ${sp}ca AS MATERIALIZED (SELECT id AS cid, centroid_id FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM (SELECT s.id, c.centroid_id,
+            round(SUM(CAST(s.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+          FROM c2 s, ${sp}cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2))
+        WHERE r = 1),
+      ${sp}qa AS MATERIALIZED (SELECT id AS qid, centroid_id, r FROM (SELECT id, centroid_id,
+          row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid_id) AS r
+        FROM (SELECT q.id, c.centroid_id,
+            round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+          FROM q2 q, ${sp}cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2))
+        WHERE r <= 16),
+      ${sp}sq8 AS MATERIALIZED (SELECT id,
+          list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT)) AS qc,
+          CAST(round(am * 1000000000.0 / nn) AS BIGINT) AS rc
+        FROM (SELECT id, e,
+            list_max(list_transform(e, y -> abs(CAST(y AS DOUBLE)))) AS am,
+            sqrt(list_reduce(list_transform(e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+              (a, b) -> a + b)) AS nn
+          FROM c2))"""
+
+  /** One SQ8 serve at (nprobe, m) against the `sp`-prefixed standing
+    * CTEs: all-BIGINT candidate ranking (intdot·rc), exact rerank of
+    * the m-bounded pool from ex0's cosines. Emits `<p>annr`. */
+  private def sq8AnnrSql(np: Int, m: Int, p: String, sp: String): String =
+    s"""${p}sadc AS MATERIALIZED (SELECT ${sp}qa.qid, ${sp}ca.cid,
+        CAST(list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS BIGINT)
+          * c.rc AS akey
+      FROM ${sp}qa JOIN ${sp}ca ON ${sp}qa.centroid_id = ${sp}ca.centroid_id
+        AND ${sp}qa.qid <> ${sp}ca.cid
+      JOIN ${sp}sq8 q ON ${sp}qa.qid = q.id JOIN ${sp}sq8 c ON ${sp}ca.cid = c.id
+      WHERE ${sp}qa.r <= $np),
+      ${p}spool AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY akey DESC, cid) AS pr
+        FROM ${p}sadc) WHERE pr <= $m),
+      ${p}annr AS (SELECT qid, cid FROM (SELECT p.qid, p.cid,
+          row_number() OVER (PARTITION BY p.qid ORDER BY e.cos DESC, p.cid) AS rnk
+        FROM ${p}spool p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid) WHERE rnk <= 5)"""
+
+  /** q328's serving-memory budget: chosen so the SQ8 family sits in
+    * the window at nu=500 (36 kB ≤ 60 kB; raw floats 128 kB do not
+    * fit) and is evicted by its own bytes at nu=2000 (144 kB) — the
+    * q315 flip-across-SFs convention on the sq8 ladder rung. */
+  private val Sq8MemBudget = 60000L
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- IVF-SQ8: the scalar-quantization point on the ANN
+    // memory/recall curve ------------------------------------------------
+    // The compression axis so far spans raw floats (256 B/vec — q294's
+    // IVF at 0.844) and product quantization (~13-16 B — q307's raw-ADC
+    // honest negative 0.236, q308/q309 recovering through hundreds-deep
+    // rerank pools). Production systems default to the point BETWEEN:
+    // FAISS `IVF,SQ8` — int8 scalar quantization, 72 B/vec resident
+    // (64 codes + a 4-byte rescale + cell id). The round-11 DuckDB
+    // sweep (both SFs, BEFORE the Spark side) measured why: SQ8
+    // ranking is NEAR-LOSSLESS at dim 64 — pool containment == the
+    // probed-cell ceiling at every swept (nprobe, m), a pool of m=8
+    // saturates where PQ needs m=100-300, and even the no-rerank m=5
+    // serve loses exactly one hit per 250. Shipped dials nlist=16 /
+    // nprobe=10 / m=8 → recall@5 0.896/0.904 — beating q309's IVFADC
+    // at the SAME nprobe (0.820/0.816) with a 37× smaller rerank pool,
+    // at 4.5× its bytes. The candidate rank key is PURE BIGINT
+    // (intdot · rc, the q309 quantized-domain exactness rule with
+    // dequantization + cosine normalization folded into one stored
+    // fixed-point rescale), so the oracle replays the pool selection
+    // exactly, not just the final answer. Scale shape: codes + cell
+    // assignment are build-once fixture artifacts; per query, nprobe
+    // cell joins over the 72 B/vec resident codes + an 8-bounded
+    // cold-storage rerank join.
+    "q326_llm_ann_ivf_sq8" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) =>
+        Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16, nprobe = 10,
+          m = 8, artifact = Some((dir, "embeddings.parquet", "ivfsq8")))),
+      Some(s"""${Round6c.exactRecallCte},
+      ${sq8StandingSql("")},
+      ${sq8AnnrSql(np = 10, m = 8, p = "", sp = "")},
+      ${Round6c.recallTailSql}""")),
+
+    // ---- the unified advisor learns the SQ8 rung ------------------------
+    // q315 measured IVF and IVFPQ live and decided under both budgets;
+    // this row adds the q326 family to that loop at the budget window
+    // where SQ8 is the HONEST answer: a 60 kB serving budget excludes
+    // raw vectors at EVERY fixture scale (nu·256 B = 128/512 kB — a
+    // loud require documents why the ivf row isn't measured), so the
+    // live measurements are the two compressed families: the q326
+    // pipeline at nlist=16/nprobe=8/m=8 (swept 0.816/0.844) and the
+    // q309 IVFPQ row (16/10). At nu=500 both fit (36/8 kB) and both
+    // meet the 0.8 target — SQ8 wins on re-derived candidate cost
+    // (250 vs 312) with the higher measured recall; at nu=2000 SQ8 is
+    // evicted by ITS OWN bytes (144 kB > 60 kB) and the decision
+    // flips to IVFPQ at the re-derived q310 dials (served 0.920).
+    // The measured SQ8 pipeline IS the serve when chosen (re-derived
+    // nlist(500)=16 == the measured config — pinned by a require, the
+    // q322 rule). Decision replay is exact BIGINT: bytes nu·72/nu·16
+    // mirror IndexAdvisor.residentBytes (the round-10 ADVICE class),
+    // costs in //, family tie-break ASC ('ivf-sq8' < 'ivfpq').
+    "q328_llm_ann_calibrated_sq8" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0)
+        val nu = st.getLong(1)
+        val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
+        require(nu * 256L > Sq8MemBudget,
+          s"raw vectors fit the $Sq8MemBudget B budget at nu=$nu — " +
+            "the ivf row would need measuring (q315 scores that regime)")
+        val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
+        val nq = exact.select("qid").distinct().count()
+        def measured(ann: DataFrame): Double = {
+          val hits = exact
+            .join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"))
+            .count()
+          hits.toDouble / (5.0 * nq)
+        }
+        val ms = measured(Similarity.ivfSq8TopK(qs, corpus, k = 5,
+          nlist = 16, nprobe = 8, m = 8,
+          artifact = Some((dir, "embeddings.parquet", "ivfsq8"))))
+        val mp = measured(Similarity.ivfPqTopK(qs, corpus, k = 5,
+          nlist = 16, nprobe = 10, nSub = 16, nCodes = 16, dim = 64,
+          rerank = math.max(100L, n * 3L / 20L).toInt,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq"))))
+        val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
+          dupRate, targetRecall = 0.8,
+          candidateBudget = nu * 9L / 10L,
+          memoryBudgetBytes = Sq8MemBudget,
+          measured = Seq(
+            IndexAdvisor.RecallRow("ivf-sq8",
+              Map("nlist" -> 16L, "nprobe" -> 8L, "m" -> 8L, "k" -> 5L), ms),
+            IndexAdvisor.RecallRow("ivfpq",
+              Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
+                "nCodes" -> 16L, "k" -> 5L), mp)))
+        adv.family match {
+          case "ivf-sq8" =>
+            // measured-pipeline-is-the-serve (q322): the re-derived
+            // dials must equal the measured config or the claim lies
+            require(adv.params("nlist") == 16L &&
+              adv.params("nprobe") == 8L && adv.params("m") == 8L,
+              s"re-derived sq8 dials ${adv.params} left the measured point")
+            Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16,
+              nprobe = 8, m = 8,
+              artifact = Some((dir, "embeddings.parquet", "ivfsq8")))
+          case "ivfpq" => Similarity.ivfPqTopK(qs, corpus, k = 5,
+            nlist = adv.params("nlist").toInt,
+            nprobe = adv.params("nprobe").toInt,
+            nSub = adv.params("nSub").toInt,
+            nCodes = adv.params("nCodes").toInt, dim = 64,
+            rerank = adv.params("rerank").toInt,
+            artifact = Some((dir, "embeddings.parquet", "ivfpq")))
+          case other => sys.error(
+            s"sq8-window advisor picked unreachable family $other")
+        }
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      nq AS (SELECT COUNT(DISTINCT qid) AS nq FROM exr),
+      -- measurement 1: the q326 SQ8 pipeline at nlist=16/nprobe=8/m=8
+      ${sq8StandingSql("z")},
+      ${sq8AnnrSql(np = 8, m = 8, p = "s", sp = "z")},
+      ms AS (SELECT CAST((SELECT COUNT(*) FROM exr JOIN sannr
+            ON exr.qid = sannr.qid AND exr.cid = sannr.cid) AS DOUBLE)
+          / (5.0 * (SELECT nq FROM nq)) AS rec),
+      -- measurement 2: the q309 IVFPQ row (16/10, 16x16, q308 rerank dial)
+      ${Round9.ivfPqSqlE("16", "10",
+        "GREATEST(100, (SELECT COUNT(*) FROM embeddings) * 3 // 20)",
+        nSub = 16, nCodes = 16, prefix = "p")},
+      mpannr AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        FROM prsc) WHERE rnk <= 5),
+      mp AS (SELECT CAST((SELECT COUNT(*) FROM exr JOIN mpannr
+            ON exr.qid = mpannr.qid AND exr.cid = mpannr.cid) AS DOUBLE)
+          / (5.0 * (SELECT nq FROM nq)) AS rec),
+      -- the decision: exact BIGINT replay of adviseCalibratedServing
+      st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM embeddings),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      nps AS (SELECT GREATEST(1, (SELECT nlist FROM nl) // 2) AS nprobe),
+      np2 AS (SELECT GREATEST(1, (10 * (SELECT nlist FROM nl)) // 16) AS nprobe),
+      bud AS (SELECT ((SELECT nu FROM st) * 9) // 10 AS b),
+      rr AS (SELECT LEAST((SELECT b FROM bud),
+          GREATEST(100, 3 * (SELECT nu FROM st) // 20)) AS rerank),
+      cfg AS (
+        SELECT 'ivf-sq8' AS fam,
+            ((SELECT nu FROM st) * (SELECT nprobe FROM nps)) // (SELECT nlist FROM nl) AS cand,
+            -- residentBytes("ivf-sq8") = nu*(dim + 4 rescale + 4 cell)
+            -- = nu*72 at dim 64 — MUST mirror IndexAdvisor.residentBytes
+            (SELECT nu FROM st) * 72 AS bytes,
+            (SELECT rec FROM ms) AS rec
+        UNION ALL
+        SELECT 'ivfpq' AS fam,
+            ((SELECT nu FROM st) * (SELECT nprobe FROM np2)) // (SELECT nlist FROM nl) AS cand,
+            (SELECT nu FROM st) * 16 AS bytes,
+            (SELECT rec FROM mp) AS rec),
+      adm AS (SELECT * FROM cfg
+        WHERE cand <= (SELECT b FROM bud) AND bytes <= $Sq8MemBudget),
+      chosen AS (SELECT COALESCE(
+        (SELECT fam FROM adm WHERE rec >= 0.8
+         ORDER BY cand, rec DESC, fam LIMIT 1),
+        (SELECT fam FROM adm ORDER BY rec DESC, cand, fam LIMIT 1)) AS fam),
+      -- serving branch B: IVFPQ at the re-derived dials (q310's chain)
+      ${Round9.ivfPqSqlE("(SELECT nlist FROM nl)", "(SELECT nprobe FROM np2)",
+        "(SELECT rerank FROM rr)", nSub = 16, nCodes = 16)},
+      annr AS (
+        SELECT qid, cid FROM sannr
+          WHERE (SELECT fam FROM chosen) = 'ivf-sq8'
+        UNION ALL
+        SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+          FROM rsc) WHERE rnk <= 5 AND (SELECT fam FROM chosen) = 'ivfpq'),
+      ${Round6c.recallTailSql}""")),
+
+    // ---- DSIR-style target-domain data selection -----------------------
+    // The data-SELECTION step of a training pipeline (Xie et al.,
+    // "Data Selection for Language Models via Importance Resampling",
+    // NeurIPS 2023): score every raw document by the log importance
+    // weight of its hashed bigram features under target-vs-raw unigram
+    // feature models, then keep the top quarter. Target domain = the
+    // `lang = 'en'` slice; features = the q172 portable word hashes
+    // combined pairwise and bucketed mod 4096; both feature models are
+    // Laplace-smoothed; EVERY ln is graft.operators.FixedPoint's
+    // defined micro-nat integer recipe, so the weight column is BIGINT
+    // and hash-compares exactly (the q324 rule — a CCNet/DSIR port
+    // expects log space, and this is the deterministic way to ship
+    // it). w(doc) = Σ_f [ln_fx(ct_f+1) − ln_fx(cr_f+1)] − n_feats ·
+    // [ln_fx(NT+B) − ln_fx(NR+B)]. Pre-wiring DuckDB run (both SFs):
+    // the selection enriches the target domain 65.6% vs 43.6% base
+    // rate at sf0.01, 55.2% vs 41.2% at sf0.1, deterministic under
+    // rerun. Scale shape: tokenize+hash is row-local; the feature
+    // count tables are B-bounded (4096 rows) broadcasts; ln runs over
+    // DISTINCT counts only (Zipf-bounded) and joins back; the per-doc
+    // aggregation is the one data-sized shuffle; the global selection
+    // rank is Ranks.rankedBinned over a constant key (the q283
+    // binned-path rule — no task sorts more than one range bin).
+    // ---- SQ8 standing-index streaming ingest ----------------------------
+    // q311 closed the memory-bounded ingest loop for the PQ index;
+    // this row scores the SAME bounded-state shape on the SQ8 rung,
+    // where the family's ingest advantage is structural: ENCODING A
+    // NEW BATCH IS ROW-LOCAL (round(x·127/absmax) per vector — no
+    // frozen codebook, no residual LUT, no training dependency; PQ
+    // ingest re-encodes against codebooks that must have been trained
+    // on yesterday's distribution). Standing resident state per rep:
+    // cell id + 64 int8 codes + the rescale + the member map (~72 B).
+    // Per micro-batch: payload grouping (rep level), rank-1 cell
+    // assignment (the q298/q305 ingest convention), row-local SQ8
+    // encode, pure-BIGINT rank of the cell's standing codes
+    // (intdot·rc), top-8 pool, exact re-rank (cold fetch), ≥0.35
+    // alerts, idempotent MERGE. The m dial swept in DuckDB first
+    // (both SFs): SQ8's near-lossless ordering gives 100% alert
+    // coverage vs the exact cell scan already at m=4 (fixture max 4
+    // alerts/probe, avg 1.5) — where q311's PQ ADC needed m=32 for
+    // 98% on the same fixture shape: the pool-depth cost of ranking
+    // error, measured across the two compression rungs. m=8 ships
+    // (2× the observed max, the q326 pool convention).
+    "q329_stream_semdedup_sq8" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val slot = pmod(col("vec_id") * lit(2654435761L), lit(10L))
+        graft.plans.NativeExpressions.register(s)
+        val corpus0 = emb.filter(slot =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val cents = broadcast(corpus0.orderBy("cid").limit(16)
+          .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        val grp = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "sq8ing_grp")(
+          corpus0.groupBy("ce")
+            .agg(min("cid").as("rep"), collect_list("cid").as("ids")))
+        val ra = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "sq8ing_ra_n16",
+          params = Map("nlist" -> 16L))(
+          Similarity.assignToCentroids(
+              grp.select(col("rep"), col("ce")), "rep", "ce", cents,
+              nKeep = 1)
+            .select(col("rep"), col("centroid_id").as("cl")))
+        val codes = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "sq8ing_codes")(
+          Similarity.sq8Codes(grp.select(col("rep"), col("ce")),
+            "rep", "ce"))
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.semdedup_alerts_sq8")
+        s.sql("""CREATE TABLE graftmem.semdedup_alerts_sq8
+          (da BIGINT, db BIGINT, cos DOUBLE)""")
+        val src = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        val probe = src.filter(
+            pmod(col("vec_id") * lit(2654435761L), lit(10L)) === 0)
+          .select(col("vec_id").as("da"), col("embedding").as("ea"))
+        val q = EventTime.withShufflePartitions(s, 8) {
+          probe.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              Similarity.sq8SemDedupBatch(batch, grp, ra, codes, cents,
+                  m = 8, threshold = 0.35)
+                .createOrReplaceTempView("q329_batch")
+              batch.sparkSession.sql(
+                """MERGE INTO graftmem.semdedup_alerts_sq8 t USING q329_batch b
+                  ON t.da = b.da AND t.db = b.db
+                  WHEN NOT MATCHED THEN INSERT (da, db, cos)
+                    VALUES (b.da, b.db, b.cos)""")
+              ()
+          }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.sql("""SELECT da, db, cos FROM graftmem.semdedup_alerts_sq8
+          ORDER BY da, db""")
+      },
+      Some(s"""WITH corp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        WHERE (vec_id * 2654435761) % 10 <> 0),
+      pb0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        WHERE (vec_id * 2654435761) % 10 = 0),
+      grp AS MATERIALIZED (SELECT embedding, MIN(vec_id) AS rep FROM corp GROUP BY 1),
+      pg AS MATERIALIZED (SELECT embedding, MIN(vec_id) AS pa FROM pb0 GROUP BY 1),
+      cents AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 16)),
+      ra AS MATERIALIZED (SELECT rep, centroid_id AS cl FROM (SELECT rep, centroid_id,
+          row_number() OVER (PARTITION BY rep ORDER BY d DESC, centroid_id) AS r
+        FROM (SELECT g.rep, c.centroid_id,
+            round(SUM(CAST(g.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+          FROM grp g, cents c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2))
+        WHERE r = 1),
+      paa AS MATERIALIZED (SELECT pa, centroid_id AS cl FROM (SELECT pa, centroid_id,
+          row_number() OVER (PARTITION BY pa ORDER BY d DESC, centroid_id) AS r
+        FROM (SELECT p.pa, c.centroid_id,
+            round(SUM(CAST(p.embedding[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+          FROM pg p, cents c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2))
+        WHERE r = 1),
+      sqc AS MATERIALIZED (SELECT rep AS id,
+          list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT)) AS qc,
+          CAST(round(am * 1000000000.0 / nn) AS BIGINT) AS rc
+        FROM (SELECT rep, embedding AS e,
+            list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS am,
+            sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+              (a, b) -> a + b)) AS nn
+          FROM grp)),
+      sqp AS MATERIALIZED (SELECT pa AS id,
+          list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT)) AS qc
+        FROM (SELECT pa, embedding AS e,
+            list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS am
+          FROM pg)),
+      rk AS MATERIALIZED (SELECT paa.pa, ra.rep AS pb,
+          CAST(list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS BIGINT)
+            * c.rc AS akey
+        FROM paa JOIN ra ON paa.cl = ra.cl
+        JOIN sqp q ON paa.pa = q.id JOIN sqc c ON ra.rep = c.id),
+      pool AS MATERIALIZED (SELECT pa, pb FROM (SELECT pa, pb,
+          row_number() OVER (PARTITION BY pa ORDER BY akey DESC, pb) AS rn
+        FROM rk) WHERE rn <= 8),
+      al AS MATERIALIZED (SELECT pool.pa, pool.pb, ${Round6c.cosSql("x", "y")} AS cos
+        FROM pool
+        JOIN (SELECT pa AS vid, embedding FROM pg) x ON x.vid = pool.pa
+        JOIN (SELECT rep AS vid, embedding FROM grp) y ON y.vid = pool.pb,
+        (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY 1, 2),
+      alf AS (SELECT pa, pb, cos FROM al WHERE cos >= 0.35)
+      SELECT pm.vec_id AS da, cm.vec_id AS db, alf.cos
+      FROM alf
+      JOIN pg ON alf.pa = pg.pa
+      JOIN pb0 pm ON pm.embedding = pg.embedding
+      JOIN grp cg ON alf.pb = cg.rep
+      JOIN corp cm ON cm.embedding = cg.embedding
+      ORDER BY da, db""")),
+
+    "q327_llm_dsir_select" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val tks = docs.select(col("doc_id"), col("lang"),
+            posexplode(split(norm, " ")))
+          .select(col("doc_id"), col("lang"), col("pos"), col("col").as("w1"))
+        val wnd = Window.partitionBy("doc_id").orderBy("pos")
+        val dp = tks.withColumn("w2", lead("w1", 1).over(wnd))
+          .filter(col("w2").isNotNull)
+        val fh = dp.select(col("doc_id"), col("lang"),
+          (((wordHm(col("w1")) % 65521L) * 65521L +
+            wordHm(col("w2")) % 65521L) % DsirBuckets).as("f"))
+        val ct = fh.filter(col("lang") === "en")
+          .groupBy("f").agg(count(lit(1)).as("tc"))
+        val cr = fh.groupBy("f").agg(count(lit(1)).as("rcnt"))
+        val ntr = fh.agg(
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ntl"),
+            count(lit(1)).as("nrl"))
+          .withColumn("one", lit(1))
+        // sc feeds the ln-argument table AND the per-doc sum, and lnt
+        // is read by four consumers (lden/lnum/kf twice) — without a
+        // lineage cut each consumer re-runs the whole tokenize + hash
+        // + count pipeline (the round-9 recompute class; the first
+        // wiring benched 18.6 s for a ~2 s pipeline). Call-local
+        // persists, released after the output is materialized to
+        // scratch (the ivfPqTopK/q314 lifecycle).
+        val sc = fh.join(broadcast(cr), Seq("f"))
+          .join(broadcast(ct), Seq("f"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("tc"), lit(0L)) + 1L).as("ctf"),
+            (col("rcnt") + 1L).as("crf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lnt = FixedPoint.lnFxTable(
+          sc.select(col("ctf").as("n"))
+            .union(sc.select(col("crf").as("n")))
+            .union(ntr.select((col("ntl") + DsirBuckets).as("n")))
+            .union(ntr.select((col("nrl") + DsirBuckets).as("n")))
+            .distinct())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kf = broadcast(ntr
+          .join(lnt.select(col("n").as("tn"), col("ln_fx").as("lt")),
+            col("ntl") + DsirBuckets === col("tn"))
+          .join(lnt.select(col("n").as("rn"), col("ln_fx").as("lr")),
+            col("nrl") + DsirBuckets === col("rn"))
+          .select(col("one"), (col("lt") - col("lr")).as("kk")))
+        val dw = sc
+          .join(broadcast(lnt.select(col("n").as("ctf"),
+            col("ln_fx").as("lct"))), Seq("ctf"))
+          .join(broadcast(lnt.select(col("n").as("crf"),
+            col("ln_fx").as("lcr"))), Seq("crf"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_feats"),
+            sum(col("lct") - col("lcr")).as("sfx"))
+          .withColumn("one", lit(1))
+          .join(kf, Seq("one"))
+          .select(col("doc_id"), col("n_feats"),
+            (col("sfx") - col("n_feats") * col("kk")).as("w_fx"))
+        val alld = docs.select(col("doc_id"), col("lang"))
+          .join(dw, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+            coalesce(col("w_fx"), lit(0L)).as("w_fx"),
+            lit(0).as("g"))
+        val nd = broadcast(alld.agg(count(lit(1)).as("nd"))
+          .withColumn("one", lit(1)))
+        val out = Ranks.rankedBinned(alld, "g", "-w_fx",
+            Seq(col("w_fx").desc, col("doc_id")), bins = 32,
+            hotThreshold = 1L)
+          .withColumn("one", lit(1)).join(nd, Seq("one"))
+          .select(col("doc_id"), col("lang"), col("n_feats"), col("w_fx"),
+            col("rn").as("rnk"),
+            when(col("rn") <= expr("nd div 4"), 1L).otherwise(0L)
+              .as("selected"))
+        val outDir = graft.util.Scratch.dir("dsir_out")
+        out.write.mode("overwrite").parquet(outDir)
+        sc.unpersist(); lnt.unpersist()
+        s.read.parquet(outDir).orderBy("rnk")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tl
+        FROM documents),
+      dp AS MATERIALIZED (SELECT doc_id, lang, tl[p] AS w1, tl[p+1] AS w2
+        FROM (SELECT doc_id, lang, tl, unnest(range(1, len(tl))) AS p FROM tok)),
+      fh AS MATERIALIZED (SELECT doc_id, lang,
+          CAST(((${wordHmSql("w1")} % 65521) * 65521
+            + ${wordHmSql("w2")} % 65521) % $DsirBuckets AS BIGINT) AS f
+        FROM dp),
+      ct AS (SELECT f, COUNT(*) AS tc FROM fh WHERE lang = 'en' GROUP BY 1),
+      cr AS (SELECT f, COUNT(*) AS rcnt FROM fh GROUP BY 1),
+      ntr AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ntl,
+          COUNT(*) AS nrl FROM fh),
+      sc AS MATERIALIZED (SELECT doc_id,
+          CAST(COALESCE(ct.tc, 0) + 1 AS BIGINT) AS ctf,
+          CAST(cr.rcnt + 1 AS BIGINT) AS crf
+        FROM fh JOIN cr USING (f) LEFT JOIN ct USING (f)),
+      nv AS (SELECT ctf AS n FROM sc UNION SELECT crf FROM sc
+        UNION SELECT ntl + $DsirBuckets FROM ntr
+        UNION SELECT nrl + $DsirBuckets FROM ntr),
+      ${FixedPoint.lnFxSql("nv", "lnt")},
+      kf AS (SELECT
+          (SELECT ln_fx FROM lnt WHERE n = (SELECT ntl + $DsirBuckets FROM ntr))
+        - (SELECT ln_fx FROM lnt WHERE n = (SELECT nrl + $DsirBuckets FROM ntr)) AS kk),
+      dw AS (SELECT sc.doc_id, COUNT(*) AS n_feats,
+          CAST(SUM(lt.ln_fx - lr.ln_fx) AS BIGINT)
+            - COUNT(*) * (SELECT kk FROM kf) AS w_fx
+        FROM sc JOIN lnt lt ON sc.ctf = lt.n JOIN lnt lr ON sc.crf = lr.n
+        GROUP BY 1),
+      alld AS (SELECT d.doc_id, d.lang,
+          CAST(COALESCE(dw.n_feats, 0) AS BIGINT) AS n_feats,
+          CAST(COALESCE(dw.w_fx, 0) AS BIGINT) AS w_fx
+        FROM documents d LEFT JOIN dw USING (doc_id)),
+      rk AS (SELECT *, row_number() OVER (ORDER BY w_fx DESC, doc_id) AS rnk,
+          (SELECT COUNT(*) FROM alld) AS ndd FROM alld)
+      SELECT doc_id, lang, n_feats, w_fx, CAST(rnk AS BIGINT) AS rnk,
+        CAST(CASE WHEN rnk <= ndd // 4 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM rk ORDER BY rnk"""))
+  )
+}

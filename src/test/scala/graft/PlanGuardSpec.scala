@@ -174,13 +174,31 @@ class PlanGuardSpec extends SparkTestBase {
                                    // (folds to a bounded NL join); the
                                    // ln table joins are hash equi-joins
                                    // on the Zipf-bounded distinct counts
-    "q315_llm_ann_calibrated_memory" // q306 class: the served branch's
+    "q315_llm_ann_calibrated_memory", // q306 class: the served branch's
                                    // assignToCentroids crossJoins against
                                    // limit-bounded centroid broadcasts; the
                                    // measurement passes run eagerly (their
                                    // plans are the whitelisted q279/q309
                                    // shapes); decision inputs are 1-row
                                    // stats + recall scalars
+    "q326_llm_ann_ivf_sq8",        // q279 class: 50-row query + 16-row
+                                   // centroid broadcasts (assignToCentroids
+                                   // crossJoins); the SQ8 candidate join is
+                                   // a hash equi-join on cell id, the
+                                   // rerank is an m=8-bounded hash join
+    "q328_llm_ann_calibrated_sq8", // q315 class: two measurement pipelines
+                                   // (the whitelisted q326/q309 shapes) run
+                                   // eagerly; the served branch's centroid
+                                   // broadcasts; decision inputs are 1-row
+                                   // stats + recall scalars
+    "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
+                                   // totals, ln-constant and doc-count
+                                   // frames join on a constant key (bounded
+                                   // NL after constant folding), and
+                                   // rankedBinned's constant partition key
+                                   // folds its min/max + hot-key joins; the
+                                   // feature-count joins are hash equi-joins
+                                   // on the 4096-bounded bucket id
   )
 
   // queries allowed an Exchange SinglePartition over a NON-aggregated,

@@ -281,4 +281,136 @@ class Round11Spec extends SparkTestBase {
     // nll is nonnegative by construction (num <= den everywhere)
     assert(out.values.forall(_._2 >= 0L))
   }
+
+  test("adviseCalibratedServing: the ivf-sq8 family on the memory axis") {
+    // nu=2000, dim=64: raw ivf 512 kB, sq8 144 kB, ivfpq 32 kB resident.
+    // Measured rows at the q326-sweep points: sq8 np8/m8 == raw-IVF
+    // recall (0.844 — the near-lossless sweep result), ivfpq 0.816.
+    val rows = Seq(
+      RecallRow("ivf", Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L), 0.844),
+      RecallRow("ivf-sq8", Map("nlist" -> 16L, "nprobe" -> 8L, "m" -> 8L,
+        "k" -> 5L), 0.844),
+      RecallRow("ivfpq", Map("nlist" -> 16L, "nprobe" -> 8L, "nSub" -> 16L,
+        "nCodes" -> 16L, "k" -> 5L), 0.816))
+    // 200 kB: raw vectors don't fit, SQ8 does — equal candidate cost to
+    // ivfpq (both re-derive to 1000), higher measured recall wins
+    val a = IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.8,
+      1200L, 200000L, rows)
+    assert(a.family == "ivf-sq8", a.rationale)
+    assert(a.params("nlist") == 32L && a.params("nprobe") == 16L &&
+      a.params("m") == 8L)
+    assert(a.candidatesPerQuery == 1000L)
+    // 100 kB: SQ8 (144 kB) no longer fits — the decision flips to ivfpq
+    val b = IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.8,
+      1200L, 100000L, rows)
+    assert(b.family == "ivfpq", b.rationale)
+  }
+
+  test("sq8Codes contract: codes bounded, argmax coord hits ±127, rc sane") {
+    val vecs = lcgCorpus(13579L, 25, 8).toDF("cid", "ce")
+    val codes = Similarity.sq8Codes(vecs, "cid", "ce").collect()
+    assert(codes.length == 25)
+    codes.foreach { r =>
+      val qc = r.getSeq[Long](1)
+      assert(qc.forall(c => c >= -127L && c <= 127L), "codes within int8")
+      assert(qc.exists(c => c == 127L || c == -127L),
+        "the absmax coordinate must quantize to ±127")
+      val rc = r.getLong(2)
+      // rc = round(absmax * 1e9 / norm); norm >= absmax always
+      assert(rc > 0L && rc <= 1000000000L, s"rc $rc out of (0, 1e9]")
+    }
+  }
+
+  test("ivfSq8TopK: all-cells full-pool equals brute-force; pruned shape") {
+    val vecs = lcgCorpus(86420L, 40, 8)
+    val corpus = vecs.toDF("cid", "ce")
+    val qs = vecs.take(5).toDF("qid", "qe")
+    // nprobe = nlist visits every cell; m >= corpus keeps every
+    // candidate in the pool -> the exact rerank must reproduce
+    // brute-force cosineTopK (same rounding, same tie-break)
+    val full = Similarity.ivfSq8TopK(qs, corpus, k = 3, nlist = 4,
+        nprobe = 4, m = 40).orderBy("qid", "cid").collect().toSeq
+    val exact = Similarity.cosineTopK(qs, corpus, k = 3)
+      .select("qid", "cid").orderBy("qid", "cid").collect().toSeq
+    assert(full == exact, "all-cells full-pool IVF-SQ8 must equal brute-force")
+    // pruned serve: <= k rows per query, no self-pairs, no dup pairs
+    val pruned = Similarity.ivfSq8TopK(qs, corpus, k = 3, nlist = 4,
+      nprobe = 2, m = 8).collect()
+    assert(pruned.forall(r => r.getLong(0) != r.getLong(1)), "no self-pairs")
+    val perQ = pruned.groupBy(_.getLong(0))
+    assert(perQ.values.forall(rows => rows.length <= 3 &&
+      rows.map(_.getLong(1)).distinct.length == rows.length))
+  }
+
+  test("sq8SemDedupBatch: full pool == exact cell scan; split-invariant") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val base = emb.filter(col("vec_id") < 150)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // duplicate-heavy corpus exercises rep-level index + expansion
+    val corpus = base.unionByName(
+      base.select((col("cid") + 1000L).as("cid"), col("ce")))
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+      .select(col("vec_id").as("da"), col("embedding").as("ea"))
+      .unionByName(emb.filter(col("vec_id") === 150)
+        .select((col("vec_id") + 2000L).as("da"), col("embedding").as("ea")))
+    val cents = broadcast(corpus.orderBy("cid").limit(4)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val grp = corpus.groupBy("ce")
+      .agg(min("cid").as("rep"), collect_list("cid").as("ids"))
+    val ra = Similarity.assignToCentroids(
+        grp.select(col("rep"), col("ce")), "rep", "ce", cents, nKeep = 1)
+      .select(col("rep"), col("centroid_id").as("cl"))
+    val codes = Similarity.sq8Codes(grp.select(col("rep"), col("ce")),
+      "rep", "ce")
+    // (a) unbounded pool -> must reproduce the exact same-cell scan
+    val sq = Similarity.sq8SemDedupBatch(batch, grp, ra, codes, cents,
+      m = 1000000, threshold = 0.35).orderBy("da", "db").collect().toSeq
+    val reps = grp.select(col("rep").as("pb"), col("ce").as("eb"))
+    val corpusReps = Similarity.assignToCentroids(reps, "pb", "eb", cents)
+      .withColumn("nb", expr("sqrt(vec_dot(eb, eb))"))
+    val cmem = grp.select(col("rep").as("pb"), explode(col("ids")).as("db"))
+    val direct = graft.queries.Round8.scoreSemDedupBatchDeduped(
+        batch, cents, corpusReps, cmem)
+      .orderBy("da", "db").collect().toSeq
+    assert(sq == direct, "full-pool SQ8 ingest must equal the exact cell scan")
+    assert(sq.nonEmpty, "fixture must produce alerts")
+    // (b) batch-split invariance: two halves MERGEd == the whole batch
+    val h1 = batch.filter(col("da") % 2 === 0)
+    val h2 = batch.filter(col("da") % 2 =!= 0)
+    val split = Similarity.sq8SemDedupBatch(h1, grp, ra, codes, cents,
+        m = 8, threshold = 0.35)
+      .unionByName(Similarity.sq8SemDedupBatch(h2, grp, ra, codes, cents,
+        m = 8, threshold = 0.35))
+      .orderBy("da", "db").collect().toSeq
+    val whole = Similarity.sq8SemDedupBatch(batch, grp, ra, codes, cents,
+        m = 8, threshold = 0.35)
+      .orderBy("da", "db").collect().toSeq
+    assert(split == whole, "alerts must be batch-split invariant")
+    // (c) a binding pool emits a subset, never extras
+    val bounded = Similarity.sq8SemDedupBatch(batch, grp, ra, codes, cents,
+        m = 1, threshold = 0.35)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded.subsetOf(full), "bounded pool must be a subset")
+    spark.catalog.clearCache()
+  }
+
+  test("q327 DSIR selection invariants at sf0.001") {
+    val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
+      .fn(spark, sf).collect()
+    val nd = out.length.toLong
+    // rnk is a permutation of 1..nd; exactly nd div 4 docs selected
+    assert(out.map(_.getLong(4)).sorted.toSeq == (1L to nd).toSeq)
+    assert(out.map(_.getLong(5)).sum == nd / 4L)
+    // selected == the rnk <= nd/4 prefix (rank and flag agree)
+    assert(out.forall(r => (r.getLong(4) <= nd / 4L) == (r.getLong(5) == 1L)))
+    // the importance weights separate the target domain: mean w_fx of
+    // the lang='en' slice exceeds the mean of the rest (the pre-wiring
+    // DuckDB run measured 65.6% vs 43.6% selection enrichment)
+    val (en, rest) = out.partition(_.getString(1) == "en")
+    def meanW(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(3)).sum.toDouble / rs.length
+    assert(meanW(en) > meanW(rest), "target domain must score higher")
+    spark.catalog.clearCache()
+  }
 }
