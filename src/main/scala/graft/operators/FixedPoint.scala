@@ -64,6 +64,33 @@ object FixedPoint {
           expr("t9 div 9"))).as("ln_fx"))
   }
 
+  /** Row-local twin of [[lnFxTable]]: appends `out` = ln_fx(`nExpr`) as
+    * a pure projection — `b = length(bin(n)) - 1` (the binary-string
+    * length is an EXACT floor(log2 n) for n >= 1, no float anywhere),
+    * `m = shiftright(n·10^6, b)` (shift == div by 2^b on nonnegative
+    * int64), then the same defined atanh steps as the table form.
+    * Identical integers by construction. Use this when the ln argument
+    * domain is already model-table-bounded (e.g. q327's 4096-bucket
+    * Laplace counts) — the distinct-value join the table form exists
+    * for costs more stages than it saves there; keep [[lnFxTable]]
+    * when arguments ride a data-sized frame. */
+  def lnFxCols(df: DataFrame, nExpr: String, out: String): DataFrame =
+    df.withColumn("__lb", expr(s"CAST(length(bin($nExpr)) - 1 AS BIGINT)"))
+      .withColumn("__lm",
+        expr(s"shiftright(($nExpr) * 1000000, CAST(__lb AS INT))"))
+      .withColumn("__lz",
+        expr("((__lm - 1000000) * 1000000) div (__lm + 1000000)"))
+      .withColumn("__lz2", expr("(__lz * __lz) div 1000000"))
+      .withColumn("__lt3", expr("(__lz * __lz2) div 1000000"))
+      .withColumn("__lt5", expr("(__lt3 * __lz2) div 1000000"))
+      .withColumn("__lt7", expr("(__lt5 * __lz2) div 1000000"))
+      .withColumn("__lt9", expr("(__lt7 * __lz2) div 1000000"))
+      .withColumn(out,
+        expr(s"__lb * $Ln2Fx + 2 * (__lz + __lt3 div 3 + __lt5 div 5 " +
+          "+ __lt7 div 7 + __lt9 div 9)"))
+      .drop("__lb", "__lm", "__lz", "__lz2", "__lt3", "__lt5", "__lt7",
+        "__lt9")
+
   /** The DuckDB replay of [[lnFxTable]]: a CTE `out`(n, ln_fx) over the
     * distinct values of CTE `src`'s column `n`. Same integer steps,
     * `//` == `div` on nonnegative BIGINTs. */

@@ -433,59 +433,50 @@ object Round11b {
         val wnd = Window.partitionBy("doc_id").orderBy("pos")
         val dp = tks.withColumn("w2", lead("w1", 1).over(wnd))
           .filter(col("w2").isNotNull)
+        // The feature stream is scanned exactly twice (counts + the
+        // per-doc sum) — persist it; everything BETWEEN those scans is
+        // bounded by the 4096-bucket domain: the Laplace ln arguments
+        // are functions of the bucket id ALONE (ct_f+1, cr_f+1), so the
+        // whole per-feature weight delta dlf = ln(ct_f+1) − ln(cr_f+1)
+        // is a ROW-LOCAL projection on the count table (lnFxCols — the
+        // defined integer ln with b = length(bin(n))−1; no powers join,
+        // no distinct-value table, no join-backs) collapsing to one
+        // B-row broadcast. (The first wiring persisted a data-sized
+        // (doc, ctf, crf) table and hash-joined a distinct-value ln
+        // table back per ROW — 12.4 s warm, ~33 stages; this form is
+        // the B-bounded shape OPERATORS.md promises.)
         val fh = dp.select(col("doc_id"), col("lang"),
           (((wordHm(col("w1")) % 65521L) * 65521L +
             wordHm(col("w2")) % 65521L) % DsirBuckets).as("f"))
-        val ct = fh.filter(col("lang") === "en")
-          .groupBy("f").agg(count(lit(1)).as("tc"))
-        val cr = fh.groupBy("f").agg(count(lit(1)).as("rcnt"))
-        val ntr = fh.agg(
-            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ntl"),
-            count(lit(1)).as("nrl"))
-          .withColumn("one", lit(1))
-        // sc feeds the ln-argument table AND the per-doc sum, and lnt
-        // is read by four consumers (lden/lnum/kf twice) — without a
-        // lineage cut each consumer re-runs the whole tokenize + hash
-        // + count pipeline (the round-9 recompute class; the first
-        // wiring benched 18.6 s for a ~2 s pipeline). Call-local
-        // persists, released after the output is materialized to
-        // scratch (the ivfPqTopK/q314 lifecycle).
-        val sc = fh.join(broadcast(cr), Seq("f"))
-          .join(broadcast(ct), Seq("f"), "left")
-          .select(col("doc_id"),
-            (coalesce(col("tc"), lit(0L)) + 1L).as("ctf"),
-            (col("rcnt") + 1L).as("crf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val lnt = FixedPoint.lnFxTable(
-          sc.select(col("ctf").as("n"))
-            .union(sc.select(col("crf").as("n")))
-            .union(ntr.select((col("ntl") + DsirBuckets).as("n")))
-            .union(ntr.select((col("nrl") + DsirBuckets).as("n")))
-            .distinct())
+        val cf = fh.groupBy("f").agg(
+            count(lit(1)).as("rcnt"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val kf = broadcast(ntr
-          .join(lnt.select(col("n").as("tn"), col("ln_fx").as("lt")),
-            col("ntl") + DsirBuckets === col("tn"))
-          .join(lnt.select(col("n").as("rn"), col("ln_fx").as("lr")),
-            col("nrl") + DsirBuckets === col("rn"))
+        val kf = broadcast(FixedPoint.lnFxCols(FixedPoint.lnFxCols(
+            cf.agg(sum("tc").as("ntl"), sum("rcnt").as("nrl"))
+              .withColumn("one", lit(1)),
+            s"ntl + $DsirBuckets", "lt"), s"nrl + $DsirBuckets", "lr")
           .select(col("one"), (col("lt") - col("lr")).as("kk")))
-        val dw = sc
-          .join(broadcast(lnt.select(col("n").as("ctf"),
-            col("ln_fx").as("lct"))), Seq("ctf"))
-          .join(broadcast(lnt.select(col("n").as("crf"),
-            col("ln_fx").as("lcr"))), Seq("crf"))
+        val wt = broadcast(FixedPoint.lnFxCols(FixedPoint.lnFxCols(
+            cf, "tc + 1", "lct"), "rcnt + 1", "lcr")
+          .select(col("f"), (col("lct") - col("lcr")).as("dlf")))
+        val dw = fh.join(wt, Seq("f"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_feats"),
-            sum(col("lct") - col("lcr")).as("sfx"))
+            sum(col("dlf")).as("sfx"))
           .withColumn("one", lit(1))
           .join(kf, Seq("one"))
           .select(col("doc_id"), col("n_feats"),
             (col("sfx") - col("n_feats") * col("kk")).as("w_fx"))
+        // one row per doc from here on — persist before rankedBinned,
+        // whose min/max + hot-key + spine passes each re-scan the input
         val alld = docs.select(col("doc_id"), col("lang"))
           .join(dw, Seq("doc_id"), "left")
           .select(col("doc_id"), col("lang"),
             coalesce(col("n_feats"), lit(0L)).as("n_feats"),
             coalesce(col("w_fx"), lit(0L)).as("w_fx"),
             lit(0).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nd = broadcast(alld.agg(count(lit(1)).as("nd"))
           .withColumn("one", lit(1)))
         val out = Ranks.rankedBinned(alld, "g", "-w_fx",
@@ -498,7 +489,7 @@ object Round11b {
               .as("selected"))
         val outDir = graft.util.Scratch.dir("dsir_out")
         out.write.mode("overwrite").parquet(outDir)
-        sc.unpersist(); lnt.unpersist()
+        fh.unpersist(); cf.unpersist(); alld.unpersist()
         s.read.parquet(outDir).orderBy("rnk")
       },
       Some(s"""WITH tok AS (SELECT doc_id, lang, string_split(trim(regexp_replace(

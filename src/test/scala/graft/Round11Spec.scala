@@ -256,6 +256,11 @@ class Round11Spec extends SparkTestBase {
         s"lnFx($n) drifted from ln: ${got(n)}")
     }
     assert(got(1L) == 0L && got(2L) == FixedPoint.Ln2Fx)
+    // the row-local twin (b via length(bin(n))-1, m via shiftright)
+    // must produce the identical integers — q327 rides it
+    val colGot = FixedPoint.lnFxCols(ns.toDF("n"), "n", "ln_fx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colGot == got, s"lnFxCols != lnFxTable: $colGot vs $got")
   }
 
   test("q324 nll algebra: pair nll = lnFx(den) - lnFx(num), avg = div") {
