@@ -163,6 +163,24 @@ object IndexAdvisor {
               "m" -> p("m", 8L), "k" -> p("k", 5L)), cand,
             s"calibrated: measured ${r.recall} recall@k over SQ8 codes " +
               s"at nprobe=nlist/$den, rerank m=${p("m", 8L)}") -> r.recall)
+        case "ivf-bq" if p("nprobe", 1L) > 0 && p("nlist", 1L) > 0 =>
+          // the q330 family: IVF pruning over 1-bit sign codes with
+          // the integer-asymmetric rank (SQ8 query x BQ corpus).
+          // nlist grows with the corpus at the measured nprobe ratio
+          // (the ivfpq multiply-then-divide form — 12/16 survives
+          // where floor(nlist/nprobe) would degenerate); the rank is
+          // LOSSY, so the rerank pool is the corpus-scaled q308 dial,
+          // never a constant like ivf-sq8's m
+          val nlist = pow2Near(math.sqrt(nu.toDouble))
+          val nprobe = math.max(1L, p("nprobe", 1L) * nlist / p("nlist", 1L))
+          val m = math.min(candidateBudget, math.max(100L, 3L * nu / 20L))
+          val cand = nu * nprobe / nlist
+          Some(Advice("ivf-bq", dedup,
+            Map("nlist" -> nlist, "nprobe" -> nprobe,
+              "m" -> m, "k" -> p("k", 5L)), cand,
+            s"calibrated: measured ${r.recall} recall@k over 1-bit codes " +
+              s"at nprobe/nlist=${p("nprobe", 1L)}/${p("nlist", 1L)}, " +
+              s"corpus-scaled rerank m=$m") -> r.recall)
         case _ => None
       }
     }
@@ -176,6 +194,7 @@ object IndexAdvisor {
     a.family match {
       case "ivfpq" => nu * (4L + p("nSub", 16L) * 4L / 8L + 4L)
       case "ivf-sq8" => nu * (dim * 1L + 4L + 4L) // int8 codes + rescale + cell
+      case "ivf-bq" => nu * (dim / 8L + 4L) // packed sign bits + cell
       case "graph-pq" => nu * (p("d", 24L) * 8L + p("nSub", 16L) * 4L / 8L + 4L)
       case "graph-beam" => nu * (dim * 4L + p("d", 4L) * 8L)
       case _ => nu * dim * 4L

@@ -1560,6 +1560,98 @@ object Similarity {
           .as("rc"))
   }
 
+  /** Per-vector 1-bit binary quantization (the extreme end of the
+    * compression axis — 8 B/vec at dim 64): sign bits packed into two
+    * 32-bit halves stored as nonnegative BIGINTs (`h1` = coords 1–32,
+    * `h2` = 33–64; two halves so no value ever carries into the int64
+    * sign bit — packing is plain addition of disjoint powers of two in
+    * both engines, no overflow semantics in play). Zero counts as
+    * positive. Returns (id, h1, h2). */
+  def bqCodes(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def packed(arr: Column): Column = aggregate(
+      transform(arr, (x, i) => when(x >= lit(0),
+        call_function("shiftleft", lit(1L), i.cast("int")))
+        .otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    vecs.select(col(idCol).as("id"),
+      packed(slice(col(vecCol), 1, 32)).as("h1"),
+      packed(slice(col(vecCol), 33, 32)).as("h2"))
+  }
+
+  /** IVF-BQ top-k serving — the 1-bit rung completing the measured
+    * compression ladder (raw 256 B / SQ8 72 B / PQ ~16 B / BQ 16 B
+    * per vector resident, at dim 64 with cell id + stored norm... the
+    * BQ row is 8 B codes + 4 B cell). The round-11 DuckDB sweep (both
+    * SFs, BEFORE this Spark side) measured the three candidate-rank
+    * variants:
+    *   - symmetric hamming (popcount of xor — integer, but both sides
+    *     1-bit): an honest negative at serving pools — 0.33/0.21
+    *     recall@5 at m=8, needs m≈200+ to clear 0.8 (the PQ-class
+    *     pool-depth cost of ranking error, q307/q308's law);
+    *   - float asymmetric (query keeps full precision against ±1
+    *     signs): ~3× shallower pools for the same recall;
+    *   - INTEGER asymmetric (this implementation): the query is SQ8-
+    *     quantized ([[sq8Codes]] — near-lossless, the q326 law) and the
+    *     rank key is Σ qc_i·(2·bit_i − 1) — IDENTICAL recall to float
+    *     asymmetric at EVERY swept (nprobe, m) point, and pure BIGINT,
+    *     so the oracle replays the pool selection exactly.
+    * Shipped np=12 with the q308 corpus-scaled pool m =
+    * max(100, 3n/20): recall@5 0.928/0.940 at the two SFs. Scale
+    * shape: cells + packed codes are build-once fixture artifacts; per
+    * query the candidate stage scans nprobe/nlist of 12 B/vec resident
+    * codes with a 64-term integer HOF, and the exact rerank touches
+    * raw vectors only for the m-bounded pool.
+    */
+  def ivfBqTopK(
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      artifact: Option[(String, String, String)] = None): DataFrame = {
+    val spark = queries.sparkSession
+    NativeExpressions.register(spark)
+    def piece(name: String)(build: => DataFrame): DataFrame =
+      artifact match {
+        case Some((fd, ff, label)) => graft.util.FixtureArtifact.parquet(
+          spark, fd, ff, s"${label}_${name}_n$nlist",
+          params = Map("nlist" -> nlist.toLong))(build)
+        case None => build
+      }
+    val cents = broadcast(corpus.orderBy("cid").limit(nlist)
+      .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+    val ca = piece("ca")(
+      assignToCentroids(corpus, "cid", "ce", cents, nKeep = 1)
+        .select(col("cid"), col("centroid_id")))
+    val codes = piece("bq")(bqCodes(corpus, "cid", "ce"))
+    val qa = assignToCentroids(queries, "qid", "qe", cents, nKeep = nprobe)
+      .select(col("qid"), col("centroid_id"))
+    val qcodes = broadcast(sq8Codes(queries, "qid", "qe")
+      .select(col("id").as("qid"), col("qc").as("qq")))
+    val cand = qa.join(ca, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .join(qcodes, Seq("qid"))
+      .join(codes.select(col("id").as("cid"), col("h1"), col("h2")), "cid")
+      .select(col("qid"), col("cid"),
+        expr("""aggregate(transform(qq, (x, i) -> x *
+          (2 * ((CASE WHEN i < 32 THEN shiftright(h1, i)
+                 ELSE shiftright(h2, i - 32) END) & 1) - 1)),
+          0L, (a, x) -> a + x)""").as("adot"))
+    val wp = Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))
+    val pool = cand.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= m).select("qid", "cid")
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    pool.join(broadcast(q), "qid").join(c, "cid")
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("qid", "cid")
+  }
+
   /** IVF-SQ8 top-k serving (the production-default FAISS `IVF,SQ8`
     * layout): IVF cells prune, int8 scalar-quantized codes rank the
     * probed cells' members, and the top-`m` pool is re-ranked at full

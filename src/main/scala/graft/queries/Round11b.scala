@@ -272,6 +272,58 @@ object Round11b {
           FROM rsc) WHERE rnk <= 5 AND (SELECT fam FROM chosen) = 'ivfpq'),
       ${Round6c.recallTailSql}""")),
 
+    // ---- IVF-BQ: the 1-bit end of the compression ladder ---------------
+    // The axis is now measured at four points: raw floats (256 B/vec,
+    // q294 0.844), SQ8 (72 B, q326 0.896/0.904), IVFPQ (~16 B, q309
+    // 0.820/0.816 with 100-300-deep rerank), and this row — 1-bit sign
+    // codes, 12 B/vec resident (8 B packed bits + 4 B cell). The
+    // round-11 sweep (both SFs, BEFORE the Spark side) measured the
+    // three rank variants: symmetric hamming is the honest negative
+    // (0.33/0.21 at m=8 — ranking error paid in pool depth, needs
+    // m≈200+); float asymmetric cuts the pool ~3x; INTEGER asymmetric
+    // — SQ8-quantized query against the ±1 signs, rank key
+    // Σ qc_i·(2·bit_i − 1) — matches float asymmetric recall at EVERY
+    // swept point (the q326 near-lossless law applied to the query
+    // side) while staying pure BIGINT, so the oracle replays the pool
+    // selection exactly. Shipped np=12 + the q308 corpus-scaled pool
+    // m = max(100, 3n/20): recall@5 0.928/0.940 (m=100/300). Codes +
+    // cells are fixture artifacts; packing is plain addition of
+    // disjoint powers of two in two 32-bit halves (no int64 sign-bit
+    // semantics in play in either engine).
+    "q330_llm_ann_ivf_bq" -> QueryDef(
+      (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
+        val n = corpus.count()
+        Similarity.ivfBqTopK(qs, corpus, k = 5, nlist = 16, nprobe = 12,
+          m = math.max(100L, n * 3L / 20L).toInt,
+          artifact = Some((dir, "embeddings.parquet", "ivfbq")))
+      }),
+      Some(s"""${Round6c.exactRecallCte},
+      ${sq8StandingSql("")},
+      bqc AS MATERIALIZED (SELECT id,
+          CAST(list_sum(list_transform(range(1, 33), i ->
+            CASE WHEN e[i] >= 0 THEN 1::BIGINT << (i - 1) ELSE 0 END)) AS BIGINT) AS h1,
+          CAST(list_sum(list_transform(range(33, 65), i ->
+            CASE WHEN e[i] >= 0 THEN 1::BIGINT << (i - 33) ELSE 0 END)) AS BIGINT) AS h2
+        FROM c2),
+      bcand AS MATERIALIZED (SELECT qa.qid, ca.cid,
+          CAST(list_sum(list_transform(range(1, 33), i ->
+            q.qc[i] * (2 * ((c.h1 >> (i - 1)) & 1) - 1))) AS BIGINT)
+        + CAST(list_sum(list_transform(range(33, 65), i ->
+            q.qc[i] * (2 * ((c.h2 >> (i - 33)) & 1) - 1))) AS BIGINT) AS adot
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id
+          AND qa.qid <> ca.cid
+        JOIN sq8 q ON qa.qid = q.id JOIN bqc c ON ca.cid = c.id
+        WHERE qa.r <= 12),
+      bpool AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid) AS pr
+        FROM bcand) WHERE pr <= GREATEST(100,
+          (SELECT COUNT(*) FROM embeddings) * 3 // 20)),
+      annr AS (SELECT qid, cid FROM (SELECT p.qid, p.cid,
+          row_number() OVER (PARTITION BY p.qid ORDER BY e.cos DESC, p.cid) AS rnk
+        FROM bpool p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid)
+        WHERE rnk <= 5),
+      ${Round6c.recallTailSql}""")),
+
     // ---- DSIR-style target-domain data selection -----------------------
     // The data-SELECTION step of a training pipeline (Xie et al.,
     // "Data Selection for Language Models via Importance Resampling",

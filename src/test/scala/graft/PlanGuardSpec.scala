@@ -186,6 +186,10 @@ class PlanGuardSpec extends SparkTestBase {
                                    // crossJoins); the SQ8 candidate join is
                                    // a hash equi-join on cell id, the
                                    // rerank is an m=8-bounded hash join
+    "q330_llm_ann_ivf_bq",         // q279/q326 class: 50-row query + 16-row
+                                   // centroid broadcasts; the BQ candidate
+                                   // join is a hash equi-join on cell id,
+                                   // the rerank join is pool-bounded
     "q328_llm_ann_calibrated_sq8", // q315 class: two measurement pipelines
                                    // (the whitelisted q326/q309 shapes) run
                                    // eagerly; the served branch's centroid

@@ -400,6 +400,70 @@ class Round11Spec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bqCodes contract: packed bits round-trip the coordinate signs") {
+    val vecs = lcgCorpus(24680L, 20, 8).toDF("cid", "ce")
+    val rows = vecs.join(
+        Similarity.bqCodes(vecs, "cid", "ce"), col("cid") === col("id"))
+      .select("ce", "h1", "h2").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val e = r.getSeq[Float](0)
+      val (h1, h2) = (r.getLong(1), r.getLong(2))
+      assert(h1 >= 0L && h1 < (1L << 32) && h2 >= 0L && h2 < (1L << 32),
+        "halves stay in 32 nonnegative bits")
+      for (i <- e.indices) {
+        val bit = if (i < 32) (h1 >> i) & 1L else (h2 >> (i - 32)) & 1L
+        assert((bit == 1L) == (e(i) >= 0f), s"bit $i vs sign of ${e(i)}")
+      }
+      // bits past the dimension stay clear (slice-empty half folds to 0)
+      assert((h1 >> e.length) == 0L && h2 == 0L, "no stray bits")
+    }
+  }
+
+  test("ivfBqTopK: all-cells full-pool equals brute-force; pruned shape") {
+    val vecs = lcgCorpus(97531L, 40, 8)
+    val corpus = vecs.toDF("cid", "ce")
+    val qs = vecs.take(5).toDF("qid", "qe")
+    // nprobe = nlist visits every cell; m >= corpus keeps every
+    // candidate -> the exact rerank must reproduce brute-force
+    val full = Similarity.ivfBqTopK(qs, corpus, k = 3, nlist = 4,
+        nprobe = 4, m = 40).orderBy("qid", "cid").collect().toSeq
+    val exact = Similarity.cosineTopK(qs, corpus, k = 3)
+      .select("qid", "cid").orderBy("qid", "cid").collect().toSeq
+    assert(full == exact, "all-cells full-pool IVF-BQ must equal brute-force")
+    // pruned serve: <= k rows per query, no self-pairs, no dup pairs
+    val pruned = Similarity.ivfBqTopK(qs, corpus, k = 3, nlist = 4,
+      nprobe = 2, m = 8).collect()
+    assert(pruned.forall(r => r.getLong(0) != r.getLong(1)), "no self-pairs")
+    val perQ = pruned.groupBy(_.getLong(0))
+    assert(perQ.values.forall(rows => rows.length <= 3 &&
+      rows.map(_.getLong(1)).distinct.length == rows.length))
+  }
+
+  test("adviseCalibratedServing: the ivf-bq rung on the bytes axis") {
+    // nu=2000, dim=64: ivf-bq 24 kB resident (12 B/vec), ivfpq 32 kB.
+    // The advisor is COST-first among target-meeting families: at a
+    // 40 kB budget both fit and both clear 0.8, and pq's re-derived
+    // candidate count (2000·20/32 = 1250 at the 10/16 ratio) undercuts
+    // bq's (2000·24/32 = 1500 at 12/16) — pq wins despite the lower
+    // measured recall. The 1-bit rung's edge is BYTES: at 25 kB pq
+    // (32 kB) is evicted by its own residency and bq (24 kB) still
+    // fits — the bytes axis alone keeps the rung live.
+    val rows = Seq(
+      RecallRow("ivf-bq", Map("nlist" -> 16L, "nprobe" -> 12L,
+        "m" -> 300L, "k" -> 5L), 0.940),
+      RecallRow("ivfpq", Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
+        "nCodes" -> 16L, "k" -> 5L), 0.900))
+    val a = IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.8,
+      1800L, 40000L, rows)
+    assert(a.family == "ivfpq", a.rationale)
+    val b = IndexAdvisor.adviseCalibratedServing(2000L, 64, 0.0, 0.8,
+      1800L, 25000L, rows)
+    assert(b.family == "ivf-bq", b.rationale)
+    assert(b.params("nlist") == 32L && b.params("nprobe") == 24L)
+    assert(b.params("m") == 300L) // min(budget 1800, max(100, 3*2000/20))
+  }
+
   test("q327 DSIR selection invariants at sf0.001") {
     val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
       .fn(spark, sf).collect()
