@@ -473,6 +473,63 @@ object Round11b {
       JOIN corp cm ON cm.embedding = cg.embedding
       ORDER BY da, db""")),
 
+    // ---- deterministic token-budget domain mixing -----------------------
+    // The mixture-construction step of a training pipeline (the Pile /
+    // DoReMi-adjacent deterministic form): give every language domain
+    // an equal half-share token budget B = total_tokens div (2·D),
+    // then greedily fill each domain in seedless-Lehmer-hash order
+    // (h = doc_id·2654435761 mod the q172 prime — injective, so the
+    // "sample" is a deterministic permutation prefix; the q261/q286
+    // no-RNG convention) until the running token total reaches B. The
+    // overflow document is INCLUDED (selected iff run−tok < B), so any
+    // nonempty domain keeps at least one doc; under-represented
+    // domains (total ≤ B) keep everything, over-represented ones
+    // downsample — rerun- and retry-identical by construction. Scale
+    // shape: tokenize + hash are row-local; the per-domain running sum
+    // is Ranks.runningSumsBinned with hotThreshold=1 (lang is a
+    // BOUNDED-cardinality key — the round-5 window trap — so every
+    // domain takes the range-binned two-phase path; no task sorts more
+    // than one of the 32 hash-range bins); the budget is a 1-row
+    // broadcast. All-BIGINT outputs (token counts, running sums,
+    // selection) — the oracle replays the fill exactly.
+    "q331_llm_domain_mix" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val td = docs.select(col("doc_id"), col("lang"),
+          size(split(norm, " ")).cast("long").as("tok"),
+          (col("doc_id") * lit(2654435761L) % lit(1152921504606846883L))
+            .as("hsh"))
+        val bud = broadcast(td
+          .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
+          .select(expr("tt div (2 * dd)").as("bud"))
+          .withColumn("one", lit(1)))
+        val run = Ranks.runningSumsBinned(td, "lang", "hsh",
+          Seq("hsh", "doc_id"), Seq("tok"), bins = 32, hotThreshold = 1L)
+        run.withColumn("one", lit(1)).join(bud, Seq("one"))
+          .select(col("lang"), col("doc_id"), col("tok"), col("hsh"),
+            col("run_tok").as("run"),
+            when(col("run_tok") - col("tok") < col("bud"), 1L)
+              .otherwise(0L).as("selected"))
+          .orderBy("lang", "hsh", "doc_id")
+      },
+      Some("""WITH td AS (SELECT doc_id, lang,
+          CAST(len(string_split(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+          CAST((doc_id * 2654435761) % 1152921504606846883 AS BIGINT) AS hsh
+        FROM documents),
+      bud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+        FROM td),
+      rn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY lang
+          ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM td)
+      SELECT lang, doc_id, tok, hsh, run,
+        CAST(CASE WHEN run - tok < (SELECT bud FROM bud)
+          THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM rn ORDER BY lang, hsh, doc_id""")),
+
     "q327_llm_dsir_select" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")

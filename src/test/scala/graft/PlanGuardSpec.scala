@@ -195,6 +195,11 @@ class PlanGuardSpec extends SparkTestBase {
                                    // eagerly; the served branch's centroid
                                    // broadcasts; decision inputs are 1-row
                                    // stats + recall scalars
+    "q331_llm_domain_mix",         // q283 fold class: the 1-row budget and
+                                   // runningSumsBinned's min/max scalar
+                                   // fold to bounded NL joins; the hot-key
+                                   // list and per-(lang, bin) offsets are
+                                   // bounded broadcasts
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded

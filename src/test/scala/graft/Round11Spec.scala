@@ -464,6 +464,38 @@ class Round11Spec extends SparkTestBase {
     assert(b.params("m") == 300L) // min(budget 1800, max(100, 3*2000/20))
   }
 
+  test("q331 domain-mix invariants at sf0.001") {
+    val out = graft.queries.Round11b.defs("q331_llm_domain_mix")
+      .fn(spark, sf).collect()
+    val byLang = out.groupBy(_.getString(0))
+    val tt = out.map(_.getLong(2)).sum
+    val bud = tt / (2L * byLang.size)
+    byLang.foreach { case (lang, rows) =>
+      // rows arrive in (lang, hsh, doc_id) order; selection must be a
+      // PREFIX in hash order and match the greedy fill exactly
+      var run = 0L
+      rows.foreach { r =>
+        val sel = r.getLong(5) == 1L
+        assert(sel == (run < bud), s"$lang: greedy fill mismatch at run=$run")
+        run += r.getLong(2)
+        assert(r.getLong(4) == run, s"$lang: running sum mismatch")
+      }
+      // nonempty domains keep at least one doc; under-budget domains
+      // keep everything
+      assert(rows.head.getLong(5) == 1L, s"$lang must select its first doc")
+      if (run <= bud)
+        assert(rows.forall(_.getLong(5) == 1L), s"$lang under budget keeps all")
+    }
+    // selected token mass per domain overshoots the budget by at most
+    // the overflow doc
+    byLang.foreach { case (lang, rows) =>
+      val selTok = rows.filter(_.getLong(5) == 1L).map(_.getLong(2)).sum
+      val lastSel = rows.filter(_.getLong(5) == 1L).last.getLong(2)
+      assert(selTok - lastSel < bud, s"$lang overshoot beyond one doc")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q327 DSIR selection invariants at sf0.001") {
     val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
       .fn(spark, sf).collect()
