@@ -478,9 +478,10 @@ object Round11b {
     // DoReMi-adjacent deterministic form): give every language domain
     // an equal half-share token budget B = total_tokens div (2·D),
     // then greedily fill each domain in seedless-Lehmer-hash order
-    // (h = doc_id·2654435761 mod the q172 prime — injective, so the
-    // "sample" is a deterministic permutation prefix; the q261/q286
-    // no-RNG convention) until the running token total reaches B. The
+    // (h = doc_id·2654435761 mod 1000003 — the q314 sampling prime;
+    // the q172 prime would never wrap at fixture ids and the "shuffle"
+    // would silently be id order. doc_id tie-break on collisions; the
+    // q261/q286 no-RNG convention) until the running total reaches B. The
     // overflow document is INCLUDED (selected iff run−tok < B), so any
     // nonempty domain keeps at least one doc; under-represented
     // domains (total ≤ B) keep everything, over-represented ones
@@ -500,8 +501,7 @@ object Round11b {
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
         val td = docs.select(col("doc_id"), col("lang"),
           size(split(norm, " ")).cast("long").as("tok"),
-          (col("doc_id") * lit(2654435761L) % lit(1152921504606846883L))
-            .as("hsh"))
+          (col("doc_id") * lit(2654435761L) % lit(1000003L)).as("hsh"))
         val bud = broadcast(td
           .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
           .select(expr("tt div (2 * dd)").as("bud"))
@@ -518,7 +518,7 @@ object Round11b {
       Some("""WITH td AS (SELECT doc_id, lang,
           CAST(len(string_split(trim(regexp_replace(regexp_replace(
             lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS tok,
-          CAST((doc_id * 2654435761) % 1152921504606846883 AS BIGINT) AS hsh
+          CAST((doc_id * 2654435761) % 1000003 AS BIGINT) AS hsh
         FROM documents),
       bud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
         FROM td),
@@ -529,6 +529,59 @@ object Round11b {
         CAST(CASE WHEN run - tok < (SELECT bud FROM bud)
           THEN 1 ELSE 0 END AS BIGINT) AS selected
       FROM rn ORDER BY lang, hsh, doc_id""")),
+
+    // ---- sequence packing (shuffle -> concat -> fixed-length chunk) ----
+    // How pretraining batches are actually laid out: shuffle the
+    // corpus deterministically (the q331 Lehmer order), concatenate
+    // token streams, and split at a fixed context length L=2048. Per
+    // document this is pure arithmetic on the EXCLUSIVE global token
+    // offset: seq_first = off div L, seq_last = (off+tok−1) div L,
+    // crosses = first ≠ last (the boundary-split accounting that decides
+    // attention-masking strategy). The offset is the global running sum
+    // in shuffle order — Ranks.cumSums's two-pass range-shard scheme
+    // (one hash exchange + per-bin sorts; the offset spine is the
+    // sanctioned ≤64-row post-aggregation window; no global sort at any
+    // corpus size). cumSums requires UNIQUE keys: okey = hsh·2^32 +
+    // doc_id (hsh < 1000003 keeps the product exact int64; doc ids
+    // are < 2^32 in every fixture — a loud require guards the packing
+    // key). All-BIGINT outputs; the oracle replays the layout with one
+    // window.
+    "q332_llm_sequence_pack" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val td = docs.select(col("doc_id"), col("lang"),
+          size(split(norm, " ")).cast("long").as("tok"),
+          (col("doc_id") * lit(2654435761L) % lit(1000003L)).as("hsh"))
+        val mx = td.agg(max("doc_id")).head().getLong(0)
+        require(mx < 4294967296L,
+          s"packing key assumes doc_id < 2^32 (max seen $mx)")
+        val keyed = td.withColumn("okey",
+          col("hsh") * lit(4294967296L) + col("doc_id"))
+        Ranks.cumSums(keyed, "okey", Seq("tok"), bins = 64)
+          .select(col("doc_id"), col("lang"), col("tok"), col("hsh"),
+            (col("cum_tok") - col("tok")).as("off"),
+            expr("(cum_tok - tok) div 2048").as("seq_first"),
+            expr("(cum_tok - 1) div 2048").as("seq_last"),
+            when(expr("(cum_tok - tok) div 2048 <> (cum_tok - 1) div 2048"),
+              1L).otherwise(0L).as("crosses"))
+          .orderBy("hsh", "doc_id")
+      },
+      Some("""WITH td AS (SELECT doc_id, lang,
+          CAST(len(string_split(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+          CAST((doc_id * 2654435761) % 1000003 AS BIGINT) AS hsh
+        FROM documents),
+      rn AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM td)
+      SELECT doc_id, lang, tok, hsh, run - tok AS off,
+        (run - tok) // 2048 AS seq_first,
+        (run - 1) // 2048 AS seq_last,
+        CAST(CASE WHEN (run - tok) // 2048 <> (run - 1) // 2048
+          THEN 1 ELSE 0 END AS BIGINT) AS crosses
+      FROM rn ORDER BY hsh, doc_id""")),
 
     "q327_llm_dsir_select" -> QueryDef(
       (s, dir) => {

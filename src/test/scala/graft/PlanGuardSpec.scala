@@ -195,6 +195,10 @@ class PlanGuardSpec extends SparkTestBase {
                                    // eagerly; the served branch's centroid
                                    // broadcasts; decision inputs are 1-row
                                    // stats + recall scalars
+    "q332_llm_sequence_pack",      // q283 fold class: cumSums's 1-row
+                                   // min/max scalar crossJoins (bounded
+                                   // build); the offset spine is the
+                                   // sanctioned <=64-row post-agg window
     "q331_llm_domain_mix",         // q283 fold class: the 1-row budget and
                                    // runningSumsBinned's min/max scalar
                                    // fold to bounded NL joins; the hot-key

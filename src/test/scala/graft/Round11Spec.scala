@@ -496,6 +496,27 @@ class Round11Spec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q332 sequence packing invariants at sf0.001") {
+    val out = graft.queries.Round11b.defs("q332_llm_sequence_pack")
+      .fn(spark, sf).collect()
+    // offsets tile the concatenated stream with no gaps or overlaps
+    var off = 0L
+    out.foreach { r =>
+      assert(r.getLong(4) == off, s"offset gap at doc ${r.getLong(0)}")
+      off += r.getLong(2)
+      val (first, last, crosses) =
+        (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(first == r.getLong(4) / 2048L)
+      assert(last == (r.getLong(4) + r.getLong(2) - 1L) / 2048L)
+      assert((crosses == 1L) == (first != last))
+      // a doc spans at most ceil(tok/L)+1 sequences
+      assert(last - first <= r.getLong(2) / 2048L + 1L)
+    }
+    // total sequences = ceil(total tokens / L); the last doc ends in it
+    assert(out.last.getLong(6) == (off - 1L) / 2048L)
+    spark.catalog.clearCache()
+  }
+
   test("q327 DSIR selection invariants at sf0.001") {
     val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
       .fn(spark, sf).collect()
