@@ -95,6 +95,61 @@ object Round11b {
           row_number() OVER (PARTITION BY p.qid ORDER BY e.cos DESC, p.cid) AS rnk
         FROM ${p}spool p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid) WHERE rnk <= 5)"""
 
+  // ---- q333/q334 helpers (late-interaction MaxSim) ---------------------
+
+  /** Multi-vector view of the embeddings fixture: doc = vec_id div 4,
+    * four token vectors per document (the ColBERT layout at fixture
+    * scale; production token counts just widen the per-doc group). */
+  private def mvTok(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      expr("vec_id div 4").as("doc"), col("vec_id").as("tid"),
+      col("embedding").as("e"))
+
+  /** Exact MaxSim score table over all (query doc, corpus doc) pairs,
+    * micro-cos BIGINT: mc = round(cos·10⁶) per token pair (round ties
+    * away from zero in both engines — the q96 rule; 6dp granularity is
+    * the q46 cross-engine rank recipe), max over the candidate doc's
+    * tokens per query token, summed — so `score` is exact int64 and
+    * hash-compares. Build-once fixture artifact (the exact side of the
+    * q334 serve AND q333's own output). */
+  private def maxsimExact(s: SparkSession, dir: String): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      "maxsim_ex") {
+      graft.plans.NativeExpressions.register(s)
+      val tok = mvTok(s, dir)
+      val q = tok.filter(col("doc") < 10)
+        .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
+        .withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+      val c = tok
+        .select(col("doc").as("cd"), col("e").as("ce"))
+        .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+      c.join(broadcast(q), col("cd") =!= col("qd"))
+        .select(col("qd"), col("cd"), col("qt"),
+          round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
+            * lit(1000000.0)).cast("long").as("mc"))
+        .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
+        .groupBy("qd", "cd").agg(sum("mx").as("score"))
+    }
+
+  /** Oracle twin of [[maxsimExact]]: CTEs tok/qtok/ms (exact BIGINT
+    * maxsim scores) + exr (exact top-5 per query doc). */
+  private val maxsimBaseSql: String =
+    """tok AS MATERIALIZED (SELECT vec_id // 4 AS doc, vec_id AS tid, embedding AS e
+        FROM embeddings),
+      qtok AS MATERIALIZED (SELECT * FROM tok WHERE doc < 10),
+      mpc AS MATERIALIZED (SELECT q.doc AS qd, c.doc AS cd, q.tid AS qt,
+          CAST(round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.e[i.i] AS DOUBLE))
+            / (sqrt(ANY_VALUE(list_sum(list_transform(q.e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+             * sqrt(ANY_VALUE(list_sum(list_transform(c.e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))))
+            * 1000000) AS BIGINT) AS mc
+        FROM qtok q, tok c, (SELECT unnest(range(1, 65)) AS i) i
+        WHERE c.doc <> q.doc GROUP BY 1, 2, 3, c.tid),
+      ms AS MATERIALIZED (SELECT qd, cd, CAST(SUM(mx) AS BIGINT) AS score FROM (
+          SELECT qd, cd, qt, MAX(mc) AS mx FROM mpc GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      exr AS MATERIALIZED (SELECT qd, cd FROM (SELECT qd, cd,
+          row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd) AS rnk
+        FROM ms) WHERE rnk <= 5)"""
+
   /** q328's serving-memory budget: chosen so the SQ8 family sits in
     * the window at nu=500 (36 kB ≤ 60 kB; raw floats 128 kB do not
     * fit) and is evicted by its own bytes at nu=2000 (144 kB) — the
@@ -582,6 +637,164 @@ object Round11b {
         CAST(CASE WHEN (run - tok) // 2048 <> (run - 1) // 2048
           THEN 1 ELSE 0 END AS BIGINT) AS crosses
       FROM rn ORDER BY hsh, doc_id""")),
+
+    // ---- late interaction (ColBERT MaxSim): the exact primitive --------
+    // The multi-vector retrieval modality (ColBERT/ColPali): a document
+    // is a SET of token vectors, score(q, d) = Σ_{qt∈q} max_{dt∈d}
+    // cos(qt, dt). Fixture layout: doc = vec_id div 4, 4 tokens/doc.
+    // Every per-pair cos is rounded to micro-cos BIGINT before max/sum
+    // (ties away from zero in both engines, the q46/q96 recipes), so
+    // the whole score column is exact int64. Top-5 per query doc,
+    // self excluded. The score table is a build-once fixture artifact
+    // — q334's serve reranks against the same physics.
+    "q333_llm_maxsim_exact" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("qd").orderBy(col("score").desc, col("cd"))
+        maxsimExact(s, dir)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("qd"), col("cd"), col("score"), col("rnk"))
+          .orderBy("qd", "rnk")
+      },
+      Some(s"""WITH $maxsimBaseSql
+      SELECT qd, cd, score, rnk FROM (SELECT qd, cd, score,
+          row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd) AS rnk
+        FROM ms) WHERE rnk <= 5 ORDER BY qd, rnk""")),
+
+    // ---- late interaction served: PLAID-shaped two-stage ----------------
+    // The serving shape production uses (PLAID / ColBERTv2): token-
+    // level IVF cells GENERATE candidate documents (any query token
+    // co-probed with any doc token admits the doc), the SQ8 integer
+    // maxsim over ALL token pairs of each candidate RANKS them (the
+    // q326 near-lossless law, doc-level), and the m-bounded pool
+    // reranks at full precision. The round-11 sweep measured the
+    // variants: scoring ONLY co-probed pairs ranks badly (0.78 at
+    // m=40 on a 125-doc corpus — the co-probe misses the true max
+    // pair); candidates-then-full-SQ8 saturates at m=10 (np1
+    // 0.76/0.94 — candidate containment binds; np2 0.98/0.98, np4/m20
+    // 1.0/1.0). Shipped np=2, m=10 → recall@5 0.98/0.98, live ==
+    // sweep. Scale shape: cells + SQ8 codes + the exact table are
+    // fixture artifacts; candidate generation is a hash equi-join on
+    // cell id; SQ8 ranking touches candidates' 16 token pairs as one
+    // integer HOF; the exact rerank touches raw vectors only for the
+    // 10-bounded pool.
+    "q334_llm_maxsim_plaid" -> QueryDef(
+      (s, dir) => {
+        graft.plans.NativeExpressions.register(s)
+        val tok = mvTok(s, dir)
+        val cents = broadcast(tok.orderBy("tid").limit(16)
+          .select(col("tid").as("centroid_id"), col("e").as("centroid")))
+        val ca = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "maxsim_ca_n16",
+          params = Map("nlist" -> 16L))(
+          Similarity.assignToCentroids(tok.select(col("tid"), col("e")),
+              "tid", "e", cents, nKeep = 1)
+            .select(col("tid"), col("centroid_id")))
+        val codes = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "maxsim_sq8")(
+          Similarity.sq8Codes(tok.select(col("tid"), col("e")), "tid", "e"))
+        val qtok = tok.filter(col("doc") < 10)
+          .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
+        val qa = Similarity.assignToCentroids(
+            qtok.select(col("qt"), col("qe")), "qt", "qe", cents, nKeep = 2)
+          .select(col("qt"), col("centroid_id"))
+        val cdocs = qa.join(broadcast(qtok.select("qd", "qt")), Seq("qt"))
+          .join(ca.select(col("tid"), col("centroid_id")), Seq("centroid_id"))
+          .select(col("qd"), expr("tid div 4").as("cd"))
+          .filter(col("qd") =!= col("cd"))
+          .distinct()
+        val qcodes = broadcast(codes
+          .join(qtok.select(col("qt").as("id"), col("qd")), Seq("id"))
+          .select(col("qd"), col("id").as("qt"), col("qc").as("qq")))
+        val capx = cdocs.join(qcodes, Seq("qd"))
+          .join(codes.select(expr("id div 4").as("cd"), col("id").as("ct"),
+            col("qc").as("cc"), col("rc")), Seq("cd"))
+          .select(col("qd"), col("cd"), col("qt"),
+            (expr("aggregate(zip_with(qq, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+              * col("rc")).as("apair"))
+          .groupBy("qd", "cd", "qt").agg(max("apair").as("amx"))
+          .groupBy("qd", "cd").agg(sum("amx").as("ascore"))
+        val wp = Window.partitionBy("qd").orderBy(col("ascore").desc, col("cd"))
+        val pool = capx.withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= 10).select("qd", "cd")
+        // exact rerank from raw vectors, pool-bounded (the serving
+        // residency contract — the exact TABLE is only used to score)
+        val qv = broadcast(qtok
+          .withColumn("qn", expr("sqrt(vec_dot(qe, qe))")))
+        val cv = tok.select(col("doc").as("cd"), col("e").as("ce"))
+          .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+        val served = pool.join(qv, Seq("qd")).join(cv, Seq("cd"))
+          .select(col("qd"), col("cd"), col("qt"),
+            round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
+              * lit(1000000.0)).cast("long").as("mc"))
+          .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
+          .groupBy("qd", "cd").agg(sum("mx").as("score"))
+        val ws = Window.partitionBy("qd").orderBy(col("score").desc, col("cd"))
+        val annr = served.withColumn("rnk", row_number().over(ws))
+          .filter(col("rnk") <= 5).select("qd", "cd")
+        val wx = Window.partitionBy("qd").orderBy(col("score").desc, col("cd"))
+        val exr = maxsimExact(s, dir)
+          .withColumn("rnk", row_number().over(wx))
+          .filter(col("rnk") <= 5).select("qd", "cd")
+        val hits = exr.join(annr, Seq("qd", "cd"))
+          .groupBy("qd").agg(count(lit(1)).as("h"))
+        exr.select("qd").distinct()
+          .join(hits, Seq("qd"), "left")
+          .select(col("qd"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / 5.0).as("recall"))
+          .orderBy("qd")
+      },
+      Some(s"""WITH $maxsimBaseSql,
+      cent AS MATERIALIZED (SELECT tid AS centroid_id, e AS centroid
+        FROM tok WHERE tid < 16),
+      mca AS MATERIALIZED (SELECT tid, centroid_id FROM (SELECT tid, centroid_id,
+          row_number() OVER (PARTITION BY tid ORDER BY d DESC, centroid_id) AS r
+        FROM (SELECT t.tid, c.centroid_id,
+            round(SUM(CAST(t.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+          FROM tok t, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2))
+        WHERE r = 1),
+      mqa AS MATERIALIZED (SELECT tid, centroid_id FROM (SELECT tid, centroid_id,
+          row_number() OVER (PARTITION BY tid ORDER BY d DESC, centroid_id) AS r
+        FROM (SELECT t.tid, c.centroid_id,
+            round(SUM(CAST(t.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+          FROM qtok t, cent c, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2))
+        WHERE r <= 2),
+      msq8 AS MATERIALIZED (SELECT tid,
+          list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT)) AS qc,
+          CAST(round(am * 1000000000.0 / nn) AS BIGINT) AS rc
+        FROM (SELECT tid, e,
+            list_max(list_transform(e, y -> abs(CAST(y AS DOUBLE)))) AS am,
+            sqrt(list_reduce(list_transform(e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+              (a, b) -> a + b)) AS nn
+          FROM tok)),
+      cdocs AS MATERIALIZED (SELECT DISTINCT q.doc AS qd, c.tid // 4 AS cd
+        FROM mqa JOIN qtok q ON mqa.tid = q.tid
+        JOIN mca ON mqa.centroid_id = mca.centroid_id
+        JOIN tok c ON mca.tid = c.tid
+        WHERE q.doc <> c.tid // 4),
+      capx AS MATERIALIZED (SELECT x.qd, x.cd, q.tid AS qt,
+          MAX(CAST(list_sum(list_transform(range(1, 65), i -> qs.qc[i] * cs.qc[i])) AS BIGINT)
+            * cs.rc) AS amx
+        FROM cdocs x JOIN qtok q ON q.doc = x.qd JOIN tok c ON c.doc = x.cd
+        JOIN msq8 qs ON q.tid = qs.tid JOIN msq8 cs ON c.tid = cs.tid
+        GROUP BY 1, 2, 3),
+      mds AS (SELECT qd, cd, CAST(SUM(amx) AS BIGINT) AS ascore
+        FROM capx GROUP BY 1, 2),
+      mpool AS (SELECT qd, cd FROM (SELECT qd, cd,
+          row_number() OVER (PARTITION BY qd ORDER BY ascore DESC, cd) AS pr
+        FROM mds) WHERE pr <= 10),
+      annr AS (SELECT qd, cd FROM (SELECT p.qd, p.cd,
+          row_number() OVER (PARTITION BY p.qd ORDER BY ms.score DESC, p.cd) AS rnk
+        FROM mpool p JOIN ms ON p.qd = ms.qd AND p.cd = ms.cd)
+        WHERE rnk <= 5),
+      hits AS (SELECT exr.qd, COUNT(*) AS h
+        FROM exr JOIN annr ON exr.qd = annr.qd AND exr.cd = annr.cd
+        GROUP BY 1)
+      SELECT q.qd, CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT DISTINCT qd FROM exr) q LEFT JOIN hits h ON q.qd = h.qd
+      ORDER BY q.qd""")),
 
     "q327_llm_dsir_select" -> QueryDef(
       (s, dir) => {

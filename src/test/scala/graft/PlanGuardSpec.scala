@@ -186,6 +186,14 @@ class PlanGuardSpec extends SparkTestBase {
                                    // crossJoins); the SQ8 candidate join is
                                    // a hash equi-join on cell id, the
                                    // rerank is an m=8-bounded hash join
+    "q333_llm_maxsim_exact",       // q46 class: the 40-row query-token side
+                                   // broadcasts into the all-pairs NL join
+                                   // (bounded build); max/sum are hash aggs
+    "q334_llm_maxsim_plaid",       // q279 class: centroid/query-token
+                                   // broadcasts (bounded builds); candidate
+                                   // generation is a hash equi-join on cell
+                                   // id, SQ8 ranking and the exact rerank
+                                   // are pool-bounded hash joins
     "q330_llm_ann_ivf_bq",         // q279/q326 class: 50-row query + 16-row
                                    // centroid broadcasts; the BQ candidate
                                    // join is a hash equi-join on cell id,

@@ -517,6 +517,33 @@ class Round11Spec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q333/q334 maxsim invariants at sf0.001") {
+    val ex = graft.queries.Round11b.defs("q333_llm_maxsim_exact")
+      .fn(spark, sf).collect()
+    val byQ = ex.groupBy(_.getLong(0))
+    byQ.foreach { case (qd, rows) =>
+      assert(rows.length == 5 && rows.map(_.getLong(3)).toSeq == (1L to 5L),
+        s"qd=$qd must have ranks 1..5")
+      assert(rows.forall(_.getLong(1) != qd), "self excluded")
+      // 4 query tokens, each max micro-cos in [-1e6, 1e6]
+      assert(rows.forall(r => math.abs(r.getLong(2)) <= 4000000L))
+      val sc = rows.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(sc == sc.sorted(Ordering[Long].reverse), "scores non-increasing")
+    }
+    val serve = graft.queries.Round11b.defs("q334_llm_maxsim_plaid")
+      .fn(spark, sf).collect()
+    assert(serve.length == byQ.size, "one recall row per query doc")
+    serve.foreach { r =>
+      val (h, rec) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0L && h <= 5L && rec == h.toDouble / 5.0)
+    }
+    // deterministic rerun (artifact-resident standing pieces)
+    val serve2 = graft.queries.Round11b.defs("q334_llm_maxsim_plaid")
+      .fn(spark, sf).collect()
+    assert(serve.map(_.toString).toSeq == serve2.map(_.toString).toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("q327 DSIR selection invariants at sf0.001") {
     val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
       .fn(spark, sf).collect()
