@@ -796,6 +796,111 @@ object Round11b {
       FROM (SELECT DISTINCT qd FROM exr) q LEFT JOIN hits h ON q.qd = h.qd
       ORDER BY q.qd""")),
 
+    // ---- PSI drift (fixed-point, the scorecard metric) ------------------
+    // Completes the drift trio (q237 KS numeric, q268 chi-square
+    // categorical): Population Stability Index between two corpus
+    // slices over 16 equal-width doc-length bins, with BOTH factors of
+    // every term exact int64 — common-denominator form
+    //   term_i = (a_i·Nb − b_i·Na) · (lnFx(a_i·Nb) − lnFx(b_i·Na)),
+    //   PSI = Σ term_i / (Na·Nb·10⁶)
+    // (a/b = Laplace-smoothed bin counts; the ln is
+    // FixedPoint.lnFxCols — row-local on the 2×2×16-row count frame).
+    // The metric is VALIDATED both ways in one output: 'split' (a
+    // Lehmer half vs the other — the null case; every natural slice
+    // of the synthetic fixture is length-iid, measured: lang/source
+    // PSIs all < 0.008, so null is the honest label) and 'inject'
+    // (the corpus against itself with a deterministic truncation
+    // regression — every doc capped at 25 tokens — the shift a
+    // pipeline bug produces; the metric must fire). Per-bin term rows
+    // plus a bin=−1 rollup. Every column BIGINT-exact;
+    // integer binning ((tok−lo)·16 div (hi−lo+1)) so no float touches
+    // the bins either. Domain bound: a_i·Nb ≤ n² must stay in lnFx's
+    // ≤9.2·10¹² domain → a loud require at n > 3·10⁶ docs (shard PSI
+    // by stratum beyond that). Scale shape: one corpus scan → bounded
+    // (cmp, bin) aggregates; everything after is 64-row arithmetic.
+    "q335_llm_drift_psi" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val n = docs.count()
+        require(n <= 3000000L,
+          s"PSI fixed-point domain needs n^2 <= 9.2e12 (n=$n); shard by stratum")
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val td = docs.select(col("doc_id"), col("lang"),
+          size(split(norm, " ")).cast("long").as("tok"))
+        val mm = broadcast(td.agg(min("tok").as("lo"), max("tok").as("hi")))
+        val binned = td.crossJoin(mm).withColumn("bin",
+          expr("least(((tok - lo) * 16) div (hi - lo + 1), 15)"))
+        val binT = expr(
+          "greatest(least(((least(tok, 25) - lo) * 16) div (hi - lo + 1), 15), 0)")
+        val labeled = binned.select(explode(array(
+            struct(lit("split").as("cmp"),
+              (pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) % 2 === 0)
+                .as("isRef"), col("bin")),
+            struct(lit("inject").as("cmp"), lit(true).as("isRef"), col("bin")),
+            struct(lit("inject").as("cmp"), lit(false).as("isRef"),
+              binT.as("bin")))).as("s"))
+          .select(col("s.cmp").as("cmp"), col("s.isRef").as("isRef"),
+            col("s.bin").as("bin"))
+        val cnt = labeled.groupBy("cmp", "bin").agg(
+          (sum(when(col("isRef"), 1L).otherwise(0L)) + 1L).as("aa"),
+          (sum(when(col("isRef"), 0L).otherwise(1L)) + 1L).as("bb"))
+        val tot = cnt.groupBy("cmp")
+          .agg(sum("aa").as("na"), sum("bb").as("nb"))
+        val j = FixedPoint.lnFxCols(FixedPoint.lnFxCols(
+            cnt.join(broadcast(tot), Seq("cmp"))
+              .withColumn("x", col("aa") * col("nb"))
+              .withColumn("y", col("bb") * col("na")),
+            "x", "lx"), "y", "ly")
+          .withColumn("term_fx", (col("x") - col("y")) * (col("lx") - col("ly")))
+        val perBin = j.select(col("cmp"), col("bin"), col("aa"), col("bb"),
+          col("term_fx"))
+        val roll = j.groupBy("cmp").agg(
+            max("na").as("aa"), max("nb").as("bb"),
+            sum("term_fx").as("term_fx"))
+          .select(col("cmp"), lit(-1L).as("bin"), col("aa"), col("bb"),
+            col("term_fx"))
+        perBin.unionByName(roll).orderBy("cmp", "bin")
+      },
+      Some(s"""WITH td AS (SELECT doc_id, lang,
+          CAST(len(string_split(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS tok
+        FROM documents),
+      mm AS (SELECT MIN(tok) AS lo, MAX(tok) AS hi FROM td),
+      binned AS (SELECT doc_id, lang, tok,
+          LEAST(((tok - (SELECT lo FROM mm)) * 16)
+            // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1), 15) AS bin
+        FROM td),
+      labeled AS (
+        SELECT 'split' AS cmp, ((doc_id * 2654435761) % 1000003) % 2 = 0 AS isref, bin FROM binned
+        UNION ALL
+        SELECT 'inject' AS cmp, true AS isref, bin FROM binned
+        UNION ALL
+        SELECT 'inject' AS cmp, false AS isref,
+          GREATEST(LEAST(((LEAST(tok, 25) - (SELECT lo FROM mm)) * 16)
+            // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1), 15), 0) AS bin
+          FROM binned),
+      cnt AS (SELECT cmp, bin,
+          CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) + 1 AS BIGINT) AS aa,
+          CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) + 1 AS BIGINT) AS bb
+        FROM labeled GROUP BY 1, 2),
+      tot AS (SELECT cmp, CAST(SUM(aa) AS BIGINT) AS na,
+          CAST(SUM(bb) AS BIGINT) AS nb FROM cnt GROUP BY 1),
+      xy AS (SELECT cnt.cmp, cnt.bin, cnt.aa, cnt.bb,
+          cnt.aa * tot.nb AS x, cnt.bb * tot.na AS y, tot.na, tot.nb
+        FROM cnt JOIN tot ON cnt.cmp = tot.cmp),
+      nv AS (SELECT x AS n FROM xy UNION SELECT y FROM xy),
+      ${FixedPoint.lnFxSql("nv", "lnt")},
+      terms AS (SELECT xy.cmp, xy.bin, xy.aa, xy.bb, xy.na, xy.nb,
+          (xy.x - xy.y) * (lx.ln_fx - ly.ln_fx) AS term_fx
+        FROM xy JOIN lnt lx ON xy.x = lx.n JOIN lnt ly ON xy.y = ly.n)
+      SELECT cmp, bin, aa, bb, term_fx FROM terms
+      UNION ALL
+      SELECT cmp, CAST(-1 AS BIGINT) AS bin, MAX(na) AS aa, MAX(nb) AS bb,
+        CAST(SUM(term_fx) AS BIGINT) AS term_fx FROM terms GROUP BY cmp
+      ORDER BY cmp, bin""")),
+
     "q327_llm_dsir_select" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -207,6 +207,10 @@ class PlanGuardSpec extends SparkTestBase {
                                    // min/max scalar crossJoins (bounded
                                    // build); the offset spine is the
                                    // sanctioned <=64-row post-agg window
+    "q335_llm_drift_psi",          // q283 fold class: the 1-row min/max
+                                   // scalar crossJoins the scan (bounded
+                                   // build); everything downstream is
+                                   // 2x2x16-row bounded arithmetic
     "q331_llm_domain_mix",         // q283 fold class: the 1-row budget and
                                    // runningSumsBinned's min/max scalar
                                    // fold to bounded NL joins; the hot-key

@@ -544,6 +544,32 @@ class Round11Spec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q335 PSI drift: null split reads null, injected shift fires") {
+    val out = graft.queries.Round11b.defs("q335_llm_drift_psi")
+      .fn(spark, sf).collect()
+    val rolls = out.filter(_.getLong(1) == -1L)
+      .map(r => r.getString(0) ->
+        (r.getLong(4).toDouble / (r.getLong(2) * r.getLong(3) * 1e6)))
+      .toMap
+    // absolute null thresholds are SAMPLE-SIZE-dependent (Laplace over
+    // 16 bins inflates PSI to ~0.15 at the 50-doc sf0.001 fixture; the
+    // sf0.1 null reads 0.0075) — assert the separation ratio instead
+    assert(rolls("split") >= 0.0)
+    assert(rolls("inject") > 0.25,
+      s"injected truncation must fire: ${rolls("inject")}")
+    assert(rolls("inject") > 10.0 * rolls("split"),
+      s"shift must separate from the null: ${rolls.toSeq.sorted}")
+    // per-bin terms are nonnegative and sum to the rollup, per cmp
+    out.groupBy(_.getString(0)).foreach { case (cmp, rows) =>
+      val bins = rows.filter(_.getLong(1) >= 0L)
+      assert(bins.forall(_.getLong(4) >= 0L), s"$cmp: negative term")
+      assert(bins.map(_.getLong(4)).sum ==
+        rows.find(_.getLong(1) == -1L).get.getLong(4),
+        s"$cmp: terms must sum to the rollup")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q327 DSIR selection invariants at sf0.001") {
     val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
       .fn(spark, sf).collect()
