@@ -901,8 +901,87 @@ object Round11b {
         CAST(SUM(term_fx) AS BIGINT) AS term_fx FROM terms GROUP BY cmp
       ORDER BY cmp, bin""")),
 
-    "q327_llm_dsir_select" -> QueryDef(
+    // ---- the training-data pipeline, end to end --------------------------
+    // The capstone composite a user actually runs, as ONE declared
+    // query with ONE exact oracle: SELECT (q327's DSIR top-quarter,
+    // served from a fixture artifact — the selection is corpus-
+    // determined, built once) → MIX (q331's greedy half-share token
+    // fill per language domain, over the SELECTED set only) → PACK
+    // (q332's shuffle-concat-chunk layout of the mixed set at
+    // L=2048). Output = the packed layout of the final training set.
+    // Each stage's arithmetic is exactly the standalone query's —
+    // the oracle chains the three replays verbatim.
+    "q336_llm_data_pipeline" -> QueryDef(
       (s, dir) => {
+        val sel = graft.util.FixtureArtifact.parquet(s, dir,
+          "documents.parquet", "dsirsel")(
+          dsirRank(s, dir).filter(col("selected") === 1L)
+            .select("doc_id", "lang"))
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        val td = sel.join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            size(split(norm, " ")).cast("long").as("tok"),
+            (col("doc_id") * lit(2654435761L) % lit(1000003L)).as("hsh"))
+        val bud = broadcast(td
+          .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
+          .select(expr("tt div (2 * dd)").as("bud"))
+          .withColumn("one", lit(1)))
+        val mixed = Ranks.runningSumsBinned(td, "lang", "hsh",
+            Seq("hsh", "doc_id"), Seq("tok"), bins = 32, hotThreshold = 1L)
+          .withColumn("one", lit(1)).join(bud, Seq("one"))
+          .filter(col("run_tok") - col("tok") < col("bud"))
+          .select(col("doc_id"), col("lang"), col("tok"), col("hsh"))
+        val mx = mixed.agg(max("doc_id")).head().getLong(0)
+        require(mx < 4294967296L,
+          s"packing key assumes doc_id < 2^32 (max seen $mx)")
+        val keyed = mixed.withColumn("okey",
+          col("hsh") * lit(4294967296L) + col("doc_id"))
+        Ranks.cumSums(keyed, "okey", Seq("tok"), bins = 64)
+          .select(col("doc_id"), col("lang"), col("tok"), col("hsh"),
+            (col("cum_tok") - col("tok")).as("off"),
+            expr("(cum_tok - tok) div 2048").as("seq_first"),
+            expr("(cum_tok - 1) div 2048").as("seq_last"),
+            when(expr("(cum_tok - tok) div 2048 <> (cum_tok - 1) div 2048"),
+              1L).otherwise(0L).as("crosses"))
+          .orderBy("hsh", "doc_id")
+      },
+      Some(s"""WITH $dsirCtes,
+      td2 AS (SELECT d.doc_id, sd.lang,
+          CAST(len(string_split(trim(regexp_replace(regexp_replace(
+            lower(d.text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+          CAST((d.doc_id * 2654435761) % 1000003 AS BIGINT) AS hsh
+        FROM (SELECT doc_id, lang FROM dsel WHERE selected = 1) sd
+        JOIN documents d USING (doc_id)),
+      bud2 AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+        FROM td2),
+      rn2 AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY lang
+          ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM td2),
+      mixed AS (SELECT doc_id, lang, tok, hsh FROM rn2
+        WHERE run - tok < (SELECT bud FROM bud2)),
+      rn3 AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM mixed)
+      SELECT doc_id, lang, tok, hsh, run - tok AS off,
+        (run - tok) // 2048 AS seq_first,
+        (run - 1) // 2048 AS seq_last,
+        CAST(CASE WHEN (run - tok) // 2048 <> (run - 1) // 2048
+          THEN 1 ELSE 0 END AS BIGINT) AS crosses
+      FROM rn3 ORDER BY hsh, doc_id""")),
+
+    "q327_llm_dsir_select" -> QueryDef(
+      (s, dir) => dsirRank(s, dir).orderBy("rnk"),
+      Some(s"""WITH $dsirCtes
+      SELECT doc_id, lang, n_feats, w_fx, rnk, selected
+      FROM dsel ORDER BY rnk"""))
+  )
+
+  /** q327's DSIR ranking stage, shared with the q336 pipeline
+    * composite: importance-ranked docs with the top-quarter selection
+    * flag, materialized to scratch (the multi-pass rankedBinned
+    * consumer contract). Returns the read-back frame, unordered. */
+  private def dsirRank(s: SparkSession, dir: String): DataFrame = {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"))
         val norm = trim(regexp_replace(
@@ -970,9 +1049,12 @@ object Round11b {
         val outDir = graft.util.Scratch.dir("dsir_out")
         out.write.mode("overwrite").parquet(outDir)
         fh.unpersist(); cf.unpersist(); alld.unpersist()
-        s.read.parquet(outDir).orderBy("rnk")
-      },
-      Some(s"""WITH tok AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
+        s.read.parquet(outDir)
+  }
+
+  /** q327's oracle CTE chain (through `dsel`: ranked docs + the
+    * top-quarter selection flag) — shared with q336's oracle. */
+  private lazy val dsirCtes: String = s"""tok AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
           regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tl
         FROM documents),
       dp AS MATERIALIZED (SELECT doc_id, lang, tl[p] AS w1, tl[p+1] AS w2
@@ -1006,9 +1088,9 @@ object Round11b {
           CAST(COALESCE(dw.w_fx, 0) AS BIGINT) AS w_fx
         FROM documents d LEFT JOIN dw USING (doc_id)),
       rk AS (SELECT *, row_number() OVER (ORDER BY w_fx DESC, doc_id) AS rnk,
-          (SELECT COUNT(*) FROM alld) AS ndd FROM alld)
-      SELECT doc_id, lang, n_feats, w_fx, CAST(rnk AS BIGINT) AS rnk,
-        CAST(CASE WHEN rnk <= ndd // 4 THEN 1 ELSE 0 END AS BIGINT) AS selected
-      FROM rk ORDER BY rnk"""))
-  )
+          (SELECT COUNT(*) FROM alld) AS ndd FROM alld),
+      dsel AS MATERIALIZED (SELECT doc_id, lang, n_feats, w_fx,
+          CAST(rnk AS BIGINT) AS rnk,
+          CAST(CASE WHEN rnk <= ndd // 4 THEN 1 ELSE 0 END AS BIGINT) AS selected
+        FROM rk)"""
 }

@@ -211,6 +211,10 @@ class PlanGuardSpec extends SparkTestBase {
                                    // scalar crossJoins the scan (bounded
                                    // build); everything downstream is
                                    // 2x2x16-row bounded arithmetic
+    "q336_llm_data_pipeline",      // composes q327/q331/q332's whitelisted
+                                   // shapes: selection reads the fixture
+                                   // artifact flat; the budget/min-max
+                                   // scalars fold to bounded NL joins
     "q331_llm_domain_mix",         // q283 fold class: the 1-row budget and
                                    // runningSumsBinned's min/max scalar
                                    // fold to bounded NL joins; the hot-key

