@@ -43,13 +43,33 @@ object FixedPoint {
   /** The defined fixed-point ln 2 (floor(ln(2)*10^6)). */
   val Ln2Fx = 693147L
 
+  /** The int64 argument domain: n·10^6 must not wrap (the scaladoc
+    * bound, now ENFORCED here rather than re-required per caller — the
+    * round-11 verdict finding: q324/q327 fed corpus-sized counts into
+    * the recipe with no guard, so past ~9.2·10^12 the product wrapped
+    * silently in Spark while DuckDB raised, and the two engines
+    * diverged inside the claimed-safe domain). */
+  val MaxN: Long = Long.MaxValue / Scale
+
+  /** `nExpr` checked into [1, MaxN] as a row-local projection —
+    * raise_error on violation, so EVERY caller (present and future)
+    * inherits the loud failure instead of a silent int64 wrap. The
+    * guard also catches n <= 0, which [[lnFxTable]]'s powers join
+    * would otherwise DROP silently (no 2^i <= n row). */
+  private def guardedN(nExpr: String): String =
+    s"""CASE WHEN ($nExpr) BETWEEN 1 AND $MaxN THEN CAST(($nExpr) AS BIGINT)
+       ELSE CAST(raise_error(concat('lnFx domain: n must be in [1, $MaxN], got ',
+         CAST(($nExpr) AS STRING))) AS BIGINT) END"""
+
   /** ln_fx over a frame of DISTINCT BIGINTs `n` (all >= 1): returns
     * (n, ln_fx). The 63-row powers table is a broadcast; everything
-    * else is row-local integer arithmetic. */
+    * else is row-local integer arithmetic. Arguments outside [1, MaxN]
+    * fail loudly (see [[MaxN]]). */
   def lnFxTable(vals: DataFrame): DataFrame = {
     val pows = broadcast(vals.sparkSession.createDataFrame(
       Seq.tabulate(63)(i => (i.toLong, 1L << i))).toDF("i", "pw"))
-    vals.join(pows, col("pw") <= col("n"))
+    vals.withColumn("n", expr(guardedN("n")))
+      .join(pows, col("pw") <= col("n"))
       .groupBy("n").agg(max("i").as("b"), max("pw").as("pwm"))
       .withColumn("m", expr("(n * 1000000) div pwm"))
       .withColumn("z", expr("((m - 1000000) * 1000000) div (m + 1000000)"))
@@ -75,9 +95,10 @@ object FixedPoint {
     * for costs more stages than it saves there; keep [[lnFxTable]]
     * when arguments ride a data-sized frame. */
   def lnFxCols(df: DataFrame, nExpr: String, out: String): DataFrame =
-    df.withColumn("__lb", expr(s"CAST(length(bin($nExpr)) - 1 AS BIGINT)"))
+    df.withColumn("__ln", expr(guardedN(nExpr)))
+      .withColumn("__lb", expr(s"CAST(length(bin(__ln)) - 1 AS BIGINT)"))
       .withColumn("__lm",
-        expr(s"shiftright(($nExpr) * 1000000, CAST(__lb AS INT))"))
+        expr(s"shiftright(__ln * 1000000, CAST(__lb AS INT))"))
       .withColumn("__lz",
         expr("((__lm - 1000000) * 1000000) div (__lm + 1000000)"))
       .withColumn("__lz2", expr("(__lz * __lz) div 1000000"))
@@ -88,8 +109,8 @@ object FixedPoint {
       .withColumn(out,
         expr(s"__lb * $Ln2Fx + 2 * (__lz + __lt3 div 3 + __lt5 div 5 " +
           "+ __lt7 div 7 + __lt9 div 9)"))
-      .drop("__lb", "__lm", "__lz", "__lz2", "__lt3", "__lt5", "__lt7",
-        "__lt9")
+      .drop("__ln", "__lb", "__lm", "__lz", "__lz2", "__lt3", "__lt5",
+        "__lt7", "__lt9")
 
   /** The DuckDB replay of [[lnFxTable]]: a CTE `out`(n, ln_fx) over the
     * distinct values of CTE `src`'s column `n`. Same integer steps,

@@ -459,6 +459,131 @@ object IndexAdvisor {
     }
   }
 
+  /** [[adviseFiltered]] × [[adviseCalibratedServing]] unified (q339):
+    * ATTRIBUTE-FILTERED serving decided under BOTH budgets — per-query
+    * candidates AND resident-index bytes — from measured FILTERED
+    * rows. A production serving node filters AND holds a compressed
+    * index; the decision is (selectivity × candidates × memory)
+    * jointly, which none of the round-11 advisors could express
+    * (adviseFiltered had no memory axis; adviseCalibratedServing no
+    * selectivity axis). Inputs stay the exact integer pair (nu, fNu).
+    *
+    * Decision order:
+    *   1. brute-filtered short-circuits ONLY when the survivors fit
+    *      the candidate budget AND the raw vectors fit memory — the
+    *      node must hold the FULL corpus at full precision, because
+    *      the predicate changes per query (nu·dim·4 bytes, never
+    *      fNu·dim·4 — a filtered subset is not a residency unit).
+    *   2. Measured filtered rows re-derived at (nu, fNu): candidates
+    *      as in [[adviseFiltered]] (scan families fNu·nprobe/nlist
+    *      with nlist = pow2Near(sqrt(nu)); graph cost constant);
+    *      resident bytes per family — ivf-filtered nu·(dim·4+4),
+    *      sq8-filtered nu·(dim+8), ivfpq-filtered nu·(4+nSub/2+4),
+    *      graph-filtered nu·(d·8+nSub/2+4) (the [[residentBytes]]
+    *      constants on the filtered ladder; the round-12 sweep showed
+    *      the filter changes NO family's resident state — the index
+    *      is the standing full-corpus one). Cheapest admissible
+    *      config meeting the target; (cost, recall DESC, family)
+    *      tie-break; best-admissible fallback.
+    *   3. Nothing admissible → a measured graph-filtered row whose
+    *      index fits memory (the only corpus-size-independent cost),
+    *      loudly; none → fail loudly.
+    */
+  def adviseFilteredServing(nu: Long, fNu: Long, dim: Int,
+      targetRecall: Double, candidateBudget: Long,
+      memoryBudgetBytes: Long, measured: Seq[RecallRow]): Advice = {
+    require(nu > 0 && fNu >= 0 && fNu <= nu && candidateBudget > 0 &&
+      memoryBudgetBytes > 0)
+    if (fNu <= candidateBudget && nu * dim * 4L <= memoryBudgetBytes)
+      return Advice("brute-filtered", dedupFirst = false, Map("k" -> 5L),
+        fNu, s"filtered subset ($fNu of $nu ids) fits the candidate " +
+          "budget and the raw corpus fits memory — exact scan of the " +
+          "predicate's survivors, recall 1.0")
+    val configs: Seq[(Advice, Double, Long)] = measured.flatMap { r =>
+      def p(k: String, d: Long = 0L) = r.params.getOrElse(k, d)
+      val nlist = pow2Near(math.sqrt(nu.toDouble))
+      r.family match {
+        case "ivf-filtered" if p("nlist", 1L) > 0 && p("nprobe", 1L) > 0 =>
+          val nprobe = math.min(nlist,
+            math.max(1L, p("nprobe", 1L) * nlist / p("nlist", 1L)))
+          Some((Advice("ivf-filtered", dedupFirst = false,
+            Map("nlist" -> nlist, "nprobe" -> nprobe, "k" -> p("k", 5L)),
+            fNu * nprobe / nlist,
+            s"calibrated: measured ${r.recall} filtered recall@k at " +
+              s"nprobe/nlist=${p("nprobe", 1L)}/${p("nlist", 1L)} over " +
+              "raw vectors"), r.recall, nu * (dim * 4L + 4L)))
+        case "sq8-filtered" if p("nlist", 1L) > 0 && p("nprobe", 1L) > 0 =>
+          val nprobe = math.min(nlist,
+            math.max(1L, p("nprobe", 1L) * nlist / p("nlist", 1L)))
+          Some((Advice("sq8-filtered", dedupFirst = false,
+            Map("nlist" -> nlist, "nprobe" -> nprobe, "m" -> p("m", 8L),
+              "k" -> p("k", 5L)),
+            fNu * nprobe / nlist,
+            s"calibrated: measured ${r.recall} filtered recall@k over " +
+              s"SQ8 codes at nprobe/nlist=${p("nprobe", 1L)}/${p("nlist", 1L)} " +
+              "(near-lossless rank: fixed pool m, q337)"),
+            r.recall, nu * (dim * 1L + 4L + 4L)))
+        case "ivfpq-filtered" if p("nlist", 1L) > 0 && p("nprobe", 1L) > 0 =>
+          val nprobe = math.min(nlist,
+            math.max(1L, p("nprobe", 1L) * nlist / p("nlist", 1L)))
+          // the pool stays CORPUS-scaled under a filter (the round-12
+          // sweep's honest negative: fNu-scaled pools lose 0.05-0.09)
+          val rerank = math.min(candidateBudget,
+            math.max(100L, 3L * nu / 20L))
+          Some((Advice("ivfpq-filtered", dedupFirst = false,
+            Map("nlist" -> nlist, "nprobe" -> nprobe,
+              "nSub" -> p("nSub", 16L), "nCodes" -> p("nCodes", 16L),
+              "rerank" -> rerank, "k" -> p("k", 5L)),
+            fNu * nprobe / nlist,
+            s"calibrated: measured ${r.recall} filtered recall@k over " +
+              s"PQ codes at nprobe/nlist=${p("nprobe", 1L)}/${p("nlist", 1L)}, " +
+              s"corpus-scaled rerank $rerank"),
+            r.recall, nu * (4L + p("nSub", 16L) * 4L / 8L + 4L)))
+        case "graph-filtered" =>
+          Some((Advice("graph-filtered", dedupFirst = false,
+            Map("d" -> p("d", 24L), "beam" -> p("beam", 24L),
+              "rounds" -> p("rounds", 4L), "nSub" -> p("nSub", 16L),
+              "nCodes" -> p("nCodes", 16L), "k" -> p("k", 5L)),
+            p("beam", 24L) * (p("d", 24L) + 1L) * p("rounds", 4L),
+            s"calibrated: measured ${r.recall} filtered recall@k — " +
+              "full-graph walk, filter on the bounded re-rank only"),
+            r.recall,
+            nu * (p("d", 24L) * 8L + p("nSub", 16L) * 4L / 8L + 4L)))
+        case _ => None
+      }
+    }
+    require(configs.nonEmpty,
+      "filtered-serving calibration needs >= 1 measured filtered row " +
+        "once the brute-filtered short-circuit fails")
+    val admissible = configs.filter { case (a, _, bytes) =>
+      a.candidatesPerQuery <= candidateBudget &&
+        bytes <= memoryBudgetBytes }
+    val meeting = admissible.filter(_._2 >= targetRecall)
+    def pick(cs: Seq[(Advice, Double, Long)]): Advice =
+      cs.minBy { case (a, rec, _) =>
+        (a.candidatesPerQuery, -rec, a.family) }._1
+    if (meeting.nonEmpty) pick(meeting)
+    else if (admissible.nonEmpty) {
+      val (a, _, _) = admissible.maxBy { case (a2, r2, _) =>
+        (r2, -a2.candidatesPerQuery.toDouble) }
+      a.copy(rationale = a.rationale +
+        s" — best measured below target $targetRecall")
+    } else {
+      val graphFit = configs.filter { case (a, _, bytes) =>
+        a.family == "graph-filtered" && bytes <= memoryBudgetBytes }
+      require(graphFit.nonEmpty,
+        s"no measured filtered family fits candidateBudget=" +
+          s"$candidateBudget AND memoryBudgetBytes=$memoryBudgetBytes " +
+          s"at (nu=$nu, fNu=$fNu) — measure a compressed filtered " +
+          "config or raise a budget")
+      val (a, _, _) = graphFit.maxBy { case (a2, r2, _) =>
+        (r2, -a2.candidatesPerQuery.toDouble) }
+      a.copy(rationale = a.rationale +
+        s" — no measured filtered family fits both budgets; best " +
+        "available (cost stops growing with nu, index fits memory)")
+    }
+  }
+
   /** The family's power-of-2 index-size rule (nlist ~ sqrt(nu), snapped
     * to the ratio-nearer power of 2) — exposed to queries so decision
     * requires can replay the advisor's integer arithmetic exactly. */

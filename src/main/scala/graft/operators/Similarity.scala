@@ -987,6 +987,18 @@ object Similarity {
     IvfPqIndex(cents, centq, pqc, ra, enc, grp, nSub, dim)
   }
 
+  /** `keep` (optional, round 12): ids passing a metadata predicate —
+    * ATTRIBUTE-FILTERED IVFADC serving. The filter lands in the
+    * candidate stage (probed cells ∩ keep, BEFORE the pool window —
+    * the [[ivfTopKProbeWhere]] convention on the compressed rung), so
+    * pool slots are never wasted on filtered-out members and the
+    * rerank join is filter-pruned. The round-12 DuckDB sweep (both
+    * SFs, BEFORE this hook was wired) measured the interaction:
+    * over-probe recovers the filtered-cell collapse exactly as on the
+    * raw rung (f05 0.752→0.928 from np10→np14), but the rerank pool
+    * must stay CORPUS-scaled (the q308 dial) — scaling it with fNu
+    * lost 0.05–0.09 recall at sf0.1 (ranking error does not shrink
+    * with the filter; only candidates do). */
   def ivfPqTopK(
       queries: DataFrame, // qid, qe
       corpus: DataFrame, // cid, ce
@@ -997,7 +1009,8 @@ object Similarity {
       nCodes: Int,
       dim: Int,
       rerank: Int,
-      artifact: Option[(String, String, String)] = None): DataFrame = {
+      artifact: Option[(String, String, String)] = None,
+      keep: Option[DataFrame] = None): DataFrame = {
     NativeExpressions.register(queries.sparkSession)
     val dsub = dim / nSub
     require(rerank > 0, "ivfPqTopK serves two-stage; rerank must be > 0")
@@ -1013,11 +1026,16 @@ object Similarity {
         col("code"))
       .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("d")))
     // ADC over the visited cells' members only, expanded to copies
-    val adc = idx.enc.join(idx.ra, "rep")
+    val adc0 = idx.enc.join(idx.ra, "rep")
       .join(lut, Seq("cl", "s", "code"))
       .groupBy("qid", "rep").agg(sum("d").as("dist"))
       .join(idx.grp.select(col("rep"), explode(col("ids")).as("cid")), "rep")
       .filter(col("qid") =!= col("cid"))
+    // the attribute filter applies at MEMBER level (after group-map
+    // expansion — a rep's duplicate members can sit on both sides of
+    // the predicate), as one hash semi-join against the keep set
+    val adc = keep.foldLeft(adc0) { (a, kset) =>
+      a.join(kset.select("cid"), Seq("cid"), "left_semi") }
     val wd = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
     val pool = adc.withColumn("rn", row_number().over(wd))
       .filter(col("rn") <= rerank).select("qid", "cid")
@@ -1529,6 +1547,70 @@ object Similarity {
       .select(col("da"), col("db"), col("cos"))
   }
 
+  /** Per-micro-batch MULTI-VECTOR (late-interaction) dedup scoring
+    * against a standing token-level index (q343) — the q329 ingest
+    * loop on q334's PLAID-shaped family: the resident state is the
+    * standing tokens' IVF cells + SQ8 codes + cold-storage token
+    * vectors; a probe micro-batch of documents (token rows, DOC-ATOMIC
+    * — all of a doc's tokens must land in one batch, since MaxSim is a
+    * per-document aggregate; the alert set is then batch-split
+    * invariant because all scoring is per probe doc) is scored by the
+    * q334 pipeline: probe tokens assigned to their `np` nearest
+    * standing centroids (candidate DOCS via the cell join — the
+    * round-12 sweep measured candidate containment as the binding
+    * dial: np2 saturates at 0.86-0.93 alert coverage regardless of
+    * pool depth, np4/m40 reaches 1.0/0.986), integer SQ8 maxsim over
+    * ALL candidate token pairs ranks (probe codes are a ROW-LOCAL
+    * re-encode — the SQ8 structural ingest advantage a third time),
+    * the m-bounded pool re-scores at exact micro-cos BIGINT maxsim,
+    * and pairs at score >= `minScore` alert. Output (qd, cd, score) —
+    * score exact int64.
+    */
+  def maxsimSemDedupBatch(
+      batch: DataFrame, // qd, qt, qe — probe docs' token rows
+      corpusTok: DataFrame, // cd, ct, ce — standing cold storage
+      ca: DataFrame, // tid, centroid_id — standing token cells
+      codes: DataFrame, // id, qc, rc — standing token SQ8 codes
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      np: Int,
+      m: Int,
+      minScore: Long): DataFrame = {
+    NativeExpressions.register(batch.sparkSession)
+    val qa = assignToCentroids(batch.select("qt", "qe"), "qt", "qe",
+      cents, nKeep = np).select(col("qt"), col("centroid_id"))
+    val cdocs = qa.join(broadcast(batch.select("qd", "qt")), Seq("qt"))
+      .join(ca.select(col("tid"), col("centroid_id")), Seq("centroid_id"))
+      .join(corpusTok.select(col("ct").as("tid"), col("cd")), Seq("tid"))
+      .select("qd", "cd").distinct()
+    val qcodes = broadcast(
+      sq8Codes(batch.select("qt", "qe"), "qt", "qe")
+        .select(col("id").as("qt"), col("qc").as("qq"))
+        .join(batch.select("qd", "qt"), Seq("qt")))
+    val ctok = corpusTok.select(col("cd"), col("ct"))
+      .join(codes.select(col("id").as("ct"), col("qc").as("cc"),
+        col("rc")), Seq("ct"))
+    val apx = cdocs.join(qcodes, Seq("qd"))
+      .join(ctok, Seq("cd"))
+      .select(col("qd"), col("cd"), col("qt"),
+        (expr("aggregate(zip_with(qq, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          * col("rc")).as("apair"))
+      .groupBy("qd", "cd", "qt").agg(max("apair").as("amx"))
+      .groupBy("qd", "cd").agg(sum("amx").as("ascore"))
+    val wp = Window.partitionBy("qd").orderBy(col("ascore").desc, col("cd"))
+    val pool = apx.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= m).select("qd", "cd")
+    val qv = broadcast(batch
+      .withColumn("qn", expr("sqrt(vec_dot(qe, qe))")))
+    val cv = corpusTok.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    pool.join(qv, Seq("qd")).join(cv, Seq("cd"))
+      .select(col("qd"), col("cd"), col("qt"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
+          * lit(1000000.0)).cast("long").as("mc"))
+      .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
+      .groupBy("qd", "cd").agg(sum("mx").as("score"))
+      .filter(col("score") >= minScore)
+  }
+
   /** Per-vector int8 scalar quantization (the FAISS/ScaNN SQ8 layout):
     * symmetric codes `round(x · 127 / absmax)` (the q96 recipe — round
     * ties away from zero in both engines, so the stored codes are
@@ -1669,6 +1751,19 @@ object Similarity {
     * same two-stage residency contract as [[ivfPqTopK]] at 4.5× the
     * bytes and a ~40× smaller pool.
     */
+  /** `keep` (optional, round 12): ids passing a metadata predicate —
+    * ATTRIBUTE-FILTERED SQ8 serving against the UNCHANGED standing
+    * index (cells + codes never rebuild per predicate): the filter
+    * semi-joins the probed cell lists before the integer rank, exactly
+    * as [[ivfTopKProbeWhere]] does on the raw rung. The round-12
+    * DuckDB sweep (both SFs, BEFORE this hook was wired) measured the
+    * composition as FREE: filtered-SQ8 recall equals the raw
+    * filtered-IVF at every swept (tag, nprobe) point — the q326
+    * near-lossless law holds on the filtered axis — and m=8 == m=16
+    * everywhere (pool containment is the probed∩filter ceiling), so
+    * the q318 over-probe dials carry unchanged and the pool dial
+    * needs no selectivity correction (unlike IVFPQ's, see
+    * [[ivfPqTopK]]). */
   def ivfSq8TopK(
       queries: DataFrame, // qid, qe
       corpus: DataFrame, // cid, ce
@@ -1676,7 +1771,8 @@ object Similarity {
       nlist: Int,
       nprobe: Int,
       m: Int,
-      artifact: Option[(String, String, String)] = None): DataFrame = {
+      artifact: Option[(String, String, String)] = None,
+      keep: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     NativeExpressions.register(spark)
     def piece(name: String)(build: => DataFrame): DataFrame =
@@ -1688,9 +1784,11 @@ object Similarity {
       }
     val cents = broadcast(corpus.orderBy("cid").limit(nlist)
       .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
-    val ca = piece("ca")(
+    val ca0 = piece("ca")(
       assignToCentroids(corpus, "cid", "ce", cents, nKeep = 1)
         .select(col("cid"), col("centroid_id")))
+    val ca = keep.foldLeft(ca0) { (c, kset) =>
+      c.join(kset.select("cid"), Seq("cid"), "left_semi") }
     val codes = piece("sq8")(sq8Codes(corpus, "cid", "ce"))
     val qa = assignToCentroids(queries, "qid", "qe", cents, nKeep = nprobe)
       .select(col("qid"), col("centroid_id"))

@@ -305,7 +305,7 @@ object Round10 {
 
   /** Shared word normalization (q171's): lowercase, non-letters to
     * spaces, collapse, split; words of 2..30 chars. */
-  private val BpeNormSql =
+  private[queries] val BpeNormSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))"""
 
   /** DuckDB replay of `rounds` BPE merge-TRAINING rounds over the
@@ -318,7 +318,62 @@ object Round10 {
     * (the MERGE TABLE — rank i IS the CTE index) and the final
     * tvoc_rounds. COALESCE guards make an exhausted vocabulary merge
     * nothing instead of NULLing the corpus. All CTEs MATERIALIZED. */
-  private def bpeTrainSql(rounds: Int): String = {
+  /** The frozen BPE merge table (rank, a, b) — q316's training stage as
+    * a fixture-keyed artifact, shared with q342's encoded-token
+    * accounting: `rounds` merge rounds induced on the slot≠0 documents
+    * (per round: weighted adjacent-pair count over the DISTINCT-word
+    * table, (cnt DESC, a, b) argmax, boundary-anchored double replace;
+    * per-round argmax is a 1-row scalar — plan-choice class; round
+    * boundaries cut to scratch parquet — the iterative-build lineage
+    * rule). Returns the collected table in rank order (8 rows — the
+    * adjudicated bounded-collect class). */
+  private[queries] def bpeMerges(s: SparkSession,
+      dir: String): Array[(String, String)] = {
+    val docs = t(s, dir, "documents")
+    val slot = pmod(col("doc_id") * lit(2654435761L), lit(10L))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+    def adjPairs(df: DataFrame): DataFrame = df
+      .select(col("f"), split(trim(col("seq")), " ").as("sy"))
+      .select(col("f"), explode(expr(
+        "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i+1] AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("f").as("cnt"))
+    val mergesDf = graft.util.FixtureArtifact.parquet(s, dir,
+      "documents.parquet", s"bpe_merges_r$BpeRounds") {
+      var voc = docs.filter(slot =!= 0)
+        .select(explode(split(norm, " ")).as("w"))
+        .filter(length(col("w")).between(2, 30))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .select(concat(lit(" "),
+          array_join(expr("filter(split(w, ''), x -> x != '')"), " "),
+          lit(" ")).as("seq"), col("f"))
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      for (r <- 1 to BpeRounds) {
+        val best = adjPairs(voc)
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select("a", "b").collect()
+        if (best.nonEmpty) {
+          val a = best(0).getString(0); val b = best(0).getString(1)
+          acc += ((r.toLong, a, b))
+          val pat = s" $a $b "; val rep = s" $a$b "
+          val out = graft.util.Scratch.dir(s"bpe_t$r")
+          voc.select(expr(
+              s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
+              .as("seq"), col("f"))
+            .write.mode("overwrite").parquet(out)
+          voc = s.read.parquet(out)
+        }
+      }
+      import s.implicits._
+      acc.toSeq.toDF("rank", "a", "b")
+    }
+    mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+  }
+
+  private[queries] def bpeTrainSql(rounds: Int): String = {
     val head =
       s"""tw0 AS MATERIALIZED (SELECT unnest(string_split($BpeNormSql, ' ')) AS w
         FROM documents WHERE (doc_id * 2654435761) % 10 <> 0),
@@ -839,44 +894,7 @@ object Round10 {
           .select(explode(split(norm, " ")).as("w"))
           .filter(length(col("w")).between(2, 30))
           .groupBy("w").agg(count(lit(1)).as("f"))
-        def adjPairs(df: DataFrame): DataFrame = df
-          .select(col("f"), split(trim(col("seq")), " ").as("sy"))
-          .select(col("f"), explode(expr(
-            "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i+1] AS b))"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("f").as("cnt"))
-        val mergesDf = graft.util.FixtureArtifact.parquet(s, dir,
-          "documents.parquet", s"bpe_merges_r$BpeRounds") {
-          var voc = vocabOf(docs.filter(slot =!= 0))
-            .select(concat(lit(" "),
-              array_join(expr("filter(split(w, ''), x -> x != '')"), " "),
-              lit(" ")).as("seq"), col("f"))
-          val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
-          for (r <- 1 to BpeRounds) {
-            // the per-round argmax is a 1-row scalar (plan-choice
-            // class); each round boundary is cut to scratch parquet
-            // (the iterative-build lineage rule)
-            val best = adjPairs(voc)
-              .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-              .select("a", "b").collect()
-            if (best.nonEmpty) {
-              val a = best(0).getString(0); val b = best(0).getString(1)
-              acc += ((r.toLong, a, b))
-              val pat = s" $a $b "; val rep = s" $a$b "
-              val out = graft.util.Scratch.dir(s"bpe_t$r")
-              voc.select(expr(
-                  s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
-                  .as("seq"), col("f"))
-                .write.mode("overwrite").parquet(out)
-              voc = s.read.parquet(out)
-            }
-          }
-          import s.implicits._
-          acc.toSeq.toDF("rank", "a", "b")
-        }
-        val merges = mergesDf.orderBy("rank").collect()
-          .map(r => (r.getString(1), r.getString(2)))
+        val merges = bpeMerges(s, dir)
         val pw = vocabOf(docs.filter(slot === 0))
         val enc = merges.foldLeft(pw.select(
             concat(lit(" "),

@@ -26,7 +26,7 @@ object Round11 {
   private[queries] val F50Pred = "label < 5"
   private[queries] val F05Pred = "(vec_id * 2654435761) % 20 = 3"
 
-  private def keepOf(emb: DataFrame, tag: String): DataFrame = tag match {
+  private[queries] def keepOf(emb: DataFrame, tag: String): DataFrame = tag match {
     case "f50" => emb.filter(col("label") < 5).select(col("vec_id").as("cid"))
     case "f05" => emb.filter(
         pmod(col("vec_id") * lit(2654435761L), lit(20L)) === 3)
@@ -39,7 +39,7 @@ object Round11 {
     * (the exact side is the cost of measuring filtered recall; the
     * filter makes it CHEAPER than the full exact scan: sel·nu
     * candidates per query). */
-  private def exactTop5Filtered(s: SparkSession, dir: String, tag: String,
+  private[queries] def exactTop5Filtered(s: SparkSession, dir: String, tag: String,
       qs: DataFrame, corpus: DataFrame, keep: DataFrame): DataFrame =
     graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
       s"exact_top5_$tag") {
@@ -64,7 +64,7 @@ object Round11 {
 
   /** Per-query filtered recall rows, tagged — the recallHarness shape
     * with (sel, dial) literals so one query scores a dial grid. */
-  private def taggedRecall(tag: String, dial: String, exact: DataFrame,
+  private[queries] def taggedRecall(tag: String, dial: String, exact: DataFrame,
       ann: DataFrame): DataFrame = {
     val hits = exact.select("qid", "cid")
       .join(ann.select("qid", "cid"), Seq("qid", "cid"))
@@ -82,7 +82,7 @@ object Round11 {
     * filtered top-5, re-ranked from the brute-force pair CTE ex0 —
     * same rounded-cosine values, filter applied before the rank).
     * Requires [[Round6c.exactRecallCte]] in scope. */
-  private def fsetExfSql(tag: String, pred: String): String =
+  private[queries] def fsetExfSql(tag: String, pred: String): String =
     s"""fset_$tag AS MATERIALIZED (SELECT vec_id AS cid FROM embeddings WHERE $pred),
       exf_$tag AS MATERIALIZED (SELECT qid, cid FROM (SELECT ex0.qid, ex0.cid,
           row_number() OVER (PARTITION BY ex0.qid ORDER BY ex0.cos DESC, ex0.cid) AS rnk
@@ -92,7 +92,7 @@ object Round11 {
     * = the nlist lowest-id corpus rows, query probe ranks kept to
     * nlist (`r` column — serves every nprobe dial), corpus cell
     * assignment rank-1. The q279 rounded-dot rank replay. */
-  private def ivfStandingSql(nlistE: String, sp: String): String =
+  private[queries] def ivfStandingSql(nlistE: String, sp: String): String =
     s"""${sp}cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
         FROM embeddings WHERE vec_id < ($nlistE)),
       ${sp}q0 AS MATERIALIZED (SELECT q.id, c.centroid_id,
@@ -112,7 +112,7 @@ object Round11 {
     * `sp`: candidates = probed cells' members ∩ fset_<tag>, scored by
     * the exact pair cosines (ex0 — identical values to an inline
     * computation), per-query top-5. Emits `<p>annr`. */
-  private def ivfFilteredAnnr(tag: String, npE: String, p: String,
+  private[queries] def ivfFilteredAnnr(tag: String, npE: String, p: String,
       sp: String): String =
     s"""${p}cand AS MATERIALIZED (SELECT ${sp}qa.qid, ${sp}ca.cid
         FROM ${sp}qa JOIN ${sp}ca ON ${sp}qa.centroid_id = ${sp}ca.centroid_id
@@ -125,7 +125,7 @@ object Round11 {
 
   /** One tagged recall tail block (not a CTE): per-query hit counts of
     * `annr` against the filtered exact table `exf`. */
-  private def taggedTailSql(sel: String, dial: String, exf: String,
+  private[queries] def taggedTailSql(sel: String, dial: String, exf: String,
       annr: String): String =
     s"""SELECT '$sel' AS sel, '$dial' AS dial, q.qid,
         CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
@@ -439,7 +439,7 @@ object Round11 {
         "nnr" -> Round9.NnRounds.toLong))(build)
 
   /** Per-query top-5 by (cos DESC, cid) — the harness rank. */
-  private def top5(df: DataFrame): DataFrame = {
+  private[queries] def top5(df: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)

@@ -45,6 +45,24 @@ object Round11b {
        * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
      * 48271) % 1152921504606846883)"""
 
+  // ---- the Lehmer doc-id hash domain (shared by q331/q332/q335/q336) --
+
+  /** doc_id bound for the seedless Lehmer hash: id·2654435761 must stay
+    * in int64 (the round-11 ADVICE catch — ids in [2^31.7, 2^32) passed
+    * the old `< 2^32` require yet produced a wrapped-negative hash in
+    * Spark and a BIGINT-overflow error in DuckDB). ≈ 3.47·10^9, itself
+    * < 2^32, so this single bound also covers the okey packing. */
+  private[queries] val MaxHashId: Long = Long.MaxValue / 2654435761L
+
+  /** `id` verified into [0, MaxHashId] as a row-local projection — the
+    * loud guard for the hash's callers that have no aggregate at hand
+    * (q331's fill, q335's split). raise_error keeps both engines on
+    * the same side of the domain edge. */
+  private[queries] def guardedId(id: Column): Column =
+    when(id.between(0L, MaxHashId), id).otherwise(expr(
+      s"CAST(raise_error('doc_id exceeds the Lehmer-hash int64 domain " +
+        s"[0, $MaxHashId]') AS BIGINT)"))
+
   // ---- q326/q328 oracle fragments (the SQ8 standing index) ------------
 
   /** Standing SQ8 index CTEs over [[Round6c.exactRecallCte]]'s q2/c2:
@@ -53,7 +71,7 @@ object Round11b {
     * (int8 codes + the fixed-point rescale rc; list_reduce matches
     * vec_dot's sequential fold, round ties away from zero in both
     * engines — the q96 rule). */
-  private def sq8StandingSql(sp: String): String =
+  private[queries] def sq8StandingSql(sp: String): String =
     s"""${sp}cent AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS centroid
         FROM embeddings WHERE vec_id < 16),
       ${sp}ca AS MATERIALIZED (SELECT id AS cid, centroid_id FROM (SELECT id, centroid_id,
@@ -80,7 +98,7 @@ object Round11b {
   /** One SQ8 serve at (nprobe, m) against the `sp`-prefixed standing
     * CTEs: all-BIGINT candidate ranking (intdot·rc), exact rerank of
     * the m-bounded pool from ex0's cosines. Emits `<p>annr`. */
-  private def sq8AnnrSql(np: Int, m: Int, p: String, sp: String): String =
+  private[queries] def sq8AnnrSql(np: Int, m: Int, p: String, sp: String): String =
     s"""${p}sadc AS MATERIALIZED (SELECT ${sp}qa.qid, ${sp}ca.cid,
         CAST(list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS BIGINT)
           * c.rc AS akey
@@ -556,7 +574,8 @@ object Round11b {
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
         val td = docs.select(col("doc_id"), col("lang"),
           size(split(norm, " ")).cast("long").as("tok"),
-          (col("doc_id") * lit(2654435761L) % lit(1000003L)).as("hsh"))
+          (guardedId(col("doc_id")) * lit(2654435761L) % lit(1000003L))
+            .as("hsh"))
         val bud = broadcast(td
           .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
           .select(expr("tt div (2 * dd)").as("bud"))
@@ -611,8 +630,9 @@ object Round11b {
           size(split(norm, " ")).cast("long").as("tok"),
           (col("doc_id") * lit(2654435761L) % lit(1000003L)).as("hsh"))
         val mx = td.agg(max("doc_id")).head().getLong(0)
-        require(mx < 4294967296L,
-          s"packing key assumes doc_id < 2^32 (max seen $mx)")
+        require(mx <= MaxHashId,
+          s"doc_id·2654435761 must stay in int64 AND the okey packing " +
+            s"needs doc_id < 2^32 — both bound by $MaxHashId (max seen $mx)")
         val keyed = td.withColumn("okey",
           col("hsh") * lit(4294967296L) + col("doc_id"))
         Ranks.cumSums(keyed, "okey", Seq("tok"), bins = 64)
@@ -814,17 +834,30 @@ object Round11b {
     // pipeline bug produces; the metric must fire). Per-bin term rows
     // plus a bin=−1 rollup. Every column BIGINT-exact;
     // integer binning ((tok−lo)·16 div (hi−lo+1)) so no float touches
-    // the bins either. Domain bound: a_i·Nb ≤ n² must stay in lnFx's
-    // ≤9.2·10¹² domain → a loud require at n > 3·10⁶ docs (shard PSI
-    // by stratum beyond that). Scale shape: one corpus scan → bounded
-    // (cmp, bin) aggregates; everything after is 64-row arithmetic.
+    // the bins either. Smoothing covers ALL 16 bins per cmp (empty
+    // bins contribute their (1,1) pseudo-count via a 32-row spine —
+    // the documented definition, round-11 ADVICE). Domain bound: the
+    // PRODUCT term (x−y)·(lx−ly) must stay in int64 → a loud require
+    // at n > 5·10⁵ docs (shard PSI by stratum beyond that); the lnFx
+    // argument domain is enforced inside FixedPoint itself. Scale
+    // shape: one corpus scan → bounded (cmp, bin) aggregates;
+    // everything after is 64-row arithmetic.
     "q335_llm_drift_psi" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"))
         val n = docs.count()
-        require(n <= 3000000L,
-          s"PSI fixed-point domain needs n^2 <= 9.2e12 (n=$n); shard by stratum")
+        // the PRODUCT-safe bound (round-11 ADVICE): term_fx =
+        // (x−y)·(lx−ly) worst-cases near 2·Na·Nb·ln(n)·10⁶ under total
+        // bin skew, and the rollup sums 16 such terms bounded by the
+        // same total — n ≤ 5·10⁵ keeps 2n²·ln(n)·10⁶ ≤ 6.6·10¹⁸ <
+        // 9.2·10¹⁸ (Spark would wrap silently where DuckDB raises —
+        // the divergence the old n ≤ 3·10⁶ lnFx-argument bound missed).
+        // The lnFx ARGUMENT domain is now enforced inside FixedPoint
+        // itself. Beyond the bound, shard PSI by stratum.
+        require(n <= 500000L,
+          s"PSI int64 product domain needs 2n^2*ln(n)*1e6 <= 9.2e18 " +
+            s"(n=$n > 500000); shard by stratum")
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
         val td = docs.select(col("doc_id"), col("lang"),
@@ -836,16 +869,32 @@ object Round11b {
           "greatest(least(((least(tok, 25) - lo) * 16) div (hi - lo + 1), 15), 0)")
         val labeled = binned.select(explode(array(
             struct(lit("split").as("cmp"),
-              (pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) % 2 === 0)
+              (pmod(guardedId(col("doc_id")) * lit(2654435761L),
+                lit(1000003L)) % 2 === 0)
                 .as("isRef"), col("bin")),
             struct(lit("inject").as("cmp"), lit(true).as("isRef"), col("bin")),
             struct(lit("inject").as("cmp"), lit(false).as("isRef"),
               binT.as("bin")))).as("s"))
           .select(col("s.cmp").as("cmp"), col("s.isRef").as("isRef"),
             col("s.bin").as("bin"))
-        val cnt = labeled.groupBy("cmp", "bin").agg(
-          (sum(when(col("isRef"), 1L).otherwise(0L)) + 1L).as("aa"),
-          (sum(when(col("isRef"), 0L).otherwise(1L)) + 1L).as("bb"))
+        // Laplace smoothing covers ALL 16 bins per cmp (the round-11
+        // ADVICE metric-definition fix: a middle bin empty in both
+        // slices still contributes its (1,1) pseudo-count, so Na/Nb
+        // and PSI match the documented '16 equal-width bins, Laplace-
+        // smoothed' definition regardless of which bins are occupied).
+        // The spine is one 32-row local relation — no join needed to
+        // build it, a broadcast left join to fill it.
+        val spine = s.range(32).select(
+          when(col("id") < 16, lit("split")).otherwise(lit("inject"))
+            .as("cmp"),
+          (col("id") % 16).cast("long").as("bin"))
+        val cnt0 = labeled.groupBy("cmp", "bin").agg(
+          sum(when(col("isRef"), 1L).otherwise(0L)).as("ra"),
+          sum(when(col("isRef"), 0L).otherwise(1L)).as("rb"))
+        val cnt = spine.join(cnt0, Seq("cmp", "bin"), "left")
+          .select(col("cmp"), col("bin"),
+            (coalesce(col("ra"), lit(0L)) + 1L).as("aa"),
+            (coalesce(col("rb"), lit(0L)) + 1L).as("bb"))
         val tot = cnt.groupBy("cmp")
           .agg(sum("aa").as("na"), sum("bb").as("nb"))
         val j = FixedPoint.lnFxCols(FixedPoint.lnFxCols(
@@ -881,10 +930,17 @@ object Round11b {
           GREATEST(LEAST(((LEAST(tok, 25) - (SELECT lo FROM mm)) * 16)
             // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1), 15), 0) AS bin
           FROM binned),
-      cnt AS (SELECT cmp, bin,
-          CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) + 1 AS BIGINT) AS aa,
-          CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) + 1 AS BIGINT) AS bb
+      spine AS (SELECT cmp, bin
+        FROM (SELECT unnest(['split', 'inject']) AS cmp) c,
+          (SELECT unnest(range(0, 16)) AS bin) b),
+      cnt0 AS (SELECT cmp, bin,
+          CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+          CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS rb
         FROM labeled GROUP BY 1, 2),
+      cnt AS (SELECT s.cmp, s.bin,
+          CAST(COALESCE(c0.ra, 0) + 1 AS BIGINT) AS aa,
+          CAST(COALESCE(c0.rb, 0) + 1 AS BIGINT) AS bb
+        FROM spine s LEFT JOIN cnt0 c0 ON s.cmp = c0.cmp AND s.bin = c0.bin),
       tot AS (SELECT cmp, CAST(SUM(aa) AS BIGINT) AS na,
           CAST(SUM(bb) AS BIGINT) AS nb FROM cnt GROUP BY 1),
       xy AS (SELECT cnt.cmp, cnt.bin, cnt.aa, cnt.bb,
@@ -920,10 +976,14 @@ object Round11b {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+        // guardedId here, not just the aggregate require below: the
+        // require checks the MIXED set's max, but every selected doc's
+        // hash participates in the fill order before that filter
         val td = sel.join(docs, Seq("doc_id"))
           .select(col("doc_id"), col("lang"),
             size(split(norm, " ")).cast("long").as("tok"),
-            (col("doc_id") * lit(2654435761L) % lit(1000003L)).as("hsh"))
+            (guardedId(col("doc_id")) * lit(2654435761L) % lit(1000003L))
+              .as("hsh"))
         val bud = broadcast(td
           .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
           .select(expr("tt div (2 * dd)").as("bud"))
@@ -934,8 +994,9 @@ object Round11b {
           .filter(col("run_tok") - col("tok") < col("bud"))
           .select(col("doc_id"), col("lang"), col("tok"), col("hsh"))
         val mx = mixed.agg(max("doc_id")).head().getLong(0)
-        require(mx < 4294967296L,
-          s"packing key assumes doc_id < 2^32 (max seen $mx)")
+        require(mx <= MaxHashId,
+          s"doc_id·2654435761 must stay in int64 AND the okey packing " +
+            s"needs doc_id < 2^32 — both bound by $MaxHashId (max seen $mx)")
         val keyed = mixed.withColumn("okey",
           col("hsh") * lit(4294967296L) + col("doc_id"))
         Ranks.cumSums(keyed, "okey", Seq("tok"), bins = 64)

@@ -220,6 +220,40 @@ class PlanGuardSpec extends SparkTestBase {
                                    // fold to bounded NL joins; the hot-key
                                    // list and per-(lang, bin) offsets are
                                    // bounded broadcasts
+    "q337_llm_ann_filtered_sq8",   // q326+q318 class ×4 serves: 50-row
+                                   // query + 16-row centroid broadcasts
+                                   // (assignToCentroids crossJoins); the
+                                   // filter is a hash semi-join on cid
+                                   // against the cell lists; the filtered
+                                   // exact sides are fixture artifacts
+    "q338_llm_ann_filtered_ivfpq", // q309+q318 class ×6 serves: centroid
+                                   // broadcasts + the broadcast LUT; the
+                                   // member-level filter is a hash
+                                   // semi-join on cid before the pool
+                                   // window; rerank joins pool-bounded
+    "q339_llm_ann_filtered_advisor", // q328 class under a filter: two
+                                   // measurement pipelines (the q337/q338
+                                   // whitelisted shapes) run eagerly;
+                                   // decision inputs are 1-row stats +
+                                   // recall scalars; the served branch is
+                                   // one of the measured shapes
+    "q340_llm_sq8_takedown_serve", // q337 class with the takedown set as
+                                   // the filter: centroid broadcasts +
+                                   // a hash semi-join of the cell lists
+                                   // against the survivor ids
+    "q341_llm_drift_churn_retrain", // q337+q225 class: centroid/seed-coord
+                                   // broadcasts; the PSI spine join and
+                                   // the 1-row total joins fold to bounded
+                                   // NL joins (q283 class); churn/psi
+                                   // decision inputs are 1-row scalars;
+                                   // the Lloyd retrain joins are hash
+                                   // equi-joins on the 64-coordinate key
+    "q342_llm_encoded_token_pack", // q331/q332's whitelisted fold shapes
+                                   // (1-row budget + min/max scalars as
+                                   // bounded NL joins) plus the 8-row
+                                   // merge-table collect (q316's bounded
+                                   // class) and a vocabulary-bounded
+                                   // word-count hash join
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded
