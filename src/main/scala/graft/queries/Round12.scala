@@ -545,6 +545,55 @@ object Round12 {
       SELECT * FROM ($rows) ORDER BY sel, dial"""
   }
 
+  // ---- q344: hybrid (lexical + vector) retrieval served -----------------
+
+  /** q226's BM25 recipe with the QUERY = each query document's own
+    * distinct terms (the more-like-this hybrid-retrieval shape):
+    * rational idf, k1=1.2, b=0.75, sorted-term fold, round 6dp,
+    * doc_id ties, self excluded. Emits `lrank` (qid, cid, rl). */
+  private def bm25DocSql(nQ: Int): String =
+    s"""tok2 AS MATERIALIZED (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS term FROM documents),
+      tk2 AS MATERIALIZED (SELECT doc_id, term FROM tok2 WHERE length(term) > 0),
+      tf2 AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS f FROM tk2 GROUP BY 1, 2),
+      dl2 AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY 1),
+      st2 AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl2),
+      qt2 AS MATERIALIZED (SELECT DISTINCT doc_id AS qid, term FROM tk2
+        WHERE doc_id < $nQ),
+      dfv2 AS (SELECT term, COUNT(*) AS df FROM tf2
+        WHERE term IN (SELECT term FROM qt2) GROUP BY 1),
+      ts2 AS MATERIALIZED (SELECT qt2.qid, tf2.doc_id AS cid, tf2.term,
+          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+          (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+          CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE))) AS tscore
+        FROM tf2 JOIN qt2 ON tf2.term = qt2.term
+        JOIN dfv2 ON tf2.term = dfv2.term
+        JOIN dl2 ON tf2.doc_id = dl2.doc_id, st2
+        WHERE tf2.doc_id <> qt2.qid),
+      bm AS MATERIALIZED (SELECT qid, cid,
+          round(list_reduce(list(tscore ORDER BY term), (a, x) -> a + x), 6)
+            AS score
+        FROM ts2 GROUP BY 1, 2),
+      lrank AS MATERIALIZED (SELECT qid, cid, row_number() OVER (
+          PARTITION BY qid ORDER BY score DESC, cid) AS rl FROM bm)"""
+
+  /** RRF fusion of `lrank` (rl) with a vector ranking CTE `vsrc`
+    * (qid, cid, rv): 1/(60+r) over each arm's top-20 (the q230 dials),
+    * full-outer on the pair key, top-5 by (rrf DESC, cid). Emits
+    * `<p>fused`. */
+  private def rrfFuseSql(vsrc: String, p: String): String =
+    s"""${p}fr AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+        COALESCE(l.cid, v.cid) AS cid,
+        (CASE WHEN l.rl IS NOT NULL THEN 1.0 / (60.0 + CAST(l.rl AS DOUBLE)) ELSE 0.0 END) +
+        (CASE WHEN v.rv IS NOT NULL THEN 1.0 / (60.0 + CAST(v.rv AS DOUBLE)) ELSE 0.0 END) AS rrf
+      FROM (SELECT qid, cid, rl FROM lrank WHERE rl <= 20) l
+      FULL OUTER JOIN (SELECT qid, cid, rv FROM $vsrc WHERE rv <= 20) v
+        ON l.qid = v.qid AND l.cid = v.cid),
+      ${p}fused AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rnk
+        FROM ${p}fr) WHERE rnk <= 5)"""
+
   /** The corpus-scaled IVFPQ rerank dial (the q308 convention) as a
     * SQL expression. */
   private val McE =
@@ -1377,6 +1426,146 @@ object Round12 {
           ORDER BY da, db""")
       },
       Some(s"""WITH ${mvIngestSql(np = 4, m = 40, minScore = "900000")}
-      SELECT da, db, score FROM al ORDER BY da, db"""))
+      SELECT da, db, score FROM al ORDER BY da, db""")),
+
+    // ---- hybrid retrieval SERVED through the advised stack --------------
+    // The production RAG shape: fuse a lexical (BM25) ranking with a
+    // vector ranking by reciprocal-rank fusion. A feasibility sweep
+    // measured the fixture's honest negative first: the lexical arm is
+    // UNCORRELATED with the embedding truth here (term-overlap top-5
+    // hits the cosine top-5 at 1/100 — chance level; the synthetic
+    // embeddings are not derived from the text), so "fused beats both
+    // single arms" is unscoreable on this fixture. The scoreable
+    // production question is SERVING: the hybrid product is DEFINED as
+    // exact-BM25 × exact-cosine fused (the q230 RRF, 1/(60+rank) over
+    // each arm's top-20, ties on cid); can it be served when the
+    // vector arm comes from the approximate standing index instead of
+    // the exact scan? This row measures exactly that: truth = the
+    // exact fused top-5; serve = the SAME fusion with the vector arm
+    // replaced by the q326 SQ8 standing serve (np10, pool 24 → exact-
+    // ranked top-20 — the two-stage serving contract); the lexical arm
+    // is exact in both (an inverted index serves BM25 exactly at any
+    // scale — the approximation burden is all on the vector side).
+    // Single-arm rows (lex_only / vec_only vs the fused truth) are
+    // scored for contrast — each arm alone misses the fused product by
+    // a wide margin while the served fusion recovers it. Scale shape:
+    // q226's inverted-index plan + q326's serve + a pair-keyed
+    // full-outer join bounded by 20+20 rows/query.
+    "q344_llm_hybrid_retrieval_served" -> QueryDef(
+      (s, dir) => {
+        val nQ = 20
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        graft.plans.NativeExpressions.register(s)
+        // lexical arm: q226's BM25, query = each query doc's own terms
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0).persist()
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("f"))
+          .persist()
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("t_tokens"))
+        val qt = tok.filter(col("doc_id") < nQ)
+          .select(col("doc_id").as("qid"), col("term")).distinct()
+        val dfv = tf.join(broadcast(qt.select("term").distinct()),
+          Seq("term")).groupBy("term").agg(count(lit(1)).as("df"))
+        val ts = tf.join(broadcast(qt), Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(dfv), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("tscore", expr(
+            """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+               (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+               (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+               CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE)))"""))
+        val bm = ts.groupBy("qid", "doc_id")
+          .agg(expr("""round(aggregate(transform(
+              array_sort(collect_list(struct(term, tscore))), x -> x.tscore),
+              0.0D, (a, x) -> a + x), 6)""").as("score"))
+          .withColumnRenamed("doc_id", "cid")
+        val wl = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("cid"))
+        val lrank = bm.withColumn("rl", row_number().over(wl))
+          .select("qid", "cid", "rl").persist()
+        // vector arms: exact ranks (truth) vs the SQ8 standing serve
+        val qs20 = emb.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val vx = Similarity.cosineTopK(qs20, corpus, k = 20)
+          .select(col("qid"), col("cid"), col("rnk").as("rv"))
+        val pool = Similarity.ivfSq8TopK(qs20, corpus, k = 20, nlist = 16,
+          nprobe = 10, m = 24,
+          artifact = Some((dir, "embeddings.parquet", "ivfsq8")))
+        val q = qs20.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+        val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+        val wv = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+        val pvr = pool.join(broadcast(q), "qid").join(c, "cid")
+          .select(col("qid"), col("cid"),
+            round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6)
+              .as("cos"))
+          .withColumn("rv", row_number().over(wv))
+          .select("qid", "cid", "rv")
+        def fuse(v: DataFrame): DataFrame = {
+          val l20 = lrank.filter(col("rl") <= 20)
+          val v20 = v.filter(col("rv") <= 20)
+          val fr = l20.join(v20, Seq("qid", "cid"), "full_outer")
+            .select(col("qid"), col("cid"),
+              (when(col("rl").isNotNull,
+                lit(1.0) / (lit(60.0) + col("rl").cast("double")))
+                .otherwise(lit(0.0)) +
+               when(col("rv").isNotNull,
+                lit(1.0) / (lit(60.0) + col("rv").cast("double")))
+                .otherwise(lit(0.0))).as("rrf"))
+          val wf = Window.partitionBy("qid")
+            .orderBy(col("rrf").desc, col("cid"))
+          fr.withColumn("rnk", row_number().over(wf))
+            .filter(col("rnk") <= 5).select("qid", "cid")
+        }
+        val truth = fuse(vx)
+        val out = Round11.taggedRecall("hyb", "fused", truth, fuse(pvr))
+          .unionByName(Round11.taggedRecall("hyb", "lex_only", truth,
+            lrank.filter(col("rl") <= 5).select("qid", "cid")))
+          .unionByName(Round11.taggedRecall("hyb", "vec_only", truth,
+            pvr.filter(col("rv") <= 5).select("qid", "cid")))
+          .orderBy("sel", "dial", "qid")
+        out
+      },
+      Some(s"""${Round6c.exactRecallCte},
+      ${bm25DocSql(20)},
+      vx AS MATERIALIZED (SELECT qid, cid, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, cid) AS rv
+        FROM ex0 WHERE qid < 20),
+      ${Round11b.sq8StandingSql("")},
+      pcand AS MATERIALIZED (SELECT qa.qid, ca.cid,
+          CAST(list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS BIGINT)
+            * c.rc AS akey
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id
+          AND qa.qid <> ca.cid
+        JOIN sq8 q ON qa.qid = q.id JOIN sq8 c ON ca.cid = c.id
+        WHERE qa.r <= 10 AND qa.qid < 20),
+      ppool AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY akey DESC, cid) AS pr
+        FROM pcand) WHERE pr <= 24),
+      ptop AS (SELECT qid, cid FROM (SELECT p.qid, p.cid,
+          row_number() OVER (PARTITION BY p.qid ORDER BY e.cos DESC, p.cid) AS rnk
+        FROM ppool p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid)
+        WHERE rnk <= 20),
+      pvr AS MATERIALIZED (SELECT p.qid, p.cid, row_number() OVER (
+          PARTITION BY p.qid ORDER BY e.cos DESC, p.cid) AS rv
+        FROM ptop p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid),
+      ${rrfFuseSql("vx", "t")},
+      ${rrfFuseSql("pvr", "s")},
+      lex5 AS (SELECT qid, cid FROM lrank WHERE rl <= 5),
+      vec5 AS (SELECT qid, cid FROM pvr WHERE rv <= 5)
+      SELECT * FROM (
+        ${Round11.taggedTailSql("hyb", "fused", "tfused", "sfused")}
+        UNION ALL
+        ${Round11.taggedTailSql("hyb", "lex_only", "tfused", "lex5")}
+        UNION ALL
+        ${Round11.taggedTailSql("hyb", "vec_only", "tfused", "vec5")})
+      ORDER BY sel, dial, qid"""))
   )
 }

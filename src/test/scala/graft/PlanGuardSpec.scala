@@ -254,6 +254,13 @@ class PlanGuardSpec extends SparkTestBase {
                                    // merge-table collect (q316's bounded
                                    // class) and a vocabulary-bounded
                                    // word-count hash join
+    "q344_llm_hybrid_retrieval_served", // q226+q326 class: the 1-row BM25
+                                   // stats crossJoin (bounded agg build),
+                                   // the q46-class 20-row query broadcast
+                                   // into the exact arm, and q326's
+                                   // centroid-broadcast crossJoins; the
+                                   // fusion join is pair-keyed full-outer
+                                   // bounded by 20+20 rows per query
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded
