@@ -1576,16 +1576,29 @@ object Similarity {
       m: Int,
       minScore: Long): DataFrame = {
     NativeExpressions.register(batch.sparkSession)
-    val qa = assignToCentroids(batch.select("qt", "qe"), "qt", "qe",
+    // probe-doc REP grouping on the token-PAYLOAD (the dedup-first
+    // rule lifted to multi-vector docs: the payload key is the doc's
+    // token vectors in token order — MaxSim is a pure function of it,
+    // so duplicate probe docs walk once and alerts expand through the
+    // group map; without it the x10 replicated probe measured probe-
+    // duplicates × standing-duplicates QUADRATIC blowup, 5.4 → 72 s)
+    val keyed = batch.groupBy("qd")
+      .agg(expr("transform(array_sort(collect_list(struct(qt, qe))), " +
+        "x -> x.qe)").as("pk"))
+    val g = keyed.groupBy("pk")
+      .agg(min("qd").as("rep"), collect_set("qd").as("docs"))
+    val rbatch = batch.join(g.select(col("rep").as("qd")), Seq("qd"),
+      "left_semi")
+    val qa = assignToCentroids(rbatch.select("qt", "qe"), "qt", "qe",
       cents, nKeep = np).select(col("qt"), col("centroid_id"))
-    val cdocs = qa.join(broadcast(batch.select("qd", "qt")), Seq("qt"))
+    val cdocs = qa.join(broadcast(rbatch.select("qd", "qt")), Seq("qt"))
       .join(ca.select(col("tid"), col("centroid_id")), Seq("centroid_id"))
       .join(corpusTok.select(col("ct").as("tid"), col("cd")), Seq("tid"))
       .select("qd", "cd").distinct()
     val qcodes = broadcast(
-      sq8Codes(batch.select("qt", "qe"), "qt", "qe")
+      sq8Codes(rbatch.select("qt", "qe"), "qt", "qe")
         .select(col("id").as("qt"), col("qc").as("qq"))
-        .join(batch.select("qd", "qt"), Seq("qt")))
+        .join(rbatch.select("qd", "qt"), Seq("qt")))
     val ctok = corpusTok.select(col("cd"), col("ct"))
       .join(codes.select(col("id").as("ct"), col("qc").as("cc"),
         col("rc")), Seq("ct"))
@@ -1599,16 +1612,20 @@ object Similarity {
     val wp = Window.partitionBy("qd").orderBy(col("ascore").desc, col("cd"))
     val pool = apx.withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= m).select("qd", "cd")
-    val qv = broadcast(batch
+    val qv = broadcast(rbatch
       .withColumn("qn", expr("sqrt(vec_dot(qe, qe))")))
     val cv = corpusTok.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
-    pool.join(qv, Seq("qd")).join(cv, Seq("cd"))
+    val repAlerts = pool.join(qv, Seq("qd")).join(cv, Seq("cd"))
       .select(col("qd"), col("cd"), col("qt"),
         round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
           * lit(1000000.0)).cast("long").as("mc"))
       .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
       .groupBy("qd", "cd").agg(sum("mx").as("score"))
       .filter(col("score") >= minScore)
+    // expand rep alerts to every duplicate probe doc in the batch
+    val mem = g.select(col("rep").as("qd"), explode(col("docs")).as("qdx"))
+    repAlerts.join(mem, Seq("qd"))
+      .select(col("qdx").as("qd"), col("cd"), col("score"))
   }
 
   /** Per-vector int8 scalar quantization (the FAISS/ScaNN SQ8 layout):

@@ -913,7 +913,13 @@ object Round12 {
             "the ivf-filtered row would need measuring (q320 scores " +
             "that regime)")
         val keep = Round11.keepOf(emb, "f50")
-        val fNu = keep.count()
+        // fNu at REP level (distinct vectors among the survivors) —
+        // the q328 rule: decision stats must be replication-invariant,
+        // or a duplicated corpus breaks fNu <= nu and inflates the
+        // candidate arithmetic (caught by the x10 probe). Identical to
+        // the id count on the all-distinct test fixtures.
+        val fNu = corpus.join(keep, Seq("cid"), "left_semi")
+          .agg(countDistinct(col("ce"))).head().getLong(0)
         val exf = Round11.exactTop5Filtered(s, dir, "f50", qs, corpus, keep)
           .select("qid", "cid")
         val nq = exf.select("qid").distinct().count()
@@ -984,7 +990,8 @@ object Round12 {
           / (5.0 * (SELECT nq FROM nq)) AS rec),
       -- the decision: exact BIGINT replay of adviseFilteredServing
       st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM embeddings),
-      fb AS (SELECT COUNT(*) AS f FROM fset_f50),
+      fb AS (SELECT COUNT(DISTINCT e.embedding) AS f FROM embeddings e
+        JOIN fset_f50 f2 ON e.vec_id = f2.cid),
       p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
         FROM (SELECT unnest(range(0, 40)) AS x) x),
       nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
@@ -1309,7 +1316,13 @@ object Round12 {
             size(split(trim(col("seq")), " ")).cast("long").as("wt"))
           .unionByName(wv.filter(!length(col("w")).between(2, 30))
             .select(col("w"), lit(1L).as("wt")))
-        val dtok = words.join(wtok, Seq("w"))
+        // the vocabulary join SHUFFLES on w (hinted shuffled-hash,
+        // wtok the build side): at x100 Catalyst's size estimates
+        // inverted the sides and broadcast the exploded 100× WORD
+        // STREAM (the probe OOM'd the driver); and a web-scale
+        // vocabulary is itself too big to broadcast, so the hint —
+        // not a broadcast of wtok — is the 100 TB shape
+        val dtok = words.join(wtok.hint("shuffle_hash"), Seq("w"))
           .groupBy("doc_id", "lang").agg(sum("wt").as("tok"))
         val td = dtok.select(col("doc_id"), col("lang"), col("tok"),
           (Round11b.guardedId(col("doc_id")) * lit(2654435761L)
@@ -1457,13 +1470,21 @@ object Round12 {
         val emb = t(s, dir, "embeddings")
         val docs = t(s, dir, "documents")
         graft.plans.NativeExpressions.register(s)
-        // lexical arm: q226's BM25, query = each query doc's own terms
+        // lexical arm: q226's BM25, query = each query doc's own terms.
+        // The (doc, term) tf table and doc lengths ARE the standing
+        // inverted index — build-once fixture artifacts (the x100 probe
+        // measured the inline build as the dominant term, 33 GB of
+        // graceful spill from the persisted token stream; a serving
+        // node builds this once and every query reads a flat scan)
         val tok = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .filter(length(col("term")) > 0).persist()
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("f"))
-          .persist()
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .filter(length(col("term")) > 0)
+        val tf = graft.util.FixtureArtifact.parquet(s, dir,
+          "documents.parquet", "bm25_tf")(
+          tok.groupBy("doc_id", "term").agg(count(lit(1)).as("f")))
+        val dl = graft.util.FixtureArtifact.parquet(s, dir,
+          "documents.parquet", "bm25_dl")(
+          tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
         val stats = dl.agg(count(lit(1)).as("n_docs"),
           sum("dl").as("t_tokens"))
         val qt = tok.filter(col("doc_id") < nQ)

@@ -227,6 +227,22 @@ class Round12Spec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q342 encoded-token pack invariants at sf0.001") {
+    val out = graft.queries.Round12.defs("q342_llm_encoded_token_pack")
+      .fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    // offsets tile gap-free in (hsh, doc_id) order — the q332 algebra
+    // holds unchanged on encoded counts
+    var off = 0L
+    out.foreach { r =>
+      assert(r.getLong(4) == off, "offset gap")
+      off += r.getLong(2)
+    }
+    // every doc contributes >= 1 encoded token (the UNK rule floor)
+    assert(out.forall(_.getLong(2) >= 1L))
+    spark.catalog.clearCache()
+  }
+
   test("q335 smooths ALL 16 bins per cmp (empty bins carry (1,1))") {
     val out = graft.queries.Round11b.defs("q335_llm_drift_psi")
       .fn(spark, sf).collect()
