@@ -969,10 +969,7 @@ object Round11b {
     // the oracle chains the three replays verbatim.
     "q336_llm_data_pipeline" -> QueryDef(
       (s, dir) => {
-        val sel = graft.util.FixtureArtifact.parquet(s, dir,
-          "documents.parquet", "dsirsel")(
-          dsirRank(s, dir).filter(col("selected") === 1L)
-            .select("doc_id", "lang"))
+        val sel = dsirSelArtifact(s, dir)
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
@@ -1037,6 +1034,16 @@ object Round11b {
       SELECT doc_id, lang, n_feats, w_fx, rnk, selected
       FROM dsel ORDER BY rnk"""))
   )
+
+  /** The DSIR-selected doc set (doc_id, lang) as a fixture artifact —
+    * shared by q336 and Round12's q345 (the encoded-token composite):
+    * the selection is corpus-determined, built once. */
+  private[queries] def dsirSelArtifact(s: SparkSession,
+      dir: String): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir,
+      "documents.parquet", "dsirsel")(
+      dsirRank(s, dir).filter(col("selected") === 1L)
+        .select("doc_id", "lang"))
 
   /** q327's DSIR ranking stage, shared with the q336 pipeline
     * composite: importance-ranked docs with the top-quarter selection
@@ -1115,7 +1122,7 @@ object Round11b {
 
   /** q327's oracle CTE chain (through `dsel`: ranked docs + the
     * top-quarter selection flag) — shared with q336's oracle. */
-  private lazy val dsirCtes: String = s"""tok AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
+  private[queries] lazy val dsirCtes: String = s"""tok AS (SELECT doc_id, lang, string_split(trim(regexp_replace(
           regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tl
         FROM documents),
       dp AS MATERIALIZED (SELECT doc_id, lang, tl[p] AS w1, tl[p+1] AS w2

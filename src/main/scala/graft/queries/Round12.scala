@@ -733,6 +733,52 @@ object Round12 {
     (head +: steps :+ tail).mkString(",\n      ")
   }
 
+  /** Per-document ENCODED token counts (doc_id, lang, tok, hsh) — the
+    * q342/q345 accounting stage: the frozen q316 merge table applied
+    * in rank order to the distinct words (the per-word token table is
+    * itself a fixture artifact — a pure function of the fixture, read
+    * flat by every consumer), the UNK rule (words outside the 2..30
+    * training bounds count 1), one vocabulary-bounded hash join + sum
+    * per doc, and the guarded Lehmer shuffle hash. The vocabulary join
+    * SHUFFLES on w (hinted shuffled-hash, the word-token table the
+    * build side): at x100 Catalyst's size estimates inverted the sides
+    * and broadcast the exploded 100× WORD STREAM (the probe OOM'd the
+    * driver); and a web-scale vocabulary is itself too big to
+    * broadcast, so the hint — not a broadcast — is the 100 TB shape. */
+  private def encodedDocTok(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(split(norm, " ")).as("w"))
+    val wtok = graft.util.FixtureArtifact.parquet(s, dir,
+      "documents.parquet", s"bpe_wtok_r${Round10.BpeRounds}") {
+      val merges = Round10.bpeMerges(s, dir)
+      val wv = words.select("w").distinct()
+      val inb = wv.filter(length(col("w")).between(2, 30))
+      val enc = merges.foldLeft(inb.select(col("w"),
+          concat(lit(" "),
+            array_join(expr("filter(split(w, ''), x -> x != '')"), " "),
+            lit(" ")).as("seq"))) {
+        case (d, (a, b)) =>
+          val pat = s" $a $b "; val rep = s" $a$b "
+          d.select(col("w"), expr(
+            s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
+            .as("seq"))
+      }
+      enc.select(col("w"),
+          size(split(trim(col("seq")), " ")).cast("long").as("wt"))
+        .unionByName(wv.filter(!length(col("w")).between(2, 30))
+          .select(col("w"), lit(1L).as("wt")))
+    }
+    words.join(wtok.hint("shuffle_hash"), Seq("w"))
+      .groupBy("doc_id", "lang").agg(sum("wt").as("tok"))
+      .select(col("doc_id"), col("lang"), col("tok"),
+        (Round11b.guardedId(col("doc_id")) * lit(2654435761L)
+          % lit(1000003L)).as("hsh"))
+  }
+
   /** q339's serving-memory budget: the q328 60 kB window applied to
     * the FILTERED ladder — raw vectors excluded at every fixture scale
     * (nu·256 B), SQ8 in the window at nu=500 (36 kB) and evicted by
@@ -1293,40 +1339,7 @@ object Round12 {
     // vocabulary-bounded encode + join.
     "q342_llm_encoded_token_pack" -> QueryDef(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("text"))
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
-        val merges = Round10.bpeMerges(s, dir)
-        val words = docs.select(col("doc_id"), col("lang"),
-          explode(split(norm, " ")).as("w"))
-        val wv = words.select("w").distinct()
-        val inb = wv.filter(length(col("w")).between(2, 30))
-        val enc = merges.foldLeft(inb.select(col("w"),
-            concat(lit(" "),
-              array_join(expr("filter(split(w, ''), x -> x != '')"), " "),
-              lit(" ")).as("seq"))) {
-          case (d, (a, b)) =>
-            val pat = s" $a $b "; val rep = s" $a$b "
-            d.select(col("w"), expr(
-              s"replace(replace(seq, '$pat', '$rep'), '$pat', '$rep')")
-              .as("seq"))
-        }
-        val wtok = enc.select(col("w"),
-            size(split(trim(col("seq")), " ")).cast("long").as("wt"))
-          .unionByName(wv.filter(!length(col("w")).between(2, 30))
-            .select(col("w"), lit(1L).as("wt")))
-        // the vocabulary join SHUFFLES on w (hinted shuffled-hash,
-        // wtok the build side): at x100 Catalyst's size estimates
-        // inverted the sides and broadcast the exploded 100× WORD
-        // STREAM (the probe OOM'd the driver); and a web-scale
-        // vocabulary is itself too big to broadcast, so the hint —
-        // not a broadcast of wtok — is the 100 TB shape
-        val dtok = words.join(wtok.hint("shuffle_hash"), Seq("w"))
-          .groupBy("doc_id", "lang").agg(sum("wt").as("tok"))
-        val td = dtok.select(col("doc_id"), col("lang"), col("tok"),
-          (Round11b.guardedId(col("doc_id")) * lit(2654435761L)
-            % lit(1000003L)).as("hsh"))
+        val td = encodedDocTok(s, dir)
         val bud = broadcast(td
           .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
           .select(expr("tt div (2 * dd)").as("bud"))
@@ -1587,6 +1600,66 @@ object Round12 {
         ${Round11.taggedTailSql("hyb", "lex_only", "tfused", "lex5")}
         UNION ALL
         ${Round11.taggedTailSql("hyb", "vec_only", "tfused", "vec5")})
-      ORDER BY sel, dial, qid"""))
+      ORDER BY sel, dial, qid""")),
+
+    // ---- the full training pipeline on ENCODED tokens --------------------
+    // q336's capstone with the token accounting swapped: the same DSIR
+    // selection artifact (content scoring is tokenizer-independent) is
+    // mixed and packed on the q342 ENCODED counts — the budgets a real
+    // pretraining run actually spends. The composition point stands a
+    // second time: the mix/pack algebra is untouched; only the `tok`
+    // column's producer changed. q336 remains the whitespace
+    // oracle-anchor twin; ONE chained exact oracle (DSIR replay → BPE
+    // train → all-words encode → mix → pack).
+    "q345_llm_encoded_data_pipeline" -> QueryDef(
+      (s, dir) => {
+        val sel = Round11b.dsirSelArtifact(s, dir)
+        val td = encodedDocTok(s, dir)
+          .join(sel.select("doc_id"), Seq("doc_id"), "left_semi")
+        val bud = broadcast(td
+          .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
+          .select(expr("tt div (2 * dd)").as("bud"))
+          .withColumn("one", lit(1)))
+        val mixed = graft.operators.Ranks.runningSumsBinned(td, "lang",
+            "hsh", Seq("hsh", "doc_id"), Seq("tok"), bins = 32,
+            hotThreshold = 1L)
+          .withColumn("one", lit(1)).join(bud, Seq("one"))
+          .filter(col("run_tok") - col("tok") < col("bud"))
+          .select(col("doc_id"), col("lang"), col("tok"), col("hsh"))
+        val keyed = mixed.withColumn("okey",
+          col("hsh") * lit(4294967296L) + col("doc_id"))
+        graft.operators.Ranks.cumSums(keyed, "okey", Seq("tok"), bins = 64)
+          .select(col("doc_id"), col("lang"), col("tok"), col("hsh"),
+            (col("cum_tok") - col("tok")).as("off"),
+            expr("(cum_tok - tok) div 2048").as("seq_first"),
+            expr("(cum_tok - 1) div 2048").as("seq_last"),
+            when(expr("(cum_tok - tok) div 2048 <> (cum_tok - 1) div 2048"),
+              1L).otherwise(0L).as("crosses"))
+          .orderBy("hsh", "doc_id")
+      },
+      Some(s"""WITH ${Round11b.dsirCtes},
+      ${Round10.bpeTrainSql(Round10.BpeRounds)},
+      ${bpeTokCountSql(Round10.BpeRounds)},
+      etd0 AS (SELECT doc_id, lang, CAST(SUM(wt) AS BIGINT) AS tok
+        FROM dwords JOIN wtok USING (w) GROUP BY 1, 2),
+      etd AS (SELECT e.doc_id, e.lang, e.tok,
+          CAST((e.doc_id * 2654435761) % 1000003 AS BIGINT) AS hsh
+        FROM etd0 e JOIN (SELECT doc_id FROM dsel WHERE selected = 1) sd
+          USING (doc_id)),
+      ebud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+        FROM etd),
+      ern AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY lang
+          ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM etd),
+      emixed AS (SELECT doc_id, lang, tok, hsh FROM ern
+        WHERE run - tok < (SELECT bud FROM ebud)),
+      ern2 AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM emixed)
+      SELECT doc_id, lang, tok, hsh, run - tok AS off,
+        (run - tok) // 2048 AS seq_first,
+        (run - 1) // 2048 AS seq_last,
+        CAST(CASE WHEN (run - tok) // 2048 <> (run - 1) // 2048
+          THEN 1 ELSE 0 END AS BIGINT) AS crosses
+      FROM ern2 ORDER BY hsh, doc_id"""))
   )
 }

@@ -261,6 +261,11 @@ class PlanGuardSpec extends SparkTestBase {
                                    // centroid-broadcast crossJoins; the
                                    // fusion join is pair-keyed full-outer
                                    // bounded by 20+20 rows per query
+    "q345_llm_encoded_data_pipeline", // composes q327's artifact read +
+                                   // q342's whitelisted shapes (1-row
+                                   // budget/min-max scalars as bounded NL
+                                   // joins, the 8-row merge collect, the
+                                   // vocab hash join)
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded
