@@ -1012,41 +1012,10 @@ object Similarity {
       artifact: Option[(String, String, String)] = None,
       keep: Option[DataFrame] = None): DataFrame = {
     NativeExpressions.register(queries.sparkSession)
-    val dsub = dim / nSub
     require(rerank > 0, "ivfPqTopK serves two-stage; rerank must be > 0")
     val idx = ivfPqIndex(corpus, nlist, nSub, nCodes, dim, artifact)
-    // query side: nprobe visited cells, residual LUT per (query, cell)
-    val qa = assignToCentroids(queries, "qid", "qe", idx.cents, nKeep = nprobe)
-      .select(col("qid"), col("centroid_id").as("cl"))
-    val lut = broadcast(quantCoords(queries, "qid", "qe")
-      .join(qa, "qid").join(idx.centq, Seq("cl", "i"))
-      .select(col("qid"), col("cl"), col("i"), (col("x") - col("cx")).as("rx"))
-      .join(idx.pqc, Seq("i"))
-      .groupBy(col("qid"), col("cl"), expr(s"(i - 1) div $dsub").as("s"),
-        col("code"))
-      .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("d")))
-    // ADC over the visited cells' members only, expanded to copies
-    val adc0 = idx.enc.join(idx.ra, "rep")
-      .join(lut, Seq("cl", "s", "code"))
-      .groupBy("qid", "rep").agg(sum("d").as("dist"))
-      .join(idx.grp.select(col("rep"), explode(col("ids")).as("cid")), "rep")
-      .filter(col("qid") =!= col("cid"))
-    // the attribute filter applies at MEMBER level (after group-map
-    // expansion — a rep's duplicate members can sit on both sides of
-    // the predicate), as one hash semi-join against the keep set
-    val adc = keep.foldLeft(adc0) { (a, kset) =>
-      a.join(kset.select("cid"), Seq("cid"), "left_semi") }
-    val wd = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
-    val pool = adc.withColumn("rn", row_number().over(wd))
-      .filter(col("rn") <= rerank).select("qid", "cid")
-    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
-    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    val result = pool.join(broadcast(q), "qid").join(c, "cid")
-      .select(col("qid"), col("cid"),
-        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val adc = ivfPqAdcCandidates(queries, idx, nprobe, keep)
+    val result = ivfPqTopKFromCandidates(adc, queries, corpus, k, rerank)
     // call-local cache lifecycle (the round-9 operator finding): the
     // answer-sized result is materialized, then the index's grouped
     // frame is released HERE — nothing waits for a harness clearCache
@@ -1054,6 +1023,63 @@ object Similarity {
     result.write.mode("overwrite").parquet(out)
     idx.grp.unpersist()
     queries.sparkSession.read.parquet(out)
+  }
+
+  /** The ADC-ranked candidate table of one IVFADC probe pass (qid,
+    * cid, dist — exact int64 residual distances, member-level, keep
+    * applied): [[ivfPqTopK]]'s candidate stage exposed so a dial grid
+    * can slice SEVERAL pools from ONE scan (q338's corpus- and
+    * fNu-scaled pools share the same candidates per (tag, nprobe) —
+    * re-running the scan per pool dial was a third of the query's
+    * bench cost). The `keep` semi-join lands at MEMBER level, after
+    * group-map expansion (a rep's duplicate members can sit on both
+    * sides of a metadata predicate), BEFORE any pool window. */
+  def ivfPqAdcCandidates(
+      queries: DataFrame, // qid, qe
+      idx: IvfPqIndex,
+      nprobe: Int,
+      keep: Option[DataFrame] = None): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val dsub = idx.dim / idx.nSub
+    val qa = assignToCentroids(queries, "qid", "qe", idx.cents,
+      nKeep = nprobe).select(col("qid"), col("centroid_id").as("cl"))
+    val lut = broadcast(quantCoords(queries, "qid", "qe")
+      .join(qa, "qid").join(idx.centq, Seq("cl", "i"))
+      .select(col("qid"), col("cl"), col("i"), (col("x") - col("cx")).as("rx"))
+      .join(idx.pqc, Seq("i"))
+      .groupBy(col("qid"), col("cl"), expr(s"(i - 1) div $dsub").as("s"),
+        col("code"))
+      .agg(sum((col("rx") - col("px")) * (col("rx") - col("px"))).as("d")))
+    val adc0 = idx.enc.join(idx.ra, "rep")
+      .join(lut, Seq("cl", "s", "code"))
+      .groupBy("qid", "rep").agg(sum("d").as("dist"))
+      .join(idx.grp.select(col("rep"), explode(col("ids")).as("cid")), "rep")
+      .filter(col("qid") =!= col("cid"))
+    keep.foldLeft(adc0) { (a, kset) =>
+      a.join(kset.select("cid"), Seq("cid"), "left_semi") }
+  }
+
+  /** Pool + exact-rerank tail over [[ivfPqAdcCandidates]]' output:
+    * top-`rerank` by (dist ASC, cid), exact rounded cosine over the
+    * pool, top-`k`. */
+  def ivfPqTopKFromCandidates(
+      cand: DataFrame, // qid, cid, dist
+      queries: DataFrame, // qid, qe
+      corpus: DataFrame, // cid, ce — cold storage, pool-bounded join
+      k: Int,
+      rerank: Int): DataFrame = {
+    NativeExpressions.register(queries.sparkSession)
+    val wd = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    val pool = cand.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= rerank).select("qid", "cid")
+    val q = queries.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+    val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    pool.join(broadcast(q), "qid").join(c, "cid")
+      .select(col("qid"), col("cid"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Per-micro-batch semantic-dedup scoring against a PQ-compressed

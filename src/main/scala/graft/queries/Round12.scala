@@ -785,6 +785,43 @@ object Round12 {
     * its own bytes at nu=2000 (144 kB), IVFPQ always resident. */
   private val F50MemBudget = 60000L
 
+  /** The f50 probed SQ8 serve (nlist16/np12/m8) as a fixture artifact:
+    * q337's probed-f50 dial BUILDS it in-row — the live filtered-SQ8
+    * serve stays priced in every bench pass — and q339's measurement 1
+    * (the identical call) reads it warm (the r11 ivfF50ProbedServe
+    * sharing precedent). */
+  private def sq8F50ProbedServe(s: SparkSession, dir: String,
+      qs: DataFrame, corpus: DataFrame, keep: DataFrame): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      s"sq8_filtered_f50_np${Round11.IvfF50Np}_m8",
+      params = Map("nlist" -> 16L, "nprobe" -> Round11.IvfF50Np.toLong,
+        "m" -> 8L, "k" -> 5L))(
+      Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16,
+        nprobe = Round11.IvfF50Np, m = 8,
+        artifact = Some((dir, "embeddings.parquet", "ivfsq8")),
+        keep = Some(keep)))
+
+  /** The f50 probed IVFPQ serve (nlist16/np14/corpus pool) as a
+    * fixture artifact: q338's probed-f50 dial builds it (from its
+    * already-shared np14 candidate scan when supplied — the two
+    * build paths are the same function composition, ivfPqTopK ≡
+    * index + AdcCandidates + FromCandidates since the round-12
+    * refactor), q339's measurement 2 reads it warm. */
+  private def ivfpqF50ProbedServe(s: SparkSession, dir: String,
+      qs: DataFrame, corpus: DataFrame, keep: DataFrame, mc: Int,
+      cand14: Option[DataFrame] = None): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      "ivfpq_filtered_f50_np14_mc",
+      params = Map("nlist" -> 16L, "nprobe" -> 14L, "k" -> 5L))(
+      cand14 match {
+        case Some(c14) => Similarity.ivfPqTopKFromCandidates(c14, qs,
+          corpus, k = 5, rerank = mc).select("qid", "cid")
+        case None => Similarity.ivfPqTopK(qs, corpus, k = 5, nlist = 16,
+          nprobe = 14, nSub = 16, nCodes = 16, dim = 64, rerank = mc,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq")),
+          keep = Some(keep)).select("qid", "cid")
+      })
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- attribute-filtered ANN on the SQ8 rung -------------------------
@@ -821,11 +858,17 @@ object Round12 {
             .select("qid", "cid")
           Seq(("naive", Round11.IvfNaiveNp), ("probed", probedNp)).map {
             case (dial, np) =>
-              Round11.taggedRecall(tag, dial, exf,
-                Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16,
+              // the probed-f50 serve is the measurement q339 replays
+              // verbatim — build it as the shared artifact here (this
+              // row prices the live serve; q339 reads it warm)
+              val ann =
+                if (tag == "f50" && dial == "probed")
+                  sq8F50ProbedServe(s, dir, qs, corpus, keep)
+                else Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16,
                   nprobe = np, m = 8,
                   artifact = Some((dir, "embeddings.parquet", "ivfsq8")),
-                  keep = Some(keep)))
+                  keep = Some(keep))
+              Round11.taggedRecall(tag, dial, exf, ann)
           }
         }
         parts.flatten.reduce(_ unionByName _).orderBy("sel", "dial", "qid")
@@ -878,20 +921,36 @@ object Round12 {
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val n = corpus.count()
         val mc = math.max(100L, 3L * n / 20L).toInt
+        // ONE ivfPqIndex (artifact-resident pieces) and ONE ADC
+        // candidate scan per (tag, nprobe) — the three pool dials
+        // slice pools from the shared candidates instead of re-running
+        // the scan per dial (same-window A/B'd; values identical by
+        // the ivfPqTopK ≡ cands+pool refactor)
+        val idx = Similarity.ivfPqIndex(corpus, nlist = 16, nSub = 16,
+          nCodes = 16, dim = 64,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq")))
         val parts = for (tag <- Seq("f50", "f05")) yield {
           val keep = Round11.keepOf(emb, tag)
           val mf = math.max(50L, 3L * keep.count() / 20L).toInt
           val exf = Round11.exactTop5Filtered(s, dir, tag, qs, corpus, keep)
             .select("qid", "cid")
-          Seq(("naive", 10, mc), ("probed", 14, mc), ("fpool", 14, mf))
-            .map { case (dial, np, m) =>
-              Round11.taggedRecall(tag, dial, exf,
-                Similarity.ivfPqTopK(qs, corpus, k = 5, nlist = 16,
-                  nprobe = np, nSub = 16, nCodes = 16, dim = 64,
-                  rerank = m,
-                  artifact = Some((dir, "embeddings.parquet", "ivfpq")),
-                  keep = Some(keep)))
-            }
+          val cand10 = Similarity.ivfPqAdcCandidates(qs, idx, nprobe = 10,
+            keep = Some(keep))
+          val cand14 = Similarity.ivfPqAdcCandidates(qs, idx, nprobe = 14,
+            keep = Some(keep))
+          def serve(cand: DataFrame, m: Int): DataFrame =
+            Similarity.ivfPqTopKFromCandidates(cand, qs, corpus, k = 5,
+              rerank = m)
+          val probed =
+            if (tag == "f50")
+              // the shared measurement artifact q339 replays verbatim
+              ivfpqF50ProbedServe(s, dir, qs, corpus, keep, mc,
+                cand14 = Some(cand14))
+            else serve(cand14, mc)
+          Seq(
+            Round11.taggedRecall(tag, "naive", exf, serve(cand10, mc)),
+            Round11.taggedRecall(tag, "probed", exf, probed),
+            Round11.taggedRecall(tag, "fpool", exf, serve(cand14, mf)))
         }
         parts.flatten.reduce(_ unionByName _).orderBy("sel", "dial", "qid")
       },
@@ -972,15 +1031,12 @@ object Round12 {
         def measured(ann: DataFrame): Double =
           exf.join(ann.select("qid", "cid"), Seq("qid", "cid")).count()
             .toDouble / (5.0 * nq)
-        val msq = measured(Similarity.ivfSq8TopK(qs, corpus, k = 5,
-          nlist = 16, nprobe = Round11.IvfF50Np, m = 8,
-          artifact = Some((dir, "embeddings.parquet", "ivfsq8")),
-          keep = Some(keep)))
-        val mpq = measured(Similarity.ivfPqTopK(qs, corpus, k = 5,
-          nlist = 16, nprobe = 14, nSub = 16, nCodes = 16, dim = 64,
-          rerank = math.max(100L, 3L * n / 20L).toInt,
-          artifact = Some((dir, "embeddings.parquet", "ivfpq")),
-          keep = Some(keep)))
+        // the two measurements ARE q337's/q338's probed-f50 serves —
+        // read from the shared fixture artifacts, never recomputed
+        // (the r11 ivfF50ProbedServe sharing precedent)
+        val msq = measured(sq8F50ProbedServe(s, dir, qs, corpus, keep))
+        val mpq = measured(ivfpqF50ProbedServe(s, dir, qs, corpus, keep,
+          mc = math.max(100L, 3L * n / 20L).toInt))
         val adv = IndexAdvisor.adviseFilteredServing(nu, fNu, dim = 64,
           targetRecall = 0.8, candidateBudget = nu * 9L / 10L,
           memoryBudgetBytes = F50MemBudget,
@@ -999,10 +1055,7 @@ object Round12 {
               adv.params("nprobe") == Round11.IvfF50Np.toLong &&
               adv.params("m") == 8L,
               s"re-derived sq8 dials ${adv.params} left the measured point")
-            Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16,
-              nprobe = Round11.IvfF50Np, m = 8,
-              artifact = Some((dir, "embeddings.parquet", "ivfsq8")),
-              keep = Some(keep))
+            sq8F50ProbedServe(s, dir, qs, corpus, keep)
           case "ivfpq-filtered" =>
             Similarity.ivfPqTopK(qs, corpus, k = 5,
               nlist = adv.params("nlist").toInt,
@@ -1528,8 +1581,13 @@ object Round12 {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val vx = Similarity.cosineTopK(qs20, corpus, k = 20)
-          .select(col("qid"), col("cid"), col("rnk").as("rv"))
+        // the exact vector-truth ranks are a pure function of the
+        // fixture — a build-once artifact (the exact_top5 precedent
+        // at k=20 over the 20-doc hybrid query sample)
+        val vx = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "exact_top20_hyb")(
+          Similarity.cosineTopK(qs20, corpus, k = 20)
+            .select(col("qid"), col("cid"), col("rnk").as("rv")))
         val pool = Similarity.ivfSq8TopK(qs20, corpus, k = 20, nlist = 16,
           nprobe = 10, m = 24,
           artifact = Some((dir, "embeddings.parquet", "ivfsq8")))
