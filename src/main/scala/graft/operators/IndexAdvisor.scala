@@ -564,8 +564,12 @@ object IndexAdvisor {
         (a.candidatesPerQuery, -rec, a.family) }._1
     if (meeting.nonEmpty) pick(meeting)
     else if (admissible.nonEmpty) {
-      val (a, _, _) = admissible.maxBy { case (a2, r2, _) =>
-        (r2, -a2.candidatesPerQuery.toDouble) }
+      // (recall DESC, cand, family) — the family key makes the Scala
+      // fallback reproduce q339's SQL replay (`ORDER BY rec DESC,
+      // cand, fam`) on an exact (recall, cand) tie, the
+      // adviseCalibrated convention (round-12 ADVICE)
+      val (a, _, _) = admissible.minBy { case (a2, r2, _) =>
+        (-r2, a2.candidatesPerQuery, a2.family) }
       a.copy(rationale = a.rationale +
         s" — best measured below target $targetRecall")
     } else {

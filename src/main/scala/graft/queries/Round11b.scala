@@ -151,7 +151,7 @@ object Round11b {
 
   /** Oracle twin of [[maxsimExact]]: CTEs tok/qtok/ms (exact BIGINT
     * maxsim scores) + exr (exact top-5 per query doc). */
-  private val maxsimBaseSql: String =
+  private[queries] val maxsimBaseSql: String =
     """tok AS MATERIALIZED (SELECT vec_id // 4 AS doc, vec_id AS tid, embedding AS e
         FROM embeddings),
       qtok AS MATERIALIZED (SELECT * FROM tok WHERE doc < 10),

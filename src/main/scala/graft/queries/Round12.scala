@@ -160,7 +160,12 @@ object Round12 {
   /** Cell-occupancy PSI of the survivors vs the full corpus over the
     * STANDING 16-cell assignment (`zca`), fixed-point micro-nats (the
     * q335 recipe: Laplace +1 per cell, common-denominator BIGINT
-    * factors). Emits `psi_<tag>` (na, nb, term_sum). */
+    * factors). Emits `psi_<tag>` (na, nb, term_sum). Domain: the
+    * product term (x−y)·(lnFx x − lnFx y) is bounded by
+    * 2n²·ln(n·10⁶)·10⁶ (16-cell histogram, same analysis as q335's),
+    * which stays inside int64 only for n ≤ 5·10⁵ vectors — q341
+    * raises loudly past that (shard the PSI by stratum beyond; the
+    * FixedPoint guard bounds only the ln ARGUMENT, not this product). */
   private def cellPsiSql(tag: String): String =
     s"""h0_$tag AS (SELECT centroid_id AS cell, COUNT(*) + 1 AS aa
         FROM zca GROUP BY 1),
@@ -812,7 +817,12 @@ object Round12 {
       cand14: Option[DataFrame] = None): DataFrame =
     graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
       "ivfpq_filtered_f50_np14_mc",
-      params = Map("nlist" -> 16L, "nprobe" -> 14L, "k" -> 5L))(
+      // every build dial in params (the FixtureArtifact rule): the
+      // corpus-scaled rerank pool (`mc`, symbolic in the label) and
+      // the PQ shape, so a caller with a different pool formula fails
+      // the dial guard instead of silently reusing this pool depth
+      params = Map("nlist" -> 16L, "nprobe" -> 14L, "k" -> 5L,
+        "rerank" -> mc.toLong, "nSub" -> 16L, "nCodes" -> 16L))(
       cand14 match {
         case Some(c14) => Similarity.ivfPqTopKFromCandidates(c14, qs,
           corpus, k = 5, rerank = mc).select("qid", "cid")
@@ -1230,6 +1240,16 @@ object Round12 {
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         val n = corpus.count()
+        // the q335 product-domain bound applied to the cell PSI: both
+        // factors of (x−y)·(lnFx x − lnFx y) grow with n (x ≤ (n+16)²
+        // over the 16-cell histogram), so past ~5·10⁵ vectors the
+        // int64 product can wrap silently in Spark while DuckDB
+        // raises — fail loudly here instead (shard the PSI by stratum
+        // beyond that), the same bound q335 enforces on documents
+        require(n <= 500000L,
+          s"cell-occupancy PSI product term exceeds int64 past 5e5 " +
+            s"vectors (2n^2*ln(n*1e6)*1e6 vs 9.2e18) at n=$n — shard " +
+            "the PSI by stratum")
         val cents = broadcast(corpus.orderBy("cid").limit(16)
           .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
         val cells = cents.select(col("centroid_id").as("cell"))
@@ -1623,7 +1643,14 @@ object Round12 {
           .unionByName(Round11.taggedRecall("hyb", "vec_only", truth,
             pvr.filter(col("rv") <= 5).select("qid", "cid")))
           .orderBy("sel", "dial", "qid")
-        out
+        // call-local cache lifecycle (the ivfPqTopK pattern): the
+        // answer-sized result is materialized, then the multi-consumer
+        // BM25 rank relation is released HERE — nothing waits for a
+        // harness clearCache
+        val scratch = graft.util.Scratch.dir("q344_out")
+        out.write.mode("overwrite").parquet(scratch)
+        lrank.unpersist()
+        s.read.parquet(scratch).orderBy("sel", "dial", "qid")
       },
       Some(s"""${Round6c.exactRecallCte},
       ${bm25DocSql(20)},
