@@ -588,6 +588,56 @@ object IndexAdvisor {
     }
   }
 
+  /** Graph-family drift response (q349) — the maintenance decision a
+    * re-embedding event forces on a standing graph index (edges + PQ
+    * codes + norms). Inputs are exact integers so the whole decision
+    * replays in BIGINT:
+    *
+    *   - `moved` / `nEdges`: standing edges whose ROUNDED (6dp) cosine
+    *     changed between the old and new vectors — a bounded |E|·dim
+    *     scan, never a rebuild. An ISOMETRIC re-embedding (rotation /
+    *     permutation) preserves every dot product, so moved = 0 and
+    *     the answer is **keep**: re-encode the codes (a pure function
+    *     of the new vectors) and keep the edges — the round-13 sweep
+    *     measured the kept-edge serve at exactly the standing q312
+    *     recall (0.984/0.880) in the reversed world.
+    *   - Geometry changed (2·moved ≥ nEdges): **repair** — warm
+    *     NN-Descent refinement seeded from the STALE edges over the
+    *     new geometry — unless the measured cold REBUILD (LSH re-
+    *     stitch + the same refinement) beats it by more than 0.02
+    *     recall: 10·(rebuiltHits − repairedHits) > nQueries (hits are
+    *     top-5 truth hits over nQueries queries, so nQueries/10 hits
+    *     = 0.02·5·nQueries slots). The sweep measured repair ≥ rebuild
+    *     at both SFs (1.0/0.940 vs 1.0/0.928 — NN-Descent converges
+    *     from any connected init, so the stitch is skippable), making
+    *     repair the default the measurement has to DEFEAT.
+    */
+  def adviseGraphDrift(moved: Long, nEdges: Long, repairedHits: Long,
+      rebuiltHits: Long, nQueries: Long): String = {
+    require(nEdges > 0 && moved >= 0 && moved <= nEdges && nQueries > 0)
+    if (2L * moved < nEdges) "keep"
+    else if (10L * (rebuiltHits - repairedHits) <= nQueries) "repair"
+    else "rebuild"
+  }
+
+  /** Token-level (multi-vector / late-interaction) index dials
+    * (q346–q348): nlist = pow2Near(sqrt(nTokens)) — the q294/q305
+    * cells-grow-with-the-corpus rule lifted to the TOKEN index, where
+    * the standing candidate scan per probe token is ~nTokens·np/nlist
+    * and a fixed nlist is the superlinear probe term (q343's
+    * 3.61×/decade residual) — and nprobe rescaled from the measured
+    * (measuredNlist, measuredNprobe) operating point (clamped to
+    * nlist). Exact Long arithmetic — the oracle replays it in BIGINT
+    * (the q310 recipe). Returns (nlist, nprobe). */
+  def adviseTokenIndex(nTokens: Long, measuredNlist: Long,
+      measuredNprobe: Long): (Long, Long) = {
+    require(nTokens > 0 && measuredNlist > 0 && measuredNprobe > 0)
+    val nlist = pow2Near(math.sqrt(nTokens.toDouble))
+    val nprobe = math.min(nlist,
+      math.max(1L, measuredNprobe * nlist / measuredNlist))
+    (nlist, nprobe)
+  }
+
   /** The family's power-of-2 index-size rule (nlist ~ sqrt(nu), snapped
     * to the ratio-nearer power of 2) — exposed to queries so decision
     * requires can replay the advisor's integer arithmetic exactly. */

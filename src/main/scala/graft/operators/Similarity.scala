@@ -1654,6 +1654,69 @@ object Similarity {
       .select(col("qdx").as("qd"), col("cd"), col("score"))
   }
 
+  /** PLAID-shaped multi-vector top-k SERVE (q334's pipeline as the
+    * batch operator — q346/q347): token-level IVF cells GENERATE
+    * candidate documents (any query token co-probed with any doc token
+    * admits the doc), integer SQ8 maxsim over ALL token pairs of each
+    * candidate RANKS them, the m-bounded pool reranks at exact
+    * micro-cos BIGINT maxsim. `keepDocs` (doc ids as `cd`) restricts
+    * the CANDIDATE stage before any scoring — a doc-level takedown is
+    * one semi-join that drops ALL of a doc's token rows (the q340
+    * tombstone rule lifted to the token index; cells/codes untouched).
+    * Dials (np, m) are the q334/q346 swept points; nlist lives in the
+    * caller's `ca`/`cents` artifacts (advised via
+    * [[IndexAdvisor.adviseTokenIndex]]). Returns (qd, cd) top-k.
+    */
+  def maxsimPlaidTopK(
+      qtok: DataFrame, // qd, qt, qe — query docs' token rows
+      corpusTok: DataFrame, // cd, ct, ce — standing cold storage
+      ca: DataFrame, // tid, centroid_id — standing token cells
+      codes: DataFrame, // id, qc, rc — standing token SQ8 codes
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      np: Int,
+      m: Int,
+      k: Int,
+      keepDocs: Option[DataFrame] = None): DataFrame = {
+    NativeExpressions.register(qtok.sparkSession)
+    val qa = assignToCentroids(qtok.select("qt", "qe"), "qt", "qe",
+      cents, nKeep = np).select(col("qt"), col("centroid_id"))
+    val cdocs0 = qa.join(broadcast(qtok.select("qd", "qt")), Seq("qt"))
+      .join(ca.select(col("tid"), col("centroid_id")), Seq("centroid_id"))
+      .join(corpusTok.select(col("ct").as("tid"), col("cd")), Seq("tid"))
+      .filter(col("qd") =!= col("cd"))
+      .select("qd", "cd").distinct()
+    val cdocs = keepDocs.foldLeft(cdocs0) { (d, kset) =>
+      d.join(kset.select("cd"), Seq("cd"), "left_semi") }
+    val qcodes = broadcast(
+      sq8Codes(qtok.select("qt", "qe"), "qt", "qe")
+        .select(col("id").as("qt"), col("qc").as("qq"))
+        .join(qtok.select("qd", "qt"), Seq("qt")))
+    val ctok = corpusTok.select(col("cd"), col("ct"))
+      .join(codes.select(col("id").as("ct"), col("qc").as("cc"),
+        col("rc")), Seq("ct"))
+    val apx = cdocs.join(qcodes, Seq("qd"))
+      .join(ctok, Seq("cd"))
+      .select(col("qd"), col("cd"), col("qt"),
+        (expr("aggregate(zip_with(qq, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          * col("rc")).as("apair"))
+      .groupBy("qd", "cd", "qt").agg(max("apair").as("amx"))
+      .groupBy("qd", "cd").agg(sum("amx").as("ascore"))
+    val wp = Window.partitionBy("qd").orderBy(col("ascore").desc, col("cd"))
+    val pool = apx.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= m).select("qd", "cd")
+    val qv = broadcast(qtok.withColumn("qn", expr("sqrt(vec_dot(qe, qe))")))
+    val cv = corpusTok.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+    val served = pool.join(qv, Seq("qd")).join(cv, Seq("cd"))
+      .select(col("qd"), col("cd"), col("qt"),
+        round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
+          * lit(1000000.0)).cast("long").as("mc"))
+      .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
+      .groupBy("qd", "cd").agg(sum("mx").as("score"))
+    val ws = Window.partitionBy("qd").orderBy(col("score").desc, col("cd"))
+    served.withColumn("rnk", row_number().over(ws))
+      .filter(col("rnk") <= k).select("qd", "cd")
+  }
+
   /** Per-vector int8 scalar quantization (the FAISS/ScaNN SQ8 layout):
     * symmetric codes `round(x · 127 / absmax)` (the q96 recipe — round
     * ties away from zero in both engines, so the stored codes are

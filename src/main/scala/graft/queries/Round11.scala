@@ -142,7 +142,7 @@ object Round11 {
     * pools are assembled separately by [[poolSql]] so one chain serves
     * several `rounds` dials (round r's CTEs are a pure prefix of round
     * r+1's — the walk recurrence). */
-  private def beamAdcP(rounds: Int, beam: Int, p: String, edge: String,
+  private[queries] def beamAdcP(rounds: Int, beam: Int, p: String, edge: String,
       entry: String, psc: String): String =
     (1 to rounds).map { i =>
       val src = if (i == 1) entry else s"${p}f${i - 1}"
@@ -159,7 +159,7 @@ object Round11 {
     }.mkString(",\n      ")
 
   /** The DISTINCT visited pool of chain `p` through round `upTo`. */
-  private def poolSql(p: String, upTo: Int, name: String): String =
+  private[queries] def poolSql(p: String, upTo: Int, name: String): String =
     s"""$name AS MATERIALIZED (SELECT DISTINCT qid, cid FROM (${
       (1 to upTo).map(i => s"SELECT qid, cid FROM ${p}s$i").mkString(" UNION ")}))"""
 

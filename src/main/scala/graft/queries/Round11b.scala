@@ -24,14 +24,14 @@ object Round11b {
     * small enough that the per-feature count tables broadcast (the
     * counts side is B-bounded regardless of corpus size), large enough
     * that the fixture's ~40k distinct bigrams spread ~10 deep. */
-  private val DsirBuckets = 4096L
+  private[queries] val DsirBuckets = 4096L
 
   /** The q172 portable word hash (8-char base-31 polynomial, Lehmer-
     * mixed mod a prime < 2^60) — exact int64 in both engines. */
   private val HashPows = Seq(27512614111L, 887503681L, 28629151L,
     923521L, 29791L, 961L, 31L, 1L)
 
-  private def wordHm(c: Column): Column = {
+  private[queries] def wordHm(c: Column): Column = {
     val poly = HashPows.zipWithIndex.map { case (p, j) =>
       ascii(substring(c, j + 1, 1)).cast("long") * lit(p)
     }.reduce(_ + _)
@@ -39,7 +39,7 @@ object Round11b {
   }
 
   /** DuckDB replay of [[wordHm]] over a word column expression. */
-  private def wordHmSql(w: String): String =
+  private[queries] def wordHmSql(w: String): String =
     s"""((list_sum(list_transform(range(1, 9), j ->
        CASE WHEN j <= length($w) THEN ascii($w[j:j]) ELSE 0 END
        * [27512614111,887503681,28629151,923521,29791,961,31,1][j]))
@@ -130,7 +130,7 @@ object Round11b {
     * tokens per query token, summed — so `score` is exact int64 and
     * hash-compares. Build-once fixture artifact (the exact side of the
     * q334 serve AND q333's own output). */
-  private def maxsimExact(s: SparkSession, dir: String): DataFrame =
+  private[queries] def maxsimExact(s: SparkSession, dir: String): DataFrame =
     graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
       "maxsim_ex") {
       graft.plans.NativeExpressions.register(s)

@@ -124,24 +124,25 @@ object Round8 {
     * (q313's slot-filtered standing index); downstream joins filter
     * themselves through the edge endpoints. */
   private[queries] def stitchedEdgesSql(d: Int, nPlanes: Int, nTables: Int,
-      out: String = "e", where: String = ""): String = {
+      out: String = "e", where: String = "", tbl: String = "embeddings",
+      p: String = ""): String = {
     val pred = if (where.isEmpty) "" else s" WHERE $where"
     val per = (0 until nTables).map { t =>
       val bucket = Round6.bucketSql(
         graft.operators.Similarity.hyperplanes(nPlanes, 64, 42L + t))
-      s"""cb$t AS MATERIALIZED (SELECT vec_id AS cid, $bucket AS bucket
-        FROM (SELECT vec_id, embedding AS e FROM embeddings$pred)),
-      ep$t AS MATERIALIZED (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
-        FROM cb$t a JOIN cb$t b ON a.bucket = b.bucket AND a.cid <> b.cid
-        JOIN embeddings x ON a.cid = x.vec_id
-        JOIN embeddings y ON b.cid = y.vec_id
+      s"""${p}cb$t AS MATERIALIZED (SELECT vec_id AS cid, $bucket AS bucket
+        FROM (SELECT vec_id, embedding AS e FROM $tbl$pred)),
+      ${p}ep$t AS MATERIALIZED (SELECT a.cid AS u, b.cid AS v, ${Round6c.cosSql("x", "y")} AS cos
+        FROM ${p}cb$t a JOIN ${p}cb$t b ON a.bucket = b.bucket AND a.cid <> b.cid
+        JOIN $tbl x ON a.cid = x.vec_id
+        JOIN $tbl y ON b.cid = y.vec_id
         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
         GROUP BY 1, 2),
-      et$t AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
-          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ep$t) WHERE rn <= $d)"""
+      ${p}et$t AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (
+          PARTITION BY u ORDER BY cos DESC, v) AS rn FROM ${p}ep$t) WHERE rn <= $d)"""
     }.mkString(",\n      ")
     val union = (0 until nTables)
-      .map(t => s"SELECT u, v FROM et$t").mkString(" UNION ")
+      .map(t => s"SELECT u, v FROM ${p}et$t").mkString(" UNION ")
     s"""$per,
       $out AS MATERIALIZED ($union)"""
   }

@@ -35,7 +35,7 @@ object Round9 {
     * reference — multiplicatively through 8 chained levels (measured
     * 20 min; hinted: 3.7 s, identical result). */
   private[queries] def nnDescentSql(rounds: Int, d: Int, src: String,
-      out: String, p: String = ""): String =
+      out: String, p: String = "", tbl: String = "embeddings"): String =
     (1 to rounds).map { i =>
       val in = if (i == 1) src else s"${p}ne${i - 1}"
       val rev =
@@ -53,8 +53,8 @@ object Round9 {
         WHERE u <> v)"""
       val score =
         s"""${p}ns$i AS MATERIALIZED (SELECT ${p}nc$i.u, ${p}nc$i.v, ${Round6c.cosSql("x", "y")} AS cos
-          FROM ${p}nc$i JOIN embeddings x ON ${p}nc$i.u = x.vec_id
-          JOIN embeddings y ON ${p}nc$i.v = y.vec_id
+          FROM ${p}nc$i JOIN $tbl x ON ${p}nc$i.u = x.vec_id
+          JOIN $tbl y ON ${p}nc$i.v = y.vec_id
           CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2)"""
       val name = if (i == rounds) out else s"${p}ne$i"
       val keep =
@@ -116,33 +116,34 @@ object Round9 {
     * nSub-lookup ADC sum, and ONE terminal double division against the
     * true stored norms, rounded 6dp. All CTEs MATERIALIZED (the
     * round-9 chained-CTE gotcha). */
-  private[queries] def pqAdcSql(nSub: Int, nCodes: Int): String = {
+  private[queries] def pqAdcSql(nSub: Int, nCodes: Int,
+      tbl: String = "embeddings", p: String = ""): String = {
     val dsub = 64 / nSub
-    s"""pqc AS MATERIALIZED (SELECT i.i AS i, e.vec_id AS code,
+    s"""${p}pqc AS MATERIALIZED (SELECT i.i AS i, e.vec_id AS code,
         CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS cx
-      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+      FROM $tbl e, (SELECT unnest(range(1, 65)) AS i) i
       WHERE e.vec_id < $nCodes),
-      cqx AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
+      ${p}cqx AS MATERIALIZED (SELECT e.vec_id AS cid, i.i AS i,
         CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
-      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i),
-      enc0 AS MATERIALIZED (SELECT cqx.cid, (cqx.i - 1) // $dsub AS s, pqc.code,
-        SUM((cqx.x - pqc.cx) * (cqx.x - pqc.cx)) AS dist
-      FROM cqx JOIN pqc ON cqx.i = pqc.i GROUP BY 1, 2, 3),
-      enc AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
+      FROM $tbl e, (SELECT unnest(range(1, 65)) AS i) i),
+      ${p}enc0 AS MATERIALIZED (SELECT ${p}cqx.cid, (${p}cqx.i - 1) // $dsub AS s, ${p}pqc.code,
+        SUM((${p}cqx.x - ${p}pqc.cx) * (${p}cqx.x - ${p}pqc.cx)) AS dist
+      FROM ${p}cqx JOIN ${p}pqc ON ${p}cqx.i = ${p}pqc.i GROUP BY 1, 2, 3),
+      ${p}enc AS MATERIALIZED (SELECT cid, s, code FROM (SELECT cid, s, code,
         row_number() OVER (PARTITION BY cid, s ORDER BY dist, code) AS rn
-      FROM enc0) WHERE rn = 1),
-      qtab AS MATERIALIZED (SELECT cqx.cid AS qid, (cqx.i - 1) // $dsub AS s,
-        pqc.code, SUM(cqx.x * pqc.cx) AS pdot
-      FROM cqx JOIN pqc ON cqx.i = pqc.i WHERE cqx.cid < 50 GROUP BY 1, 2, 3),
-      nrm AS MATERIALIZED (SELECT e.vec_id AS vid,
+      FROM ${p}enc0) WHERE rn = 1),
+      ${p}qtab AS MATERIALIZED (SELECT ${p}cqx.cid AS qid, (${p}cqx.i - 1) // $dsub AS s,
+        ${p}pqc.code, SUM(${p}cqx.x * ${p}pqc.cx) AS pdot
+      FROM ${p}cqx JOIN ${p}pqc ON ${p}cqx.i = ${p}pqc.i WHERE ${p}cqx.cid < 50 GROUP BY 1, 2, 3),
+      ${p}nrm AS MATERIALIZED (SELECT e.vec_id AS vid,
         sqrt(SUM(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE))) AS nn
-      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1),
-      adc AS MATERIALIZED (SELECT qtab.qid, enc.cid, SUM(qtab.pdot) AS adc
-      FROM enc JOIN qtab ON enc.s = qtab.s AND enc.code = qtab.code
-      WHERE enc.cid <> qtab.qid GROUP BY 1, 2),
-      psc AS MATERIALIZED (SELECT adc.qid, adc.cid,
-        round(CAST(adc.adc AS DOUBLE) / (1000000000000.0 * qn.nn * cn.nn), 6) AS cos
-      FROM adc JOIN nrm qn ON adc.qid = qn.vid JOIN nrm cn ON adc.cid = cn.vid)"""
+      FROM $tbl e, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1),
+      ${p}adc AS MATERIALIZED (SELECT ${p}qtab.qid, ${p}enc.cid, SUM(${p}qtab.pdot) AS adc
+      FROM ${p}enc JOIN ${p}qtab ON ${p}enc.s = ${p}qtab.s AND ${p}enc.code = ${p}qtab.code
+      WHERE ${p}enc.cid <> ${p}qtab.qid GROUP BY 1, 2),
+      ${p}psc AS MATERIALIZED (SELECT ${p}adc.qid, ${p}adc.cid,
+        round(CAST(${p}adc.adc AS DOUBLE) / (1000000000000.0 * qn.nn * cn.nn), 6) AS cos
+      FROM ${p}adc JOIN ${p}nrm qn ON ${p}adc.qid = qn.vid JOIN ${p}nrm cn ON ${p}adc.cid = cn.vid)"""
   }
 
   /** DuckDB replay of [[Similarity.ivfPqTopK]] — the IVFADC chain up to

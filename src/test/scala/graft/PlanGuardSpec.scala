@@ -266,6 +266,18 @@ class PlanGuardSpec extends SparkTestBase {
                                    // budget/min-max scalars as bounded NL
                                    // joins, the 8-row merge collect, the
                                    // vocab hash join)
+    "q346_llm_maxsim_advised",     // q334 class at advised dials: centroid
+                                   // + query-token broadcasts (bounded
+                                   // builds; the advised nlist is a 1-row
+                                   // stat scalar); candidate generation is
+                                   // a hash equi-join on cell id, SQ8
+                                   // ranking and the exact rerank are
+                                   // pool-bounded hash joins
+    "q347_llm_maxsim_takedown",    // q346 + q340 class: the doc takedown is
+                                   // ONE hash semi-join on the candidate
+                                   // doc ids before any scoring; the rest
+                                   // is q346's whitelisted shape, twice
+                                   // (naive + over-probed dials)
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded
