@@ -20,6 +20,9 @@ object Tune13 {
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(s"$outDir/graph_drift.sql"),
       graft.queries.Round13.graphDriftProbeSql)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$outDir/hyb_advised.sql"),
+      graft.queries.Round13.hybAdvisedProbeSql)
     println(s"wrote sweep SQL to $outDir")
   }
 }

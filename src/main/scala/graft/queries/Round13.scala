@@ -465,6 +465,94 @@ object Round13 {
       ORDER BY sel, dial"""
   }
 
+  // ---- q351: the hybrid serve's vector arm through the advisor ----------
+
+  /** Exact top-20 vector ranks (rv) for the 20 hybrid query docs —
+    * q344's truth arm. Requires ex0. */
+  private[queries] val hybVxSql: String =
+    """vx AS MATERIALIZED (SELECT qid, cid, row_number() OVER (
+        PARTITION BY qid ORDER BY cos DESC, cid) AS rv
+      FROM ex0 WHERE qid < 20)"""
+
+  /** The SQ8 vector arm at (np, m): candidate scan over the standing
+    * index (queries = the 20 hybrid docs), m-bounded pool, exact
+    * rerank → top-20 ranks. Requires sq8StandingSql("") + ex0. Emits
+    * `<p>rv`. */
+  private def sq8Rv20Sql(np: String, m: Int, p: String): String =
+    s"""${p}cand AS MATERIALIZED (SELECT qa.qid, ca.cid,
+        CAST(list_sum(list_transform(range(1, 65), i -> q.qc[i] * c.qc[i])) AS BIGINT)
+          * c.rc AS akey
+      FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id
+        AND qa.qid <> ca.cid
+      JOIN sq8 q ON qa.qid = q.id JOIN sq8 c ON ca.cid = c.id
+      WHERE qa.r <= ($np) AND qa.qid < 20),
+      ${p}pool AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY akey DESC, cid) AS pr
+        FROM ${p}cand) WHERE pr <= $m),
+      ${p}rv AS MATERIALIZED (SELECT qid, cid, rv FROM (SELECT pl.qid, pl.cid,
+          row_number() OVER (PARTITION BY pl.qid ORDER BY e.cos DESC, pl.cid) AS rv
+        FROM ${p}pool pl JOIN ex0 e ON pl.qid = e.qid AND pl.cid = e.cid)
+      WHERE rv <= 20)"""
+
+  /** The IVFPQ vector arm's top-20 ranks from an ivfPqSqlE `<w>rsc`
+    * pool-rerank CTE, hybrid query docs only. Emits `<p>rv`. */
+  private def pqRv20Sql(w: String, p: String): String =
+    s"""${p}rv AS MATERIALIZED (SELECT qid, cid, rv FROM (SELECT qid, cid,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rv
+      FROM ${w}rsc WHERE qid < 20) WHERE rv <= 20)"""
+
+  /** recall@20 of an rv CTE against vx (the arm measurement). */
+  private def rec20Sql(rv: String): String =
+    s"""SELECT CAST((SELECT COUNT(*) FROM vx JOIN $rv
+        ON vx.qid = $rv.qid AND vx.cid = $rv.cid) AS DOUBLE)
+      / (20.0 * (SELECT nq FROM nq20)) AS rec"""
+
+  private val HybMcE =
+    "GREATEST(100, (SELECT COUNT(*) FROM embeddings) * 3 // 20)"
+
+  /** q351's serving-memory window — q328's 60 kB budget applied to the
+    * hybrid node's vector arm: raw vectors excluded at every fixture
+    * scale, SQ8 resident at nu=500 (36 kB) and evicted by its own
+    * bytes at nu=2000 (144 kB), IVFPQ always resident. */
+  private val HybMemBudget = 60000L
+
+  /** Sweep probe (q351): the two arms' recall@20 at the measured
+    * configs, the re-derived sf0.1 IVFPQ dials, and each arm's FUSED
+    * recall vs the exact fused truth — both SFs, BEFORE wiring. */
+  private[graft] def hybAdvisedProbeSql: String = {
+    def avgF(dial: String, fused: String) =
+      s"""SELECT 'fused' AS sel, '$dial' AS dial, round(AVG(recall), 3) AS rec
+        FROM (${Round11.taggedTailSql("fused", dial, "tfused", fused)})"""
+    s"""${Round6c.exactRecallCte},
+      $hybVxSql,
+      nq20 AS (SELECT COUNT(DISTINCT qid) AS nq FROM vx),
+      ${Round11b.sq8StandingSql("")},
+      ${sq8Rv20Sql("8", 24, "s8")},
+      ${sq8Rv20Sql("10", 24, "s10")},
+      ${Round9.ivfPqSqlE("16", "10", HybMcE, nSub = 16, nCodes = 16,
+        prefix = "p1")},
+      ${pqRv20Sql("p1", "q1")},
+      ${Round9.ivfPqSqlE("32", "20", HybMcE, nSub = 16, nCodes = 16,
+        prefix = "p2")},
+      ${pqRv20Sql("p2", "q2")},
+      ${Round12.bm25DocSql(20)},
+      ${Round12.rrfFuseSql("vx", "t")},
+      ${Round12.rrfFuseSql("s8rv", "a")},
+      ${Round12.rrfFuseSql("s10rv", "a2")},
+      ${Round12.rrfFuseSql("q1rv", "b")},
+      ${Round12.rrfFuseSql("q2rv", "c")}
+      SELECT * FROM (
+        SELECT 'arm' AS sel, 'sq8np8' AS dial, round(rec, 3) AS rec FROM (${rec20Sql("s8rv")})
+        UNION ALL SELECT 'arm', 'sq8np10', round(rec, 3) FROM (${rec20Sql("s10rv")})
+        UNION ALL SELECT 'arm', 'pq16np10', round(rec, 3) FROM (${rec20Sql("q1rv")})
+        UNION ALL SELECT 'arm', 'pq32np20', round(rec, 3) FROM (${rec20Sql("q2rv")})
+        UNION ALL ${avgF("sq8np8", "afused")}
+        UNION ALL ${avgF("sq8np10", "a2fused")}
+        UNION ALL ${avgF("pq16np10", "bfused")}
+        UNION ALL ${avgF("pq32np20", "cfused")})
+      ORDER BY sel, dial"""
+  }
+
   // ---- q350: the training pipeline's INGEST loop -------------------------
 
   /** q350's arrival split (the repo's Lehmer doc-slot convention):
@@ -1047,7 +1135,193 @@ object Round13 {
             col("crosses"))
           .orderBy("off", "doc_id")
       },
-      Some(pipeIngestOracle))
+      Some(pipeIngestOracle)),
+
+    // ---- the hybrid serve's vector arm through the advisor ---------------
+    // q344's vector arm was hardcoded (SQ8 np10/m24); a production
+    // hybrid node picks its arm under the SAME budgets as every other
+    // serving row. This row routes the arm through
+    // adviseCalibratedServing at the q328 operating window (60 kB
+    // serving memory — raw vectors excluded at every fixture scale —
+    // candidate budget nu·9/10, target 0.8): the two measured rows are
+    // the arms' recall@20 vs the exact top-20 (swept + served 1.000 at
+    // BOTH SFs for both arms — pool containment is complete at these
+    // dials, so the decision rides the budget axes exactly as q328's):
+    // at nu=500 both fit and SQ8 wins on candidate cost (250 vs 312);
+    // at nu=2000 SQ8 is EVICTED BY ITS OWN BYTES (144 kB > 60 kB) and
+    // the arm flips to IVFPQ at RE-DERIVED dials (nlist 32, nprobe 20,
+    // corpus pool 300 — swept fused 1.0 BEFORE wiring). The decided
+    // arm feeds the UNCHANGED q344 RRF fusion against the exact fused
+    // truth; fused recall swept/served 0.94 (sq8 arm, sf0.01) and 1.0
+    // (re-derived ivfpq arm, sf0.1). Measured arm rank tables are
+    // fixture artifacts (the q339 measurement-sharing shape; q344
+    // still prices the live SQ8 serve every pass); the sq8 branch is
+    // require-pinned to the measured config (q322), both branches
+    // SQL-gated. Decision replay exact BIGINT (q328's oracle shape).
+    "q351_llm_hybrid_arm_advised" -> QueryDef(
+      (s, dir) => {
+        val nQ = 20
+        val emb = t(s, dir, "embeddings")
+        graft.plans.NativeExpressions.register(s)
+        val lrank = Round12.bm25Lrank20(s, dir)
+        val qs20 = emb.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val corpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val st = corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")).head()
+        val n = st.getLong(0); val nu = st.getLong(1)
+        val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
+        require(nu * 256L > HybMemBudget,
+          s"raw vectors fit the $HybMemBudget B budget at nu=$nu — " +
+            "the full-precision arm would need measuring")
+        val vx = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "exact_top20_hyb")(
+          Similarity.cosineTopK(qs20, corpus, k = 20)
+            .select(col("qid"), col("cid"), col("rnk").as("rv")))
+        val nq = vx.select("qid").distinct().count()
+        def rec20(rv: DataFrame): Double =
+          vx.select("qid", "cid").join(rv.select("qid", "cid"),
+            Seq("qid", "cid")).count().toDouble / (20.0 * nq)
+        // the SQ8 arm at the q328-measured ratio (np8) with the k=20
+        // pool — the two-stage serving contract (pool 24, exact rank)
+        def sq8Arm(): DataFrame = graft.util.FixtureArtifact.parquet(s,
+          dir, "embeddings.parquet", "hyb_sq8rv_np8_m24",
+          params = Map("nlist" -> 16L, "nprobe" -> 8L, "m" -> 24L,
+            "k" -> 20L)) {
+          val pool = Similarity.ivfSq8TopK(qs20, corpus, k = 20,
+            nlist = 16, nprobe = 8, m = 24,
+            artifact = Some((dir, "embeddings.parquet", "ivfsq8")))
+          val q = qs20.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+          val c = corpus.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+          val wv = Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("cid"))
+          pool.select("qid", "cid").join(broadcast(q), "qid").join(c, "cid")
+            .select(col("qid"), col("cid"),
+              round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn")), 6)
+                .as("cos"))
+            .withColumn("rv", row_number().over(wv).cast("long"))
+            .filter(col("rv") <= 20).select("qid", "cid", "rv")
+        }
+        def pqArm(nlist: Int, nprobe: Int, rerank: Int,
+            art: Option[(String, String, String)]): DataFrame =
+          Similarity.ivfPqTopK(qs20, corpus, k = 20, nlist = nlist,
+              nprobe = nprobe, nSub = 16, nCodes = 16, dim = 64,
+              rerank = rerank, artifact = art)
+            .select(col("qid"), col("cid"), col("rnk").as("rv"))
+        val mc = math.max(100L, 3L * n / 20L).toInt
+        val pqMeasured = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "hyb_pqrv_nl16_np10",
+          params = Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
+            "nCodes" -> 16L, "rerank" -> mc.toLong, "k" -> 20L))(
+          pqArm(16, 10, mc, Some((dir, "embeddings.parquet", "ivfpq"))))
+        val msq = rec20(sq8Arm())
+        val mpq = rec20(pqMeasured)
+        val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
+          dupRate, targetRecall = 0.8, candidateBudget = nu * 9L / 10L,
+          memoryBudgetBytes = HybMemBudget,
+          measured = Seq(
+            IndexAdvisor.RecallRow("ivf-sq8",
+              Map("nlist" -> 16L, "nprobe" -> 8L, "m" -> 24L,
+                "k" -> 20L), msq),
+            IndexAdvisor.RecallRow("ivfpq",
+              Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
+                "nCodes" -> 16L, "k" -> 20L), mpq)))
+        val arm = adv.family match {
+          case "ivf-sq8" =>
+            require(adv.params("nlist") == 16L &&
+              adv.params("nprobe") == 8L && adv.params("m") == 24L,
+              s"re-derived sq8 dials ${adv.params} left the measured point")
+            sq8Arm()
+          case "ivfpq" => pqArm(adv.params("nlist").toInt,
+            adv.params("nprobe").toInt, adv.params("rerank").toInt,
+            art = None)
+          case other => sys.error(
+            s"hybrid-arm advisor picked unreachable family $other")
+        }
+        def fuse(v: DataFrame): DataFrame = {
+          val l20 = lrank.filter(col("rl") <= 20)
+          val v20 = v.filter(col("rv") <= 20)
+          val fr = l20.join(v20, Seq("qid", "cid"), "full_outer")
+            .select(col("qid"), col("cid"),
+              (when(col("rl").isNotNull,
+                lit(1.0) / (lit(60.0) + col("rl").cast("double")))
+                .otherwise(lit(0.0)) +
+               when(col("rv").isNotNull,
+                lit(1.0) / (lit(60.0) + col("rv").cast("double")))
+                .otherwise(lit(0.0))).as("rrf"))
+          val wf = Window.partitionBy("qid")
+            .orderBy(col("rrf").desc, col("cid"))
+          fr.withColumn("rnk", row_number().over(wf))
+            .filter(col("rnk") <= 5).select("qid", "cid")
+        }
+        Round11.taggedRecall("hyb", adv.family, fuse(vx), fuse(arm))
+          .orderBy("qid")
+      },
+      Some(s"""${Round6c.exactRecallCte},
+      $hybVxSql,
+      nq20 AS (SELECT COUNT(DISTINCT qid) AS nq FROM vx),
+      ${Round11b.sq8StandingSql("")},
+      -- measurement 1: the SQ8 arm at nlist16/np8/m24, recall@20
+      ${sq8Rv20Sql("8", 24, "s8")},
+      msq AS (${rec20Sql("s8rv")}),
+      -- measurement 2: the IVFPQ arm at nlist16/np10/corpus pool
+      ${Round9.ivfPqSqlE("16", "10", HybMcE, nSub = 16, nCodes = 16,
+        prefix = "p1")},
+      ${pqRv20Sql("p1", "q1")},
+      mpq AS (${rec20Sql("q1rv")}),
+      -- the decision: exact BIGINT replay of adviseCalibratedServing
+      st AS (SELECT COUNT(*) AS n, COUNT(DISTINCT embedding) AS nu FROM embeddings),
+      p2t AS (SELECT CAST(power(2, x.x) AS BIGINT) AS p
+        FROM (SELECT unnest(range(0, 40)) AS x) x),
+      nl AS (SELECT CASE WHEN l / lower < (lower * 2) / l
+                         THEN lower ELSE lower * 2 END AS nlist FROM
+        (SELECT GREATEST(1.0, sqrt(CAST(nu AS DOUBLE))) AS l,
+           (SELECT MAX(p) FROM p2t WHERE p <= CAST(FLOOR(
+              GREATEST(1.0, sqrt(CAST(nu AS DOUBLE)))) AS BIGINT)) AS lower
+         FROM st)),
+      nps AS (SELECT GREATEST(1, (SELECT nlist FROM nl) // 2) AS nprobe),
+      np2 AS (SELECT GREATEST(1, (10 * (SELECT nlist FROM nl)) // 16) AS nprobe),
+      bud AS (SELECT ((SELECT nu FROM st) * 9) // 10 AS b),
+      rr AS (SELECT LEAST((SELECT b FROM bud),
+          GREATEST(100, 3 * (SELECT nu FROM st) // 20)) AS rerank),
+      cfg AS (
+        SELECT 'ivf-sq8' AS fam,
+            ((SELECT nu FROM st) * (SELECT nprobe FROM nps)) // (SELECT nlist FROM nl) AS cand,
+            (SELECT nu FROM st) * 72 AS bytes,
+            (SELECT rec FROM msq) AS rec
+        UNION ALL
+        SELECT 'ivfpq' AS fam,
+            ((SELECT nu FROM st) * (SELECT nprobe FROM np2)) // (SELECT nlist FROM nl) AS cand,
+            (SELECT nu FROM st) * 16 AS bytes,
+            (SELECT rec FROM mpq) AS rec),
+      adm AS (SELECT * FROM cfg
+        WHERE cand <= (SELECT b FROM bud) AND bytes <= $HybMemBudget),
+      chosen AS (SELECT COALESCE(
+        (SELECT fam FROM adm WHERE rec >= 0.8
+         ORDER BY cand, rec DESC, fam LIMIT 1),
+        (SELECT fam FROM adm ORDER BY rec DESC, cand, fam LIMIT 1)) AS fam),
+      -- arm branch B: IVFPQ at the re-derived dials
+      ${Round9.ivfPqSqlE("(SELECT nlist FROM nl)", "(SELECT nprobe FROM np2)",
+        "(SELECT rerank FROM rr)", nSub = 16, nCodes = 16, prefix = "p2")},
+      ${pqRv20Sql("p2", "q2")},
+      varm AS (
+        SELECT qid, cid, rv FROM s8rv
+          WHERE (SELECT fam FROM chosen) = 'ivf-sq8'
+        UNION ALL
+        SELECT qid, cid, rv FROM q2rv
+          WHERE (SELECT fam FROM chosen) = 'ivfpq'),
+      ${Round12.bm25DocSql(20)},
+      ${Round12.rrfFuseSql("vx", "t")},
+      ${Round12.rrfFuseSql("varm", "s")}
+      SELECT 'hyb' AS sel, (SELECT fam FROM chosen) AS dial, q.qid,
+        CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT DISTINCT qid FROM tfused) q LEFT JOIN (
+        SELECT tfused.qid, COUNT(*) AS h FROM tfused
+        JOIN sfused ON tfused.qid = sfused.qid AND tfused.cid = sfused.cid
+        GROUP BY 1) h ON q.qid = h.qid
+      ORDER BY q.qid"""))
   )
 
   /** q350's oracle — the pure batch replay of the ingest semantics on

@@ -278,6 +278,15 @@ class PlanGuardSpec extends SparkTestBase {
                                    // doc ids before any scoring; the rest
                                    // is q346's whitelisted shape, twice
                                    // (naive + over-probed dials)
+    "q351_llm_hybrid_arm_advised", // q328 + q344 class: the measured arm
+                                   // rank tables are fixture artifacts
+                                   // (flat scans); the served branch's
+                                   // centroid broadcasts / broadcast LUT
+                                   // (whitelisted q326/q309 shapes);
+                                   // decision inputs are 1-row stats +
+                                   // recall scalars; the fusion join is
+                                   // pair-keyed full-outer bounded by
+                                   // 20+20 rows per query
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded
