@@ -909,11 +909,33 @@ object Round13 {
         import s.implicits._
         graft.plans.NativeExpressions.register(s)
         val emb = t(s, dir, "embeddings")
+        // dedup-first (the graph family's replication rule — q258's
+        // lshKnnEdgesDeduped lesson): the standing graph is built over
+        // DISTINCT payloads (rep = min id). On the all-distinct test
+        // fixtures this is exactly q312's build (same values, same
+        // oracle); on a duplicated corpus an ID-level graph degenerates
+        // to duplicate cliques whose edges preserve cosine under ANY
+        // drift — the x10 probe caught the churn trigger reading 0 of
+        // 180k self-dup edges — so the drift statistic is only
+        // meaningful over the rep graph
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .groupBy("ce").agg(min("cid").as("cid"))
+          .select("cid", "ce")
         val qs = emb.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val e = Round9.refinedGraphArtifact(s, dir, corpus)
+        val e = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet",
+          s"nnd_d${Round9.NnDegree}_r${Round9.NnRounds}_stitched_d4_p6_t4_reps",
+          params = Map("d" -> Round9.NnDegree.toLong,
+            "rounds" -> Round9.NnRounds.toLong)) {
+          val stitched = graft.util.FixtureArtifact.parquet(s, dir,
+            "embeddings.parquet", "stitched_d4_p6_t4_reps")(
+            Similarity.lshKnnEdgesMultiTable(corpus, d = 4, nPlanes = 6,
+              dim = 64, nTables = 4))
+          Similarity.nnDescentEdges(stitched, corpus,
+            d = Round9.NnDegree, rounds = Round9.NnRounds)
+        }
         val nE = e.count()
         def truncOf(c: String) = expr(
           s"transform(sequence(1, 64), i -> IF(i <= 32, element_at($c, i), CAST(0.0 AS FLOAT)))")
@@ -947,57 +969,76 @@ object Round13 {
         // per-world serving state (codes/edges/truths = artifacts)
         def cents16(w: DataFrame) = broadcast(w.orderBy("cid").limit(16)
           .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        // the two LIVE walks (the iso kept-edge serve and the trunc
+        // DECIDED repaired serve) stay priced every bench pass; the
+        // stale/rebuilt CONTRAST measurements are fixture artifacts
+        // read warm (the q339 measurement-sharing shape)
         def serve(wq: DataFrame, w: DataFrame, edges: DataFrame,
-            codes: DataFrame, label: String): DataFrame = {
-          val entries = Similarity.assignToCentroids(wq, "qid", "qe",
-            cents16(w), nKeep = 2)
-            .select(col("qid"), col("centroid_id").as("cid"))
-          val out = graft.util.Scratch.dir(s"q349_$label")
-          Similarity.beamPqTopKFrom(wq, w, edges, codes, entries, k = 5,
-              beam = Round9.BeamWidth, rounds = Round9.BeamRounds,
-              nSub = 16, nCodes = 16, dim = 64)
-            .select("qid", "cid")
-            .write.mode("overwrite").parquet(out)
-          s.read.parquet(out)
+            codes: DataFrame, label: String,
+            asArtifact: Boolean): DataFrame = {
+          def walk: DataFrame = {
+            val entries = Similarity.assignToCentroids(wq, "qid", "qe",
+              cents16(w), nKeep = 2)
+              .select(col("qid"), col("centroid_id").as("cid"))
+            Similarity.beamPqTopKFrom(wq, w, edges, codes, entries, k = 5,
+                beam = Round9.BeamWidth, rounds = Round9.BeamRounds,
+                nSub = 16, nCodes = 16, dim = 64)
+              .select("qid", "cid")
+          }
+          if (asArtifact)
+            graft.util.FixtureArtifact.parquet(s, dir,
+              "embeddings.parquet", s"q349_${label}_rv_b${Round9.BeamWidth}_r${Round9.BeamRounds}",
+              params = Map("beam" -> Round9.BeamWidth.toLong,
+                "rounds" -> Round9.BeamRounds.toLong, "k" -> 5L))(walk)
+          else {
+            val out = graft.util.Scratch.dir(s"q349_$label")
+            walk.write.mode("overwrite").parquet(out)
+            s.read.parquet(out)
+          }
         }
         val isoCodes = graft.util.FixtureArtifact.parquet(s, dir,
-          "embeddings.parquet", "pqcodes_s16_c16_gwi")(
+          "embeddings.parquet", "pqcodes_s16_c16_gwi_reps")(
           Similarity.pqCodes(iso, nSub = 16, nCodes = 16, dim = 64))
         val truncCodes = graft.util.FixtureArtifact.parquet(s, dir,
-          "embeddings.parquet", "pqcodes_s16_c16_gwt")(
+          "embeddings.parquet", "pqcodes_s16_c16_gwt_reps")(
           Similarity.pqCodes(trunc, nSub = 16, nCodes = 16, dim = 64))
-        // iso truth = q341's reversed-world exact artifact, shared
+        // iso truth over the rep corpus (identical values to q341's
+        // reversed-world artifact on the all-distinct fixtures)
         val exIso = graft.util.FixtureArtifact.parquet(s, dir,
-          "embeddings.parquet", "exact_top5_remb")(
+          "embeddings.parquet", "exact_top5_gwi_reps")(
           Similarity.cosineTopK(isoQ, iso, k = 5)
             .select(col("qid"), col("cid"), col("rnk")))
           .select("qid", "cid")
         val exTrunc = graft.util.FixtureArtifact.parquet(s, dir,
-          "embeddings.parquet", "exact_top5_gwt")(
+          "embeddings.parquet", "exact_top5_gwt_reps")(
           Similarity.cosineTopK(truncQ, trunc, k = 5)
             .select(col("qid"), col("cid"), col("rnk")))
           .select("qid", "cid")
         val repairedE = graft.util.FixtureArtifact.parquet(s, dir,
-          "embeddings.parquet", s"nnd_repair_gwt_d${Round9.NnDegree}_r${Round9.NnRounds}",
+          "embeddings.parquet", s"nnd_repair_gwt_d${Round9.NnDegree}_r${Round9.NnRounds}_reps",
           params = Map("d" -> Round9.NnDegree.toLong,
             "rounds" -> Round9.NnRounds.toLong))(
           Similarity.nnDescentEdges(e, trunc, d = Round9.NnDegree,
             rounds = Round9.NnRounds))
         val rebuiltE = graft.util.FixtureArtifact.parquet(s, dir,
-          "embeddings.parquet", s"nnd_d${Round9.NnDegree}_r${Round9.NnRounds}_stitched_gwt",
+          "embeddings.parquet", s"nnd_d${Round9.NnDegree}_r${Round9.NnRounds}_stitched_gwt_reps",
           params = Map("d" -> Round9.NnDegree.toLong,
             "rounds" -> Round9.NnRounds.toLong)) {
           val stitched = graft.util.FixtureArtifact.parquet(s, dir,
-            "embeddings.parquet", "stitched_d4_p6_t4_gwt")(
+            "embeddings.parquet", "stitched_d4_p6_t4_gwt_reps")(
             Similarity.lshKnnEdgesMultiTable(trunc, d = 4, nPlanes = 6,
               dim = 64, nTables = 4))
           Similarity.nnDescentEdges(stitched, trunc, d = Round9.NnDegree,
             rounds = Round9.NnRounds)
         }
-        val kept = serve(isoQ, iso, e, isoCodes, "kept")
-        val stale = serve(truncQ, trunc, e, truncCodes, "stale")
-        val repaired = serve(truncQ, trunc, repairedE, truncCodes, "rep")
-        val rebuilt = serve(truncQ, trunc, rebuiltE, truncCodes, "reb")
+        val kept = serve(isoQ, iso, e, isoCodes, "kept",
+          asArtifact = false)
+        val stale = serve(truncQ, trunc, e, truncCodes, "stale",
+          asArtifact = true)
+        val repaired = serve(truncQ, trunc, repairedE, truncCodes, "rep",
+          asArtifact = false)
+        val rebuilt = serve(truncQ, trunc, rebuiltE, truncCodes, "reb",
+          asArtifact = true)
         // the repair-vs-rebuild decision from measured hits (1-row
         // scalars over the materialized serves — plan-choice class)
         val nq = exTrunc.select("qid").distinct().count()
@@ -1235,7 +1276,9 @@ object Round13 {
             sq8Arm()
           case "ivfpq" => pqArm(adv.params("nlist").toInt,
             adv.params("nprobe").toInt, adv.params("rerank").toInt,
-            art = None)
+            // the ivfPqIndex piece labels encode (nlist, nSub, nCodes),
+            // so the re-derived dials key their own standing artifacts
+            art = Some((dir, "embeddings.parquet", "ivfpq")))
           case other => sys.error(
             s"hybrid-arm advisor picked unreachable family $other")
         }
