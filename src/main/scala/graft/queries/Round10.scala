@@ -421,6 +421,34 @@ object Round10 {
     (head +: steps).mkString(",\n      ")
   }
 
+  /** The calibration measurements' serve outputs as fixture artifacts
+    * (q315/q328 — the round-12 serve-sharing shape: a measurement is a
+    * pure fixture function, built once and read warm by every bench
+    * pass; the families' live serves stay priced by their own rows —
+    * q279/q294 price IVF, q326 SQ8, q309 IVFPQ). The IVFPQ measured
+    * row is the IDENTICAL pipeline in q315 and q328, so both read ONE
+    * artifact. Labels carry every dial. */
+  private[queries] def calIvfMeasuredServe(s: SparkSession, dir: String,
+      qs: DataFrame, corpus: DataFrame): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      "cal_ivfrv_n16_np8_k5",
+      params = Map("nlist" -> 16L, "nprobe" -> 8L, "k" -> 5L))(
+      Similarity.ivfTopKProbe(qs, corpus, k = 5, nlist = 16, nprobe = 8)
+        .select(col("qid"), col("cid")))
+
+  private[queries] def calPqMeasuredServe(s: SparkSession, dir: String,
+      qs: DataFrame, corpus: DataFrame, n: Long): DataFrame = {
+    val mc = math.max(100L, n * 3L / 20L)
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      "cal_pqrv_n16_np10_mc_k5",
+      params = Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
+        "nCodes" -> 16L, "rerank" -> mc, "k" -> 5L))(
+      Similarity.ivfPqTopK(qs, corpus, k = 5, nlist = 16, nprobe = 10,
+          nSub = 16, nCodes = 16, dim = 64, rerank = mc.toInt,
+          artifact = Some((dir, "embeddings.parquet", "ivfpq")))
+        .select(col("qid"), col("cid")))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- DiskANN-shaped serving: graph navigation × PQ compression -----
@@ -715,12 +743,11 @@ object Round10 {
             .count()
           hits.toDouble / (5.0 * nq)
         }
-        val mi = measured(Similarity.ivfTopKProbe(qs, corpus, k = 5,
-          nlist = 16, nprobe = 8))
-        val mp = measured(Similarity.ivfPqTopK(qs, corpus, k = 5,
-          nlist = 16, nprobe = 10, nSub = 16, nCodes = 16, dim = 64,
-          rerank = math.max(100L, n * 3L / 20L).toInt,
-          artifact = Some((dir, "embeddings.parquet", "ivfpq"))))
+        // the two measured serves are fixture artifacts read warm (the
+        // round-12 serve-sharing shape); the ivfpq one is byte-shared
+        // with q328's measurement 2
+        val mi = measured(calIvfMeasuredServe(s, dir, qs, corpus))
+        val mp = measured(calPqMeasuredServe(s, dir, qs, corpus, n))
         val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
           dupRate, targetRecall = Round9.CalTarget,
           candidateBudget = nu * 9L / 10L,
@@ -732,6 +759,11 @@ object Round10 {
               Map("nlist" -> 16L, "nprobe" -> 10L, "nSub" -> 16L,
                 "nCodes" -> 16L, "k" -> 5L), mp)))
         adv.family match {
+          case "ivf" if adv.params("nlist") == 16L &&
+              adv.params("nprobe") == 8L =>
+            // measured-pipeline-is-the-serve (q322): re-derived dials
+            // == the measured point, so the serve IS the artifact
+            calIvfMeasuredServe(s, dir, qs, corpus)
           case "ivf" => Similarity.ivfTopKProbe(qs, corpus, k = 5,
             nlist = adv.params("nlist").toInt,
             nprobe = adv.params("nprobe").toInt)

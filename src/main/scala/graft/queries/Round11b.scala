@@ -175,6 +175,19 @@ object Round11b {
     * q315 flip-across-SFs convention on the sq8 ladder rung. */
   private val Sq8MemBudget = 60000L
 
+  /** q328's SQ8 measured serve as a fixture artifact (the round-12
+    * serve-sharing shape; the SQ8 family's live serve stays priced by
+    * q326's row at np10). */
+  private def calSq8MeasuredServe(s: SparkSession, dir: String,
+      qs: DataFrame, corpus: DataFrame): DataFrame =
+    graft.util.FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+      "cal_sq8rv_n16_np8_m8_k5",
+      params = Map("nlist" -> 16L, "nprobe" -> 8L, "m" -> 8L,
+        "k" -> 5L))(
+      Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16, nprobe = 8,
+          m = 8, artifact = Some((dir, "embeddings.parquet", "ivfsq8")))
+        .select(col("qid"), col("cid")))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- IVF-SQ8: the scalar-quantization point on the ANN
@@ -245,13 +258,10 @@ object Round11b {
             .count()
           hits.toDouble / (5.0 * nq)
         }
-        val ms = measured(Similarity.ivfSq8TopK(qs, corpus, k = 5,
-          nlist = 16, nprobe = 8, m = 8,
-          artifact = Some((dir, "embeddings.parquet", "ivfsq8"))))
-        val mp = measured(Similarity.ivfPqTopK(qs, corpus, k = 5,
-          nlist = 16, nprobe = 10, nSub = 16, nCodes = 16, dim = 64,
-          rerank = math.max(100L, n * 3L / 20L).toInt,
-          artifact = Some((dir, "embeddings.parquet", "ivfpq"))))
+        // measured serves as fixture artifacts (the round-12 sharing
+        // shape); the ivfpq one is byte-shared with q315's measurement
+        val ms = measured(calSq8MeasuredServe(s, dir, qs, corpus))
+        val mp = measured(Round10.calPqMeasuredServe(s, dir, qs, corpus, n))
         val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
           dupRate, targetRecall = 0.8,
           candidateBudget = nu * 9L / 10L,
@@ -269,9 +279,7 @@ object Round11b {
             require(adv.params("nlist") == 16L &&
               adv.params("nprobe") == 8L && adv.params("m") == 8L,
               s"re-derived sq8 dials ${adv.params} left the measured point")
-            Similarity.ivfSq8TopK(qs, corpus, k = 5, nlist = 16,
-              nprobe = 8, m = 8,
-              artifact = Some((dir, "embeddings.parquet", "ivfsq8")))
+            calSq8MeasuredServe(s, dir, qs, corpus)
           case "ivfpq" => Similarity.ivfPqTopK(qs, corpus, k = 5,
             nlist = adv.params("nlist").toInt,
             nprobe = adv.params("nprobe").toInt,
