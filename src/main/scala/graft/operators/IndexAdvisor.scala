@@ -256,8 +256,12 @@ object IndexAdvisor {
       (a.candidatesPerQuery, -rec, a.family) }._1
     if (meeting.nonEmpty) pick(meeting)
     else {
-      val (a, _) = admissible.maxBy { case (a, r2) =>
-        (r2, -a.candidatesPerQuery.toDouble) }
+      // (recall DESC, cand, family) — exact Long compare plus the
+      // family key, so the fallback reproduces the SQL replays'
+      // `ORDER BY rec DESC, cand, fam` on an exact (recall, cand) tie
+      // (the adviseFilteredServing convention — round-13 ADVICE)
+      val (a, _) = admissible.minBy { case (a2, r2) =>
+        (-r2, a2.candidatesPerQuery, a2.family) }
       a.copy(rationale = a.rationale +
         s" — best measured below target $targetRecall")
     }
@@ -278,8 +282,9 @@ object IndexAdvisor {
       (a.candidatesPerQuery, -rec, a.family) }._1
     if (meeting.nonEmpty) pick(meeting)
     else if (inBudget.nonEmpty) {
-      val (a, rec) = inBudget.maxBy { case (a, r2) =>
-        (r2, -a.candidatesPerQuery.toDouble) }
+      // same (recall DESC, cand, family) key as the serving fallback
+      val (a, _) = inBudget.minBy { case (a2, r2) =>
+        (-r2, a2.candidatesPerQuery, a2.family) }
       a.copy(rationale = a.rationale +
         s" — best measured below target $targetRecall")
     } else configs.find(_._1.family == "graph-beam").map(_._1).getOrElse(base)
