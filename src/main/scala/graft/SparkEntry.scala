@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Composite, EventTime, Extra, Funcs, LlmOps, Relational, Round2, Round3, Round4, Round4b, Round5, Round6, Round6b, Round6c, Round7, Round8, Round9, Round10, Round11, Round11b, Round12, Round13}
+import graft.queries.{Composite, EventTime, Extra, Funcs, LlmOps, Relational, Round2, Round3, Round4, Round4b, Round5, Round6, Round6b, Round6c, Round7, Round8, Round9, Round10, Round11, Round11b, Round12, Round13, Round14}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       Extra.defs ++ Composite.defs ++ Round2.defs ++ Round3.defs ++
       Round4.defs ++ Round4b.defs ++ Round5.defs ++ Round6.defs ++ Round6b.defs ++
       Round6c.defs ++ Round7.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++ Round11.defs ++
-      Round11b.defs ++ Round12.defs ++ Round13.defs
+      Round11b.defs ++ Round12.defs ++ Round13.defs ++ Round14.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -625,6 +625,43 @@ object IndexAdvisor {
     else "rebuild"
   }
 
+  /** Pipeline-model drift response (q352) — the maintenance decision a
+    * feature-distribution shift forces on the ingest pipeline's FROZEN
+    * scoring model (q350's DSIR weights/theta). Inputs are exact
+    * integers so the whole decision replays in BIGINT:
+    *
+    *   - `unseen` / `total`: the arriving slice's feature instances the
+    *     frozen weight table has never seen — the complement of the
+    *     scorer's own inner join, so the trigger costs ONE broadcast-
+    *     join scan of the slice. The round-14 sweep measured
+    *     0.000/0.000 on a same-distribution slice vs 0.795/0.801 under
+    *     a normalizer change, so 2·unseen >= total separates with
+    *     margin → below it the answer is **keep** (the frozen model's
+    *     evidence still applies).
+    *   - Churn fired: **refresh** (retrain weights/theta on base +
+    *     the arrived slice — the data the pipeline has actually
+    *     observed, a warm artifact rebuild) unless the measured FULL
+    *     retrain (re-featurize the base under the new upstream
+    *     processing — available exactly when the drift class is an
+    *     upstream change) beats it by more than 5 points of RATE
+    *     deviation: `refDev`/`fullDev` are |4·nSelected − nArriving|
+    *     (so dev/nArr = 4·|rate − the top-quarter design rate|), and
+    *     full-retrain wins iff 5·(refDev − fullDev) > nArriving. The
+    *     sweep measured stale rate 1.000/0.912 (the selection stage
+    *     stops filtering — the cost of not maintaining), refresh
+    *     0.440/0.638, full 0.240/0.248 (= the design rate restored):
+    *     full-retrain wins decisively at both SFs — the honest
+    *     negative: slice-refresh cannot restore rate control here.
+    */
+  def advisePipelineDrift(unseen: Long, total: Long, refDev: Long,
+      fullDev: Long, nArriving: Long): String = {
+    require(total > 0 && unseen >= 0 && unseen <= total && nArriving > 0 &&
+      refDev >= 0 && fullDev >= 0)
+    if (2L * unseen < total) "keep"
+    else if (5L * (refDev - fullDev) > nArriving) "full-retrain"
+    else "refresh"
+  }
+
   /** Token-level (multi-vector / late-interaction) index dials
     * (q346–q348): nlist = pow2Near(sqrt(nTokens)) — the q294/q305
     * cells-grow-with-the-corpus rule lifted to the TOKEN index, where

@@ -566,7 +566,7 @@ object Round13 {
   /** Bigram hashed features of a doc frame (doc_id, lang, text) — the
     * q327 feature fn verbatim (same wordHm, same bucket fold), shared
     * by the frozen-model build and the per-batch scorer. */
-  private def pipeFeats(d: DataFrame): DataFrame = {
+  private[graft] def pipeFeats(d: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
     val tks = d.select(col("doc_id"), col("lang"),
@@ -581,9 +581,65 @@ object Round13 {
           .as("f"))
   }
 
+  /** Per-feature counts of a feature frame — the DSIR model's one
+    * corpus aggregate (total + target-language occurrences per hashed
+    * bucket), shared by the frozen-model build and q352's retrains. */
+  private[queries] def dsirFcnt(feats: DataFrame): DataFrame =
+    feats.groupBy("f").agg(
+      count(lit(1)).as("rcnt"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+
+  /** Per-feature DSIR weights (f, dlf) from a count frame — the q327
+    * fixed-point log-ratio, Laplace +1. */
+  private[queries] def dsirWtOf(fcnt: DataFrame): DataFrame =
+    graft.operators.FixedPoint.lnFxCols(graft.operators.FixedPoint.lnFxCols(
+        fcnt, "tc + 1", "lct"), "rcnt + 1", "lcr")
+      .select(col("f"), (col("lct") - col("lcr")).as("dlf"))
+
+  /** The 1-row DSIR corpus constant kk from a count frame. */
+  private[queries] def dsirKkOf(fcnt: DataFrame): DataFrame =
+    graft.operators.FixedPoint.lnFxCols(graft.operators.FixedPoint.lnFxCols(
+        fcnt.agg(sum("tc").as("ntl"), sum("rcnt").as("nrl")),
+        s"ntl + ${Round11b.DsirBuckets}", "lt"),
+        s"nrl + ${Round11b.DsirBuckets}", "lr")
+      .select((col("lt") - col("lr")).as("kk"))
+
+  /** Row-local DSIR scoring of a feature frame against a weight table:
+    * (doc_id, w_fx) over docs with >= 1 KNOWN feature — features the
+    * model never saw carry no evidence and drop out of the inner join
+    * (the q350 documented rule). The weight table is 4096-bounded, so
+    * the join broadcasts. */
+  private[graft] def dsirScore(feats: DataFrame, wt: DataFrame,
+      kk: Long): DataFrame =
+    feats.join(broadcast(wt), Seq("f"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_feats"),
+        sum("dlf").as("sfx"))
+      .select(col("doc_id"),
+        (col("sfx") - col("n_feats") * lit(kk)).as("w_fx"))
+
+  /** Top-quarter selection (doc_id, w_fx) of a training-doc frame under
+    * a scored frame — q327's rule: unscored docs enter at w_fx = 0,
+    * rank (w_fx DESC, doc_id), keep rn <= n/4 (skew-robust binned
+    * ranks). */
+  private[queries] def dsirTopQuarter(allIds: DataFrame,
+      scored: DataFrame): DataFrame = {
+    val alld = allIds.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w_fx"), lit(0L)).as("w_fx"), lit(0).as("g"))
+    val nd = broadcast(alld.agg(count(lit(1)).as("nd"))
+      .withColumn("one", lit(1)))
+    graft.operators.Ranks.rankedBinned(alld, "g", "-w_fx",
+        Seq(col("w_fx").desc, col("doc_id")), bins = 32,
+        hotThreshold = 1L)
+      .withColumn("one", lit(1)).join(nd, Seq("one"))
+      .filter(col("rn") <= expr("nd div 4"))
+      .select(col("doc_id"), col("w_fx"))
+  }
+
   /** Whitespace token count + guarded Lehmer hash of a doc frame —
     * the q336 accounting columns. */
-  private def pipeTokHsh(d: DataFrame): DataFrame = {
+  private[graft] def pipeTokHsh(d: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
     d.select(col("doc_id"), col("lang"),
@@ -627,9 +683,8 @@ object Round13 {
     * `pack` (q336's algebra over the selected base docs). theta (the
     * frozen selection threshold) and seq_base (the next sequence
     * boundary after the base layout) are tiny scans of sel/pack. */
-  private def pipeBaseState(s: SparkSession, dir: String):
+  private[queries] def pipeBaseState(s: SparkSession, dir: String):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import graft.operators.FixedPoint
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val base = docs.filter(
@@ -638,46 +693,15 @@ object Round13 {
     // kk builds — the corpus tokenize + explode + aggregate is paid
     // once per cold fixture, not twice (round-13 verdict hygiene)
     val fcnt = graft.util.FixtureArtifact.parquet(s, dir,
-      "documents.parquet", "pipe_base_fcnt") {
-      pipeFeats(base).groupBy("f").agg(
-        count(lit(1)).as("rcnt"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
-    }
+      "documents.parquet", "pipe_base_fcnt")(dsirFcnt(pipeFeats(base)))
     val wt = graft.util.FixtureArtifact.parquet(s, dir,
-      "documents.parquet", "pipe_base_wt") {
-      FixedPoint.lnFxCols(FixedPoint.lnFxCols(
-          fcnt, "tc + 1", "lct"), "rcnt + 1", "lcr")
-        .select(col("f"), (col("lct") - col("lcr")).as("dlf"))
-    }
+      "documents.parquet", "pipe_base_wt")(dsirWtOf(fcnt))
     val kkA = graft.util.FixtureArtifact.parquet(s, dir,
-      "documents.parquet", "pipe_base_kk") {
-      FixedPoint.lnFxCols(FixedPoint.lnFxCols(
-          fcnt.agg(sum("tc").as("ntl"), sum("rcnt").as("nrl")),
-          s"ntl + ${Round11b.DsirBuckets}", "lt"),
-          s"nrl + ${Round11b.DsirBuckets}", "lr")
-        .select((col("lt") - col("lr")).as("kk"))
-    }
+      "documents.parquet", "pipe_base_kk")(dsirKkOf(fcnt))
     val sel = graft.util.FixtureArtifact.parquet(s, dir,
       "documents.parquet", "pipe_base_sel") {
-      val kf = broadcast(kkA.withColumn("one", lit(1)))
-      val dw = pipeFeats(base).join(wt, Seq("f"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_feats"),
-          sum(col("dlf")).as("sfx"))
-        .withColumn("one", lit(1)).join(kf, Seq("one"))
-        .select(col("doc_id"),
-          (col("sfx") - col("n_feats") * col("kk")).as("w_fx"))
-      val alld = base.select(col("doc_id"))
-        .join(dw, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("w_fx"), lit(0L)).as("w_fx"), lit(0).as("g"))
-      val nd = broadcast(alld.agg(count(lit(1)).as("nd"))
-        .withColumn("one", lit(1)))
-      graft.operators.Ranks.rankedBinned(alld, "g", "-w_fx",
-          Seq(col("w_fx").desc, col("doc_id")), bins = 32,
-          hotThreshold = 1L)
-        .withColumn("one", lit(1)).join(nd, Seq("one"))
-        .filter(col("rn") <= expr("nd div 4"))
-        .select(col("doc_id"), col("w_fx"))
+      val kk = kkA.head().getLong(0)
+      dsirTopQuarter(base, dsirScore(pipeFeats(base), wt, kk))
     }
     val pack = graft.util.FixtureArtifact.parquet(s, dir,
       "documents.parquet", "pipe_base_pack") {
@@ -1148,11 +1172,7 @@ object Round13 {
           probe.writeStream.foreachBatch {
             (batch: DataFrame, _: Long) =>
               val b = batch.select(col("doc_id"), col("lang"), col("text"))
-              val scored = pipeFeats(b).join(wt, Seq("f"))
-                .groupBy("doc_id").agg(count(lit(1)).as("n_feats"),
-                  sum("dlf").as("sfx"))
-                .select(col("doc_id"),
-                  (col("sfx") - col("n_feats") * lit(kk)).as("w_fx"))
+              val scored = dsirScore(pipeFeats(b), wt, kk)
                 .filter(col("w_fx") > lit(theta))
               pipeTokHsh(b)
                 .join(scored.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -1373,21 +1393,14 @@ object Round13 {
 
   /** q350's oracle — the pure batch replay of the ingest semantics on
     * the union fixture (frozen base model → streamed-doc scoring →
-    * frozen-threshold selection → increment mix → append-only pack). */
+    * frozen-threshold selection → increment mix → append-only pack).
+    * The DSIR chain fragments live in [[Round14]] (feature, model,
+    * score, selection/theta generators), shared with q352's drift
+    * worlds. */
   private lazy val pipeIngestOracle: String = {
-    val splitTl = """string_split(trim(regexp_replace(regexp_replace(
-        lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"""
-    def featCtes(docs: String, p: String) =
-      s"""${p}tk AS (SELECT doc_id, lang, $splitTl AS tl FROM $docs),
-      ${p}dp AS MATERIALIZED (SELECT doc_id, lang, tl[p] AS w1, tl[p+1] AS w2
-        FROM (SELECT doc_id, lang, tl, unnest(range(1, len(tl))) AS p FROM ${p}tk)),
-      ${p}fh AS MATERIALIZED (SELECT doc_id, lang,
-          CAST(((${Round11b.wordHmSql("w1")} % 65521) * 65521
-            + ${Round11b.wordHmSql("w2")} % 65521) % ${Round11b.DsirBuckets} AS BIGINT) AS f
-        FROM ${p}dp)"""
     def tdCtes(docs: String, selCte: String, p: String) =
       s"""${p}td AS (SELECT d.doc_id, d.lang,
-          CAST(len($splitTl) AS BIGINT) AS tok,
+          CAST(len(${Round14.DsirSplitTl}) AS BIGINT) AS tok,
           CAST((d.doc_id * 2654435761) % 1000003 AS BIGINT) AS hsh
         FROM $docs d JOIN $selCte USING (doc_id)),
       ${p}bud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
@@ -1401,34 +1414,12 @@ object Round13 {
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM ${p}mixed)"""
     s"""WITH bdocs AS MATERIALIZED (SELECT doc_id, lang, text
       FROM documents WHERE $PipeBasePred),
-      ${featCtes("bdocs", "b")},
-      bct AS (SELECT f, COUNT(*) AS tc FROM bfh WHERE lang = 'en' GROUP BY 1),
-      bcr AS (SELECT f, COUNT(*) AS rcnt FROM bfh GROUP BY 1),
-      bntr AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ntl,
-          COUNT(*) AS nrl FROM bfh),
-      bcc AS (SELECT bcr.f, CAST(COALESCE(bct.tc, 0) + 1 AS BIGINT) AS ctf,
-          CAST(bcr.rcnt + 1 AS BIGINT) AS crf
-        FROM bcr LEFT JOIN bct USING (f)),
-      bnv AS (SELECT ctf AS n FROM bcc UNION SELECT crf FROM bcc
-        UNION SELECT ntl + ${Round11b.DsirBuckets} FROM bntr
-        UNION SELECT nrl + ${Round11b.DsirBuckets} FROM bntr),
-      ${graft.operators.FixedPoint.lnFxSql("bnv", "blnt")},
-      bwt AS MATERIALIZED (SELECT bcc.f, lt.ln_fx - lr.ln_fx AS dlf
-        FROM bcc JOIN blnt lt ON bcc.ctf = lt.n
-        JOIN blnt lr ON bcc.crf = lr.n),
-      bkk AS (SELECT
-          (SELECT ln_fx FROM blnt WHERE n = (SELECT ntl + ${Round11b.DsirBuckets} FROM bntr))
-        - (SELECT ln_fx FROM blnt WHERE n = (SELECT nrl + ${Round11b.DsirBuckets} FROM bntr)) AS kk),
-      bdw AS (SELECT bfh.doc_id, COUNT(*) AS n_feats,
-          CAST(SUM(bwt.dlf) AS BIGINT) AS sfx
-        FROM bfh JOIN bwt ON bfh.f = bwt.f GROUP BY 1),
-      balld AS (SELECT b.doc_id,
-          CAST(COALESCE(bdw.sfx - bdw.n_feats * (SELECT kk FROM bkk), 0) AS BIGINT) AS w_fx
-        FROM bdocs b LEFT JOIN bdw USING (doc_id)),
-      brk AS (SELECT *, row_number() OVER (ORDER BY w_fx DESC, doc_id) AS rnk,
-          (SELECT COUNT(*) FROM balld) AS ndd FROM balld),
-      bsel AS MATERIALIZED (SELECT doc_id, w_fx FROM brk WHERE rnk <= ndd // 4),
-      btheta AS (SELECT MIN(w_fx) AS theta FROM bsel),
+      ${Round14.dsirFeatSql("bdocs", "b")},
+      ${Round14.dsirModelSql("bfh", "mb")},
+      ${Round14.dsirScoreSql("bfh", "mb", "bsc")},
+      ${Round14.dsirSelThetaSql("bdocs", "bsc", "bt")},
+      bsel AS (SELECT doc_id, w_fx FROM btsel),
+      btheta AS (SELECT theta FROM bttheta),
       ${tdCtes("bdocs", "bsel", "b")},
       bpack AS MATERIALIZED (SELECT doc_id, lang, tok, hsh, run - tok AS off,
           (run - tok) // 2048 AS seq_first, (run - 1) // 2048 AS seq_last,
@@ -1439,12 +1430,10 @@ object Round13 {
           + 2047) // 2048) * 2048 AS sb),
       pdocs AS MATERIALIZED (SELECT doc_id, lang, text
         FROM documents WHERE $PipeStreamPred),
-      ${featCtes("pdocs", "p")},
-      pdw AS (SELECT pfh.doc_id, COUNT(*) AS n_feats,
-          CAST(SUM(bwt.dlf) AS BIGINT) AS sfx
-        FROM pfh JOIN bwt ON pfh.f = bwt.f GROUP BY 1),
-      psel AS MATERIALIZED (SELECT doc_id FROM pdw
-        WHERE sfx - n_feats * (SELECT kk FROM bkk) > (SELECT theta FROM btheta)),
+      ${Round14.dsirFeatSql("pdocs", "p")},
+      ${Round14.dsirScoreSql("pfh", "mb", "psc")},
+      psel AS MATERIALIZED (SELECT doc_id FROM psc
+        WHERE w_fx > (SELECT theta FROM btheta)),
       ${tdCtes("pdocs", "psel", "p")},
       ppack AS (SELECT doc_id, lang, tok, hsh,
           run - tok + (SELECT sb FROM sbase) AS off,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 contracts: the pipeline drift-response decision arithmetic
+  * (q352), the drift world's tokenization invariance (the Caesar shift
+  * must change every bigram while leaving token accounting untouched —
+  * the q350 pack algebra depends on it), and the DSIR scorer's
+  * zero-known-feature drop rule.
+  */
+class Round14Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("advisePipelineDrift: keep on low churn, full-retrain only past the 5-point rate margin") {
+    import graft.operators.IndexAdvisor.advisePipelineDrift
+    // below the churn threshold -> keep, regardless of measured devs
+    assert(advisePipelineDrift(0L, 2688L, 0L, 0L, 50L) == "keep")
+    assert(advisePipelineDrift(1343L, 2688L, 776L, 4L, 500L) == "keep")
+    // fired: full-retrain iff 5*(refDev - fullDev) > nArr
+    assert(advisePipelineDrift(2136L, 2688L, 38L, 2L, 50L) == "full-retrain")
+    assert(advisePipelineDrift(21158L, 26406L, 776L, 4L, 500L) == "full-retrain")
+    // boundary: a margin of exactly nArr/5 dev units still refreshes
+    assert(advisePipelineDrift(2136L, 2688L, 12L, 2L, 50L) == "refresh")
+    assert(advisePipelineDrift(2136L, 2688L, 13L, 2L, 50L) == "full-retrain")
+    // refresh also wins when it is the better of the two
+    assert(advisePipelineDrift(2136L, 2688L, 2L, 38L, 50L) == "refresh")
+  }
+
+  test("the Caesar drift world changes every bigram but no token count") {
+    val docs = sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val shifted = docs.select(col("doc_id"), col("lang"),
+      translate(col("text"), queries.Round14.ShiftFrom,
+        queries.Round14.ShiftTo).as("text"))
+    // token accounting untouched (letters map to letters: same split)
+    val a = queries.Round13.pipeTokHsh(docs)
+      .orderBy("doc_id").collect()
+    val b = queries.Round13.pipeTokHsh(shifted)
+      .orderBy("doc_id").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    // every hashed bigram instance changes bucket or at least the
+    // underlying bigram — checked at the feature level: the shifted
+    // world shares NO (doc, bigram-of-words) pair with the original
+    // beyond hash collisions; the operational statement the trigger
+    // needs is that the shifted slice's feature multiset differs
+    val fa = queries.Round13.pipeFeats(docs)
+      .groupBy("f").count().orderBy("f").collect()
+    val fb = queries.Round13.pipeFeats(shifted)
+      .groupBy("f").count().orderBy("f").collect()
+    assert(!fa.sameElements(fb))
+  }
+
+  test("dsirScore drops docs with zero known features (the q350 rule)") {
+    val feats = Seq((1L, "en", 10L), (1L, "en", 11L), (2L, "en", 99L))
+      .toDF("doc_id", "lang", "f")
+    val wt = Seq((10L, 5L), (11L, -3L)).toDF("f", "dlf")
+    val out = queries.Round13.dsirScore(feats, wt, kk = -2L)
+      .orderBy("doc_id").collect()
+    // doc 2's only feature (99) is unknown -> no row at all
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // doc 1: sfx = 2, n_feats = 2, w_fx = 2 - 2*(-2) = 6
+    assert(out.head.getLong(1) == 6L)
+  }
+}
