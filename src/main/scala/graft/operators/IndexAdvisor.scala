@@ -625,6 +625,41 @@ object IndexAdvisor {
     else "rebuild"
   }
 
+  /** Token-index (multi-vector) drift response (q353) — the q349 loop
+    * on the q346/q348 family. The trigger is ASSIGNMENT churn: tokens
+    * whose rank-1 cell changed between the standing assignment and the
+    * re-embedded world's (one bounded nTok·nlist scan). The SQ8 codes
+    * are NEVER part of the decision — re-encoding is row-local (no
+    * codebook, the family's structural advantage, q341's lesson) and
+    * happens under every response. Below the churn threshold → keep.
+    * Fired, the ladder is decided by MEASURED serve hits (top-5 truth
+    * hits over nQueries query docs, the adviseGraphDrift margin
+    * arithmetic, exact integers):
+    *
+    *   - keep unless one warm Lloyd RECENTER round buys > 0.02 recall
+    *     over the stale cells — the round-14 sweep's headline: at the
+    *     ADVISED np the PLAID serve is drift-robust (stale 0.96/0.92 ≥
+    *     recentered 0.96/0.90 under the same truncation drift that
+    *     forces graph repair in q349) because candidate generation is
+    *     a UNION over query tokens × probed cells and the m-pool exact
+    *     rerank absorbs cell noise — churn fires at 0.62/0.65 moved
+    *     yet the measured answer is keep (re-encode only);
+    *   - at the np=1 SCREENING rung the cells DO bind: stale 0.78 vs
+    *     recentered 0.84 at sf0.1 — there the decision flips to
+    *     recenter (and keeps at sf0.01's 0.86 vs 0.84);
+    *   - recenter unless a cold REBUILD (fresh dot-assignment to the
+    *     re-embedded centroid tokens) wins by another > 0.02 (it never
+    *     did in the sweep: rebuilt == recentered at every point).
+    */
+  def adviseTokenDrift(moved: Long, nTokens: Long, staleHits: Long,
+      recenteredHits: Long, rebuiltHits: Long, nQueries: Long): String = {
+    require(nTokens > 0 && moved >= 0 && moved <= nTokens && nQueries > 0)
+    if (2L * moved < nTokens) "keep"
+    else if (10L * (recenteredHits - staleHits) <= nQueries) "keep"
+    else if (10L * (rebuiltHits - recenteredHits) <= nQueries) "recenter"
+    else "rebuild"
+  }
+
   /** Pipeline-model drift response (q352) — the maintenance decision a
     * feature-distribution shift forces on the ingest pipeline's FROZEN
     * scoring model (q350's DSIR weights/theta). Inputs are exact

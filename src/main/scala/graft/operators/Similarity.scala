@@ -1680,6 +1680,24 @@ object Similarity {
     NativeExpressions.register(qtok.sparkSession)
     val qa = assignToCentroids(qtok.select("qt", "qe"), "qt", "qe",
       cents, nKeep = np).select(col("qt"), col("centroid_id"))
+    maxsimPlaidTopKFrom(qtok, corpusTok, qa, ca, codes, m, k, keepDocs)
+  }
+
+  /** [[maxsimPlaidTopK]] with CALLER-SUPPLIED query-token probe
+    * assignments `qa` (qt, centroid_id — already np-sliced) — the
+    * q341 sq8ServeFromAssign convention lifted to the token index, so
+    * a recentered (Lloyd-refined, integer-coord) cell layout can serve
+    * without materializing float centroid vectors (q353). */
+  def maxsimPlaidTopKFrom(
+      qtok: DataFrame,
+      corpusTok: DataFrame,
+      qa: DataFrame, // qt, centroid_id — probe cells per query token
+      ca: DataFrame,
+      codes: DataFrame,
+      m: Int,
+      k: Int,
+      keepDocs: Option[DataFrame] = None): DataFrame = {
+    NativeExpressions.register(qtok.sparkSession)
     val cdocs0 = qa.join(broadcast(qtok.select("qd", "qt")), Seq("qt"))
       .join(ca.select(col("tid"), col("centroid_id")), Seq("centroid_id"))
       .join(corpusTok.select(col("ct").as("tid"), col("cd")), Seq("tid"))

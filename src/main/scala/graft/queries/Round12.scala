@@ -608,7 +608,7 @@ object Round12 {
     s"GREATEST(50, 3 * (SELECT COUNT(*) FROM fset_$tag) // 20)"
 
   /** Quantized int64 coords (the q225 kernel) — Spark side. */
-  private def quantC(df: DataFrame, id: String, vec: String): DataFrame =
+  private[queries] def quantC(df: DataFrame, id: String, vec: String): DataFrame =
     df.select(col(id), posexplode(col(vec)))
       .select(col(id), (col("pos") + 1).as("i"),
         floor(col("col").cast("double") * lit(1000000L)).as("x"))

@@ -29,17 +29,20 @@ object Round13 {
   private[queries] val MvTombPred = "((cd) * 2654435761) % 3 = 1"
   private[queries] val MvSurvPred = "((tid // 4) * 2654435761) % 3 <> 1"
 
-  /** Shared token-level SQ8 code CTE (`msq8`) — dial-free, one per
-    * oracle (the q334 replay's code table). Requires `tok` in scope. */
-  private[queries] val mvSq8Sql: String =
-    """msq8 AS MATERIALIZED (SELECT tid,
+  /** Shared token-level SQ8 code CTE — dial-free, one per oracle
+    * (the q334 replay's code table), parameterized by token table and
+    * output name so q353's drift worlds instantiate per-world code
+    * tables (byte-identical defaults = the q346/q347 chain). */
+  private[queries] def mvSq8Sql(tbl: String = "tok",
+      out: String = "msq8"): String =
+    s"""$out AS MATERIALIZED (SELECT tid,
         list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS BIGINT)) AS qc,
         CAST(round(am * 1000000000.0 / nn) AS BIGINT) AS rc
       FROM (SELECT tid, e,
           list_max(list_transform(e, y -> abs(CAST(y AS DOUBLE)))) AS am,
           sqrt(list_reduce(list_transform(e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
             (a, b) -> a + b)) AS nn
-        FROM tok))"""
+        FROM $tbl))"""
 
   /** The token-level STANDING index at nlist = `nlistE` (prefix `g`):
     * centroids = the nlist lowest-tid tokens, corpus rank-1 cell
@@ -115,7 +118,7 @@ object Round13 {
 
   /** Tagged per-query-doc recall rows of `ann` vs truth `exact` on
     * (qd, cd) — [[Round11]].taggedRecall lifted to doc ids. */
-  private def mvTaggedRecall(sel: String, dial: String, exact: DataFrame,
+  private[queries] def mvTaggedRecall(sel: String, dial: String, exact: DataFrame,
       ann: DataFrame): DataFrame = {
     val hits = exact.select("qd", "cd")
       .join(ann.select("qd", "cd"), Seq("qd", "cd"))
@@ -130,7 +133,7 @@ object Round13 {
   /** Exact maxsim top-5 per query doc (qd, cd) from the shared
     * maxsim_ex artifact, optionally over surviving candidate docs only
     * (the takedown truth — filter BEFORE the rank). */
-  private def mvExactTop5(s: SparkSession, dir: String,
+  private[queries] def mvExactTop5(s: SparkSession, dir: String,
       keepDocs: Option[DataFrame] = None): DataFrame = {
     val ms0 = Round11b.maxsimExact(s, dir)
     val ms = keepDocs.foldLeft(ms0) { (d, kset) =>
@@ -167,7 +170,7 @@ object Round13 {
         mvAvgSql("takedown", s"nl${nl}np$np", "exrt", s"t${nl}_${np}annr") })
       .mkString(" UNION ALL ")
     s"""WITH ${Round11b.maxsimBaseSql},
-      $mvSq8Sql,
+      ${mvSq8Sql()},
       $standing,
       $serves,
       $exrt,
@@ -717,7 +720,7 @@ object Round13 {
     * from q334's measured (16, 2) point), and the standing cell/code
     * artifacts at the advised nlist (labels carry the dial — at
     * sf0.01 the 16-cell artifacts are byte-shared with q334's). */
-  private def mvAdvisedSetup(s: SparkSession, dir: String):
+  private[queries] def mvAdvisedSetup(s: SparkSession, dir: String):
       (DataFrame, DataFrame, DataFrame, DataFrame, Long, Long) = {
     graft.plans.NativeExpressions.register(s)
     val tok = t(s, dir, "embeddings").select(
@@ -770,7 +773,7 @@ object Round13 {
           .orderBy("qd")
       },
       Some(s"""WITH ${Round11b.maxsimBaseSql},
-      $mvSq8Sql,
+      ${mvSq8Sql()},
       ${mvDialsSql("tok", measNp = 2)},
       ${mvStandingSql("(SELECT nlist FROM mvnl)", "g")},
       ${mvServeAnnrSql("g", "(SELECT np FROM mvnp)", m = 10, p = "a")}
@@ -812,7 +815,7 @@ object Round13 {
           .orderBy("sel", "dial", "qd")
       },
       Some(s"""WITH ${Round11b.maxsimBaseSql},
-      $mvSq8Sql,
+      ${mvSq8Sql()},
       ${mvDialsSql("tok", measNp = 2)},
       ${mvStandingSql("(SELECT nlist FROM mvnl)", "g")},
       exrt AS MATERIALIZED (SELECT qd, cd FROM (SELECT qd, cd,

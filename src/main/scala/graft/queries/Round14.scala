@@ -96,6 +96,100 @@ object Round14 {
   private[queries] val ShiftSql =
     s"translate(text, '$ShiftFrom', '$ShiftTo')"
 
+  // ---- q353: token-index drift oracle generators (the q349 world
+  // convention on the TOKEN index; all parameterized by world table) ----
+
+  private val Dim64 = "(SELECT unnest(range(1, 65)) AS i) i"
+
+  /** Exact maxsim of world `tb` (doc, tid, e): emits `<p>ms` (qd, cd,
+    * score — exact BIGINT micro-cos maxsim) and `<p>exr` (top-5). */
+  private[queries] def mvWorldMsSql(tb: String, p: String): String =
+    s"""${p}mpc AS MATERIALIZED (SELECT q.doc AS qd, c.doc AS cd, q.tid AS qt,
+        CAST(round(SUM(CAST(q.e[i.i] AS DOUBLE) * CAST(c.e[i.i] AS DOUBLE))
+          / (sqrt(ANY_VALUE(list_sum(list_transform(q.e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+           * sqrt(ANY_VALUE(list_sum(list_transform(c.e, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))))
+          * 1000000) AS BIGINT) AS mc
+      FROM (SELECT * FROM $tb WHERE doc < 10) q, $tb c, $Dim64
+      WHERE c.doc <> q.doc GROUP BY 1, 2, 3, c.tid),
+      ${p}ms AS MATERIALIZED (SELECT qd, cd, CAST(SUM(mx) AS BIGINT) AS score FROM (
+        SELECT qd, cd, qt, MAX(mc) AS mx FROM ${p}mpc GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      ${p}exr AS MATERIALIZED (SELECT qd, cd FROM (SELECT qd, cd,
+        row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd) AS rnk
+      FROM ${p}ms) WHERE rnk <= 5)"""
+
+  /** World centroid vectors at the STANDING centroid token ids (`cids`
+    * CTE, tid column): the centroid SET survives a re-embedding, its
+    * vectors are a lookup. Emits `<p>cent`. */
+  private def mvCentsSql(tb: String, p: String): String =
+    s"""${p}cent AS MATERIALIZED (SELECT c.tid AS centroid_id, t.e AS centroid
+      FROM cids c JOIN $tb t ON c.tid = t.tid)"""
+
+  /** Rounded-dot rank assignment of world `tb` tokens to `<centP>cent`
+    * (r <= keepE kept; slice r = 1 for cells, r <= np for probes). */
+  private def mvAssignSql(tb: String, centP: String, out: String,
+      keepE: String): String =
+    s"""$out AS MATERIALIZED (SELECT tid, centroid_id, r FROM (SELECT tid, centroid_id,
+        row_number() OVER (PARTITION BY tid ORDER BY d DESC, centroid_id) AS r
+      FROM (SELECT t.tid, c.centroid_id,
+          round(SUM(CAST(t.e[i.i] AS DOUBLE) * CAST(c.centroid[i.i] AS DOUBLE)), 6) AS d
+        FROM $tb t, ${centP}cent c, $Dim64
+        GROUP BY 1, 2)) WHERE r <= ($keepE))"""
+
+  /** One PLAID serve of world `tb` from SUPPLIED assignments: probe
+    * ranks `qa` (tid, centroid_id, r) sliced at npE, corpus cells `ca`
+    * (tid, centroid_id), world codes `sq8`, exact rerank against the
+    * world's `ms`. Emits `<p>annr` (qd, cd top-5). */
+  private def mvServeFromSql(tb: String, qa: String, ca: String,
+      sq8: String, ms: String, npE: String, m: Int, p: String): String =
+    s"""${p}cd AS MATERIALIZED (SELECT DISTINCT q.doc AS qd, c.tid // 4 AS cd
+      FROM $qa qa JOIN $tb q ON qa.tid = q.tid AND q.doc < 10
+      JOIN $ca ca ON qa.centroid_id = ca.centroid_id
+      JOIN $tb c ON ca.tid = c.tid
+      WHERE qa.r <= ($npE) AND q.doc <> c.tid // 4),
+      ${p}capx AS MATERIALIZED (SELECT x.qd, x.cd, q.tid AS qt,
+          MAX(CAST(list_sum(list_transform(range(1, 65), i -> qs.qc[i] * cs.qc[i])) AS BIGINT)
+            * cs.rc) AS amx
+        FROM ${p}cd x JOIN $tb q ON q.doc = x.qd JOIN $tb c ON c.doc = x.cd
+        JOIN $sq8 qs ON q.tid = qs.tid JOIN $sq8 cs ON c.tid = cs.tid
+        GROUP BY 1, 2, 3),
+      ${p}pool AS (SELECT qd, cd FROM (SELECT qd, cd,
+          row_number() OVER (PARTITION BY qd ORDER BY ascore DESC, cd) AS pr
+        FROM (SELECT qd, cd, CAST(SUM(amx) AS BIGINT) AS ascore
+          FROM ${p}capx GROUP BY 1, 2)) WHERE pr <= $m),
+      ${p}annr AS (SELECT qd, cd FROM (SELECT pl.qd, pl.cd,
+          row_number() OVER (PARTITION BY pl.qd ORDER BY ms.score DESC, pl.cd) AS rnk
+        FROM ${p}pool pl JOIN $ms ms ON pl.qd = ms.qd AND pl.cd = ms.cd)
+      WHERE rnk <= 5)"""
+
+  /** ONE warm Lloyd round over world `tb`'s quantized token coords,
+    * seeded from the standing centroid tokens' world coords (the q341
+    * q225 kernel at token level): emits `<p>ra1` (tid, centroid_id —
+    * the recentered cells) and `<p>qa1` (query-token probe ranks by
+    * int64 L2, r kept to nlist — sliced per serve). */
+  private def mvLloydSql(tb: String, nlistE: String, p: String): String =
+    s"""${p}cq AS MATERIALIZED (SELECT tid, i.i AS i,
+        CAST(FLOOR(CAST(e[i.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+      FROM $tb, $Dim64),
+      ${p}ctq AS (SELECT c.tid AS ccid, q.i, q.x AS c
+        FROM cids c JOIN ${p}cq q ON c.tid = q.tid),
+      ${p}ld AS (SELECT cq.tid, c.ccid, SUM((cq.x - c.c) * (cq.x - c.c)) AS dist
+        FROM ${p}cq cq JOIN ${p}ctq c USING (i) GROUP BY 1, 2),
+      ${p}la AS (SELECT tid, ccid FROM (SELECT tid, ccid,
+          row_number() OVER (PARTITION BY tid ORDER BY dist, ccid) AS rn
+        FROM ${p}ld) WHERE rn = 1),
+      ${p}c1 AS MATERIALIZED (SELECT la.ccid, cq.i,
+          CAST(FLOOR(CAST(SUM(cq.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM ${p}cq cq JOIN ${p}la la ON cq.tid = la.tid GROUP BY 1, 2),
+      ${p}rd AS MATERIALIZED (SELECT cq.tid, c.ccid, SUM((cq.x - c.c) * (cq.x - c.c)) AS dist
+        FROM ${p}cq cq JOIN ${p}c1 c USING (i) GROUP BY 1, 2),
+      ${p}ra1 AS MATERIALIZED (SELECT tid, ccid AS centroid_id FROM (
+        SELECT tid, ccid, row_number() OVER (PARTITION BY tid ORDER BY dist, ccid) AS rn
+        FROM ${p}rd) WHERE rn = 1),
+      ${p}qa1 AS MATERIALIZED (SELECT tid, centroid_id, r FROM (
+        SELECT rd.tid, rd.ccid AS centroid_id,
+          row_number() OVER (PARTITION BY rd.tid ORDER BY rd.dist, rd.ccid) AS r
+        FROM ${p}rd rd WHERE rd.tid // 4 < 10) WHERE r <= ($nlistE))"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- drift-triggered refresh for the ingest pipeline's model --------
@@ -306,6 +400,313 @@ object Round14 {
         UNION ALL
         SELECT 'shift', 'fullretrain', (SELECT n FROM nhf), (SELECT n FROM na),
           CAST((SELECT n FROM nhf) AS DOUBLE) / (SELECT n FROM na))
-      ORDER BY sel, dial"""))
+      ORDER BY sel, dial""")),
+
+    // ---- drift response for the TOKEN index ------------------------------
+    // q349 closed the drift loop on the graph family; a re-embedding
+    // also invalidates the multi-vector family's token cells (q346/
+    // q348's standing artifacts). Trigger: ASSIGNMENT churn — tokens
+    // whose rank-1 cell changed between the standing cells and the
+    // new world's (one bounded nTok·nlist scan, exact BIGINT); the
+    // SQ8 codes re-encode row-locally under EVERY response (no
+    // codebook — the family's structural advantage, q341's lesson).
+    // Same two worlds as q349 (reversal isometry / half-zero
+    // collapse), same advised dials as q346. DuckDB sweep (both SFs,
+    // BEFORE wiring): iso churn 0 and the kept-cells serve reads
+    // exactly q346's standing recall (0.98/0.96 — the isometry proof
+    // measured); trunc churn fires at 0.62/0.65 — yet at the ADVISED
+    // np the stale cells serve 0.96/0.92 ≥ recentered 0.96/0.90: the
+    // PLAID serve is drift-ROBUST (candidate generation is a UNION
+    // over query tokens × probed cells; the m-pool exact rerank
+    // absorbs cell noise) — the measured decision is KEEP, the honest
+    // negative mirroring q349 where the same drift forces graph
+    // repair. The cells DO bind at the np=1 screening rung: stale
+    // 0.78 vs recentered 0.84 at sf0.1 — there adviseTokenDrift flips
+    // to RECENTER (one warm Lloyd round, the q341 kernel at token
+    // level) while sf0.01's 0.86/0.84 keeps — the decision flips by
+    // integer admissibility across rung AND scale. Rebuild (fresh
+    // dot-assignment) never beats recenter (0.84/0.84) — the
+    // re-stitch-is-skippable law again. Live serves: the iso kept
+    // serve and the decided trunc serve (stale cells at advised np);
+    // contrast serves, assignments, codes, truths, Lloyd layout are
+    // fixture artifacts.
+    "q353_llm_maxsim_drift_response" -> QueryDef(
+      (s, dir) => {
+        graft.plans.NativeExpressions.register(s)
+        import graft.operators.Similarity
+        import graft.util.FixtureArtifact
+        val (tok, cents, ca, _, nlist, np) = Round13.mvAdvisedSetup(s, dir)
+        def truncOf(c: String) = expr(s"transform(sequence(1, 64), " +
+          s"i -> IF(i <= 32, element_at($c, i), CAST(0.0 AS FLOAT)))")
+        val toki = tok.select(col("doc"), col("tid"),
+          reverse(col("e")).as("e"))
+        val tokt = tok.select(col("doc"), col("tid"),
+          truncOf("e").as("e"))
+        val nTok = tok.count()
+        val cidSet = cents.select(col("centroid_id").as("tid"))
+        def centsOf(w: DataFrame) = broadcast(
+          w.join(cidSet, Seq("tid"))
+            .select(col("tid").as("centroid_id"), col("e").as("centroid")))
+        val centsI = centsOf(toki); val centsT = centsOf(tokt)
+        def assignArt(w: DataFrame, cs: DataFrame, label: String) =
+          FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+            s"mvdrift_ca_${label}_n$nlist", params = Map("nlist" -> nlist))(
+            Similarity.assignToCentroids(w.select("tid", "e"), "tid", "e",
+              cs, nKeep = 1).select(col("tid"), col("centroid_id")))
+        val caI = assignArt(toki, centsI, "gwi")
+        val caT = assignArt(tokt, centsT, "gwt")
+        def movedOf(caW: DataFrame): Long =
+          ca.withColumnRenamed("centroid_id", "c0").join(caW, Seq("tid"))
+            .filter(col("c0") =!= col("centroid_id")).count()
+        val movedIso = movedOf(caI)
+        val movedTr = movedOf(caT)
+        require(2L * movedIso < nTok,
+          s"the isometric world must stay below the assignment-churn " +
+            s"threshold ($movedIso of $nTok tokens moved)")
+        require(2L * movedTr >= nTok,
+          s"the non-isometric world must fire the assignment-churn " +
+            s"threshold ($movedTr of $nTok tokens moved)")
+        def codesArt(w: DataFrame, label: String) =
+          FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+            s"mvdrift_sq8_$label")(
+            Similarity.sq8Codes(w.select("tid", "e"), "tid", "e"))
+        val codesI = codesArt(toki, "gwi")
+        val codesT = codesArt(tokt, "gwt")
+        def qtokOf(w: DataFrame) = w.filter(col("doc") < 10)
+          .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
+        def ctokOf(w: DataFrame) = w
+          .select(col("doc").as("cd"), col("tid").as("ct"), col("e").as("ce"))
+        // world exact maxsim truths (artifacts)
+        def exactArt(w: DataFrame, label: String): DataFrame =
+          FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+            s"mvdrift_ex5_$label") {
+            val q = qtokOf(w).withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+            val c = w.select(col("doc").as("cd"), col("e").as("ce"))
+              .withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+            val ms = c.join(broadcast(q), col("cd") =!= col("qd"))
+              .select(col("qd"), col("cd"), col("qt"),
+                round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
+                  * lit(1000000.0)).cast("long").as("mc"))
+              .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
+              .groupBy("qd", "cd").agg(sum("mx").as("score"))
+            val wx = org.apache.spark.sql.expressions.Window
+              .partitionBy("qd").orderBy(col("score").desc, col("cd"))
+            ms.withColumn("rnk", row_number().over(wx))
+              .filter(col("rnk") <= 5).select("qd", "cd")
+          }
+        val exIso = exactArt(toki, "gwi")
+        val exTr = exactArt(tokt, "gwt")
+        // serves: cells × world; live = the iso kept serve and the
+        // decided trunc serve (stale cells, advised np); the rest warm
+        def serve(w: DataFrame, caX: DataFrame, codesX: DataFrame,
+            csX: DataFrame, npd: Int, label: String,
+            asArtifact: Boolean): DataFrame = {
+          def run: DataFrame = Similarity.maxsimPlaidTopK(qtokOf(w),
+            ctokOf(w), caX, codesX, csX, np = npd, m = 10, k = 5)
+          if (asArtifact)
+            FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+              s"mvdrift_${label}_np$npd",
+              params = Map("np" -> npd.toLong, "m" -> 10L, "k" -> 5L))(run)
+          else {
+            val out = graft.util.Scratch.dir(s"q353_$label")
+            run.write.mode("overwrite").parquet(out)
+            s.read.parquet(out)
+          }
+        }
+        val kept = serve(toki, ca, codesI, centsI, np.toInt, "kept",
+          asArtifact = false)
+        val keptNp1 = serve(toki, ca, codesI, centsI, 1, "kept",
+          asArtifact = true)
+        val stale = serve(tokt, ca, codesT, centsT, np.toInt, "stale",
+          asArtifact = false)
+        val staleNp1 = serve(tokt, ca, codesT, centsT, 1, "stale",
+          asArtifact = true)
+        val rebuilt = serve(tokt, caT, codesT, centsT, np.toInt, "reb",
+          asArtifact = true)
+        val rebuiltNp1 = serve(tokt, caT, codesT, centsT, 1, "reb",
+          asArtifact = true)
+        // recentered: one warm Lloyd round (the q341 kernel) over the
+        // new-world token coords, seeded from the standing centroid
+        // tokens' new coords; serves from the recentered assignments
+        val ra1 = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+          s"mvdrift_lloyd_ra1_gwt_n$nlist",
+          params = Map("nlist" -> nlist)) {
+          val corpusW = tokt.select(col("tid").as("cid"), col("e").as("ce"))
+          val seed = Round12.quantC(
+              tokt.join(cidSet, Seq("tid")).select(col("tid").as("cid"),
+                col("e").as("ce")), "cid", "ce")
+            .select(col("cid").as("ccid"), col("i"), col("x").as("c"))
+          Round12.lloydWarmRetrain(corpusW, seed)._2
+            .select(col("cid").as("tid"), col("ccid").as("centroid_id"))
+        }
+        val c1 = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+          s"mvdrift_lloyd_c1_gwt_n$nlist",
+          params = Map("nlist" -> nlist)) {
+          val corpusW = tokt.select(col("tid").as("cid"), col("e").as("ce"))
+          val seed = Round12.quantC(
+              tokt.join(cidSet, Seq("tid")).select(col("tid").as("cid"),
+                col("e").as("ce")), "cid", "ce")
+            .select(col("cid").as("ccid"), col("i"), col("x").as("c"))
+          Round12.lloydWarmRetrain(corpusW, seed)._1
+        }
+        def recServe(npd: Int): DataFrame =
+          FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+            s"mvdrift_rec_np$npd",
+            params = Map("np" -> npd.toLong, "m" -> 10L, "k" -> 5L)) {
+            val qcq = Round12.quantC(tokt.filter(col("doc") < 10)
+              .select(col("tid").as("cid"), col("e").as("ce")), "cid", "ce")
+            val wq = org.apache.spark.sql.expressions.Window
+              .partitionBy("cid").orderBy(col("dist"), col("ccid"))
+            val qa = qcq.join(broadcast(c1), Seq("i"))
+              .groupBy("cid", "ccid")
+              .agg(sum((col("x") - col("c")) * (col("x") - col("c")))
+                .as("dist"))
+              .withColumn("r", row_number().over(wq))
+              .filter(col("r") <= npd)
+              .select(col("cid").as("qt"), col("ccid").as("centroid_id"))
+            Similarity.maxsimPlaidTopKFrom(qtokOf(tokt), ctokOf(tokt),
+              qa, ra1, codesT, m = 10, k = 5)
+          }
+        val rec = recServe(np.toInt)
+        val recNp1 = recServe(1)
+        // the decision at both rungs from measured hits (1-row scalars
+        // over materialized serves — plan-choice class)
+        val nq = exTr.select("qd").distinct().count()
+        def hits(ann: DataFrame): Long =
+          exTr.join(ann, Seq("qd", "cd")).count()
+        val (stH, rcH, rbH) = (hits(stale), hits(rec), hits(rebuilt))
+        val (stH1, rcH1, rbH1) =
+          (hits(staleNp1), hits(recNp1), hits(rebuiltNp1))
+        def code(d: String): Long = d match {
+          case "keep" => 0L; case "recenter" => 1L; case _ => 2L }
+        val decAdv = IndexAdvisor.adviseTokenDrift(movedTr, nTok,
+          stH, rcH, rbH, nq)
+        val decNp1 = IndexAdvisor.adviseTokenDrift(movedTr, nTok,
+          stH1, rcH1, rbH1, nq)
+        import s.implicits._
+        val stats = Seq(
+          ("iso", "tchurn", -1L, movedIso, movedIso.toDouble / nTok),
+          ("trunc", "tchurn", -1L, movedTr, movedTr.toDouble / nTok),
+          ("trunc", "decide_adv", -1L, code(decAdv),
+            (rcH - stH).toDouble / (5.0 * nq)),
+          ("trunc", "decide_np1", -1L, code(decNp1),
+            (rcH1 - stH1).toDouble / (5.0 * nq)))
+          .toDF("sel", "dial", "qd", "n_hits", "recall")
+        stats
+          .unionByName(Round13.mvTaggedRecall("iso", "kept", exIso, kept))
+          .unionByName(Round13.mvTaggedRecall("iso", "kept_np1", exIso,
+            keptNp1))
+          .unionByName(Round13.mvTaggedRecall("trunc", "stale", exTr, stale))
+          .unionByName(Round13.mvTaggedRecall("trunc", "stale_np1", exTr,
+            staleNp1))
+          .unionByName(Round13.mvTaggedRecall("trunc", "recentered", exTr,
+            rec))
+          .unionByName(Round13.mvTaggedRecall("trunc", "recentered_np1",
+            exTr, recNp1))
+          .unionByName(Round13.mvTaggedRecall("trunc", "rebuilt", exTr,
+            rebuilt))
+          .unionByName(Round13.mvTaggedRecall("trunc", "rebuilt_np1", exTr,
+            rebuiltNp1))
+          .orderBy("sel", "dial", "qd")
+      },
+      Some(s"""WITH tok AS MATERIALIZED (SELECT vec_id // 4 AS doc,
+        vec_id AS tid, embedding AS e FROM embeddings),
+      toki AS MATERIALIZED (SELECT doc, tid, list_reverse(e) AS e FROM tok),
+      tokt AS MATERIALIZED (SELECT doc, tid, list_transform(range(1, 65),
+          i -> CASE WHEN i <= 32 THEN e[i] ELSE CAST(0.0 AS FLOAT) END) AS e
+        FROM tok),
+      ${Round13.mvDialsSql("tok", measNp = 2)},
+      cids AS MATERIALIZED (SELECT tid FROM (SELECT tid,
+          row_number() OVER (ORDER BY tid) AS rn FROM tok)
+        WHERE rn <= (SELECT nlist FROM mvnl)),
+      ${mvCentsSql("tok", "b")},
+      ${mvAssignSql("tok", "b", "bca0", "1")},
+      bca AS (SELECT tid, centroid_id FROM bca0),
+      ${mvCentsSql("toki", "wi")},
+      ${mvCentsSql("tokt", "wt")},
+      ${mvAssignSql("toki", "wi", "ica0", "1")},
+      ${mvAssignSql("tokt", "wt", "tca0", "1")},
+      mvi AS (SELECT COUNT(*) AS moved FROM bca JOIN ica0
+        ON bca.tid = ica0.tid AND bca.centroid_id <> ica0.centroid_id),
+      mvt AS (SELECT COUNT(*) AS moved FROM bca JOIN tca0
+        ON bca.tid = tca0.tid AND bca.centroid_id <> tca0.centroid_id),
+      nt AS (SELECT COUNT(*) AS n FROM tok),
+      ${mvWorldMsSql("toki", "i")},
+      ${Round13.mvSq8Sql("toki", "isq8")},
+      ${mvWorldMsSql("tokt", "t")},
+      ${Round13.mvSq8Sql("tokt", "tsq8")},
+      ${mvAssignSql("toki", "wi", "iqa", "(SELECT nlist FROM mvnl)")},
+      ${mvAssignSql("tokt", "wt", "tqa", "(SELECT nlist FROM mvnl)")},
+      tca AS (SELECT tid, centroid_id FROM tca0),
+      ${mvServeFromSql("toki", "iqa", "bca", "isq8", "ims",
+        "(SELECT np FROM mvnp)", 10, "ki")},
+      ${mvServeFromSql("toki", "iqa", "bca", "isq8", "ims", "1", 10, "k1")},
+      ${mvServeFromSql("tokt", "tqa", "bca", "tsq8", "tms",
+        "(SELECT np FROM mvnp)", 10, "st")},
+      ${mvServeFromSql("tokt", "tqa", "bca", "tsq8", "tms", "1", 10, "s1")},
+      ${mvServeFromSql("tokt", "tqa", "tca", "tsq8", "tms",
+        "(SELECT np FROM mvnp)", 10, "rb")},
+      ${mvServeFromSql("tokt", "tqa", "tca", "tsq8", "tms", "1", 10, "r1")},
+      ${mvLloydSql("tokt", "(SELECT nlist FROM mvnl)", "ll")},
+      ${mvServeFromSql("tokt", "llqa1", "llra1", "tsq8", "tms",
+        "(SELECT np FROM mvnp)", 10, "rc")},
+      ${mvServeFromSql("tokt", "llqa1", "llra1", "tsq8", "tms", "1",
+        10, "c1")},
+      qn AS (SELECT COUNT(DISTINCT qd) AS nq FROM texr),
+      hs AS (SELECT
+        (SELECT COUNT(*) FROM texr JOIN stannr USING (qd, cd)) AS st,
+        (SELECT COUNT(*) FROM texr JOIN rcannr USING (qd, cd)) AS rc,
+        (SELECT COUNT(*) FROM texr JOIN rbannr USING (qd, cd)) AS rb,
+        (SELECT COUNT(*) FROM texr JOIN s1annr USING (qd, cd)) AS st1,
+        (SELECT COUNT(*) FROM texr JOIN c1annr USING (qd, cd)) AS rc1,
+        (SELECT COUNT(*) FROM texr JOIN r1annr USING (qd, cd)) AS rb1)
+      SELECT * FROM (
+        SELECT 'iso' AS sel, 'tchurn' AS dial, CAST(-1 AS BIGINT) AS qd,
+          CAST((SELECT moved FROM mvi) AS BIGINT) AS n_hits,
+          CAST((SELECT moved FROM mvi) AS DOUBLE) / (SELECT n FROM nt) AS recall
+        UNION ALL
+        SELECT 'trunc', 'tchurn', -1, (SELECT moved FROM mvt),
+          CAST((SELECT moved FROM mvt) AS DOUBLE) / (SELECT n FROM nt)
+        UNION ALL
+        SELECT 'trunc', 'decide_adv', -1,
+          CAST(CASE WHEN 2 * (SELECT moved FROM mvt) < (SELECT n FROM nt) THEN 0
+            WHEN 10 * ((SELECT rc FROM hs) - (SELECT st FROM hs)) <= (SELECT nq FROM qn) THEN 0
+            WHEN 10 * ((SELECT rb FROM hs) - (SELECT rc FROM hs)) <= (SELECT nq FROM qn) THEN 1
+            ELSE 2 END AS BIGINT),
+          CAST((SELECT rc FROM hs) - (SELECT st FROM hs) AS DOUBLE)
+            / (5.0 * (SELECT nq FROM qn))
+        UNION ALL
+        SELECT 'trunc', 'decide_np1', -1,
+          CAST(CASE WHEN 2 * (SELECT moved FROM mvt) < (SELECT n FROM nt) THEN 0
+            WHEN 10 * ((SELECT rc1 FROM hs) - (SELECT st1 FROM hs)) <= (SELECT nq FROM qn) THEN 0
+            WHEN 10 * ((SELECT rb1 FROM hs) - (SELECT rc1 FROM hs)) <= (SELECT nq FROM qn) THEN 1
+            ELSE 2 END AS BIGINT),
+          CAST((SELECT rc1 FROM hs) - (SELECT st1 FROM hs) AS DOUBLE)
+            / (5.0 * (SELECT nq FROM qn))
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'iso'", "'kept'", "iexr",
+          "kiannr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'iso'", "'kept_np1'", "iexr",
+          "k1annr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'trunc'", "'stale'", "texr",
+          "stannr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'trunc'", "'stale_np1'", "texr",
+          "s1annr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'trunc'", "'recentered'",
+          "texr", "rcannr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'trunc'", "'recentered_np1'",
+          "texr", "c1annr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'trunc'", "'rebuilt'", "texr",
+          "rbannr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'trunc'", "'rebuilt_np1'",
+          "texr", "r1annr")}))
+      ORDER BY sel, dial, qd"""))
   )
 }

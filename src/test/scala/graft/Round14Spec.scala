@@ -50,6 +50,46 @@ class Round14Spec extends SparkTestBase {
     assert(!fa.sameElements(fb))
   }
 
+  test("adviseTokenDrift: keep on low churn OR when recentering buys <= 0.02") {
+    import graft.operators.IndexAdvisor.adviseTokenDrift
+    // below the churn threshold -> keep, regardless of measured hits
+    assert(adviseTokenDrift(0L, 2000L, 0L, 50L, 50L, 10L) == "keep")
+    assert(adviseTokenDrift(999L, 2000L, 30L, 50L, 50L, 10L) == "keep")
+    // fired but recentering doesn't pay > 0.02 (the advised-rung sweep:
+    // stale 46 >= recentered 45 hits at sf0.1) -> keep (re-encode only)
+    assert(adviseTokenDrift(1291L, 2000L, 46L, 45L, 45L, 10L) == "keep")
+    assert(adviseTokenDrift(1291L, 2000L, 45L, 46L, 46L, 10L) == "keep")
+    // the np=1 screening rung at sf0.1: stale 39, recentered 42 -> recenter
+    assert(adviseTokenDrift(1291L, 2000L, 39L, 42L, 42L, 10L) == "recenter")
+    // rebuild only past another 0.02 margin over recenter
+    assert(adviseTokenDrift(1291L, 2000L, 39L, 42L, 44L, 10L) == "rebuild")
+    assert(adviseTokenDrift(1291L, 2000L, 39L, 42L, 43L, 10L) == "recenter")
+  }
+
+  test("maxsimPlaidTopKFrom == maxsimPlaidTopK at the same assignments") {
+    import graft.operators.Similarity
+    graft.plans.NativeExpressions.register(spark)
+    val tok = sources.Tables.load(spark, sf, "embeddings")
+      .select(expr("vec_id div 4").as("doc"), col("vec_id").as("tid"),
+        col("embedding").as("e"))
+    val qtok = tok.filter(col("doc") < 4)
+      .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
+    val ctok = tok.select(col("doc").as("cd"), col("tid").as("ct"),
+      col("e").as("ce"))
+    val cents = broadcast(tok.orderBy("tid").limit(16)
+      .select(col("tid").as("centroid_id"), col("e").as("centroid")))
+    val ca = Similarity.assignToCentroids(tok.select("tid", "e"), "tid",
+      "e", cents, nKeep = 1).select("tid", "centroid_id")
+    val codes = Similarity.sq8Codes(tok.select("tid", "e"), "tid", "e")
+    val a = Similarity.maxsimPlaidTopK(qtok, ctok, ca, codes, cents,
+      np = 2, m = 10, k = 5).orderBy("qd", "cd").collect()
+    val qa = Similarity.assignToCentroids(qtok.select("qt", "qe"), "qt",
+      "qe", cents, nKeep = 2).select(col("qt"), col("centroid_id"))
+    val b = Similarity.maxsimPlaidTopKFrom(qtok, ctok, qa, ca, codes,
+      m = 10, k = 5).orderBy("qd", "cd").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("dsirScore drops docs with zero known features (the q350 rule)") {
     val feats = Seq((1L, "en", 10L), (1L, "en", 11L), (2L, "en", 99L))
       .toDF("doc_id", "lang", "f")
