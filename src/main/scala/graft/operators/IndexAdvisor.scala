@@ -625,6 +625,98 @@ object IndexAdvisor {
     else "rebuild"
   }
 
+  /** Append-only packing compaction decision (q354). Every q350 ingest
+    * cycle rounds its append origin up to the next 2048-token sequence
+    * boundary, so N cycles strand up to N·2047 tokens of padding.
+    * Inputs are exact token counts: `padTokens` (boundary padding
+    * inside the appended span) and `spanTokens` (the whole appended
+    * span, padding + data). Compact — re-pack ONLY the appended tail
+    * from the first post-base boundary; base rows stay byte-identical
+    * (the q321 delete+compact precedent applied to packing) — iff the
+    * padding is at least a quarter of the span (4·pad >= span). The
+    * round-14 fixtures measure 0.96/0.72 waste (fires at both SFs);
+    * padding is bounded by cycles·2047 while appended data grows with
+    * the corpus, so the decision flips to keep at the 100× probe —
+    * by integer admissibility, never by a fixture constant. */
+  def advisePackCompaction(padTokens: Long, spanTokens: Long): String = {
+    require(padTokens >= 0 && spanTokens >= padTokens)
+    if (spanTokens > 0 && 4L * padTokens >= spanTokens) "compact" else "keep"
+  }
+
+  /** Maxsim-workload serving family under the unified budgets (q356) —
+    * the multi-vector family finally competing on the q328 axes
+    * against pooled single-vector serving of the SAME corpus. Exact
+    * BIGINT cost models, both replayed in SQL:
+    *
+    *   - token-PLAID: resident = cells + SQ8 codes + rescale ≈
+    *     76 B/token (8 cell + 64 code + 4 rc); candidates/query =
+    *     tokPerDoc·np·(nTok div nlist) ADC'd cell-list tokens +
+    *     tokPerDoc²·10 exact rerank pairs (the q346 m=10 pool).
+    *   - pooled-SQ8-shaped single vector (mean of the doc's tokens in
+    *     exact int64 coords): resident ≈ 72 B/doc — a tokPerDoc×
+    *     shrink; candidates/query = nDoc brute pooled dots +
+    *     tokPerDoc²·mPool exact rerank pairs, where the pool the
+    *     containment needs GROWS as a corpus fraction (the round-14
+    *     sweep: m = max(20, 2·nDoc/5) holds 0.96/0.98 where fixed
+    *     m=40 reads 0.940/0.580) — pooling is cheap to hold but
+    *     expensive to trust.
+    *
+    * Decision (the q328/q351 tiers, exact integers then the advice-
+    * fixed tie-breaks): admissible = bytes ≤ memoryBudget AND cand ≤
+    * candidateBudget; among admissible with rec ≥ target take min
+    * (cand, −rec, family); else among admissible take min (−rec,
+    * cand, family); no admissible row is a require-pinned scenario
+    * (the caller fails loudly). At the fixtures: sf0.01 both fit the
+    * 60 kB window and the TOKEN index wins the candidate tier (408 vs
+    * 925 — the pooled arm's corpus-fraction rerank is the bigger
+    * cost); sf0.1 the token index is EVICTED BY ITS OWN BYTES
+    * (152 kB > 60 kB) and the family flips to pooled (36 kB, 0.98
+    * measured) — each scale evicts a different family on a different
+    * axis. */
+  def adviseMaxsimServing(measured: Seq[RecallRow], targetRecall: Double,
+      candidateBudget: Long, memoryBudgetBytes: Long): RecallRow = {
+    require(measured.nonEmpty && candidateBudget > 0 &&
+      memoryBudgetBytes > 0)
+    val adm = measured.filter(r => r.params("bytes") <= memoryBudgetBytes
+      && r.params("cand") <= candidateBudget)
+    require(adm.nonEmpty,
+      s"no maxsim serving family fits the budgets (bytes <= " +
+        s"$memoryBudgetBytes, cand <= $candidateBudget): $measured")
+    val above = adm.filter(_.recall >= targetRecall)
+    if (above.nonEmpty)
+      above.minBy(r => (r.params("cand"), -r.recall, r.family))
+    else adm.minBy(r => (-r.recall, r.params("cand"), r.family))
+  }
+
+  /** Budgeted lexical-arm rung (q355) — the candidate budget finally
+    * binding on the hybrid node's lexical half. The serve walks each
+    * query's terms in GLOBAL RARITY order (df ASC, term ASC — the
+    * MaxScore/WAND processing order: the rarest term is both the
+    * cheapest posting list AND the highest-impact one), ranks a
+    * bounded pool by the partial score over the walked prefix, and
+    * exact-reranks the pool. `costs(T-1)` is the worst-query posting
+    * cost of prefix length T: max over queries of
+    * walk(q, min(T, nTerms(q))) + poolM·nTerms(q) — walked postings
+    * plus the pool rerank bound, exact BIGINT from the standing df
+    * table. tStar = the LARGEST admissible prefix (integer
+    * admissibility, the q323 doctrine); when tStar covers every
+    * query's whole term list the serve IS exact BM25 (one code path —
+    * the pool is ranked by the full score, so the top-20 equals the
+    * exact top-20 and the decision reads "exact"). If not even T=1
+    * fits the budget, the floor serve (T=1) runs and the decision
+    * still reads "pruned" — the honest below-budget answer, never an
+    * inflated dial. Round-14 sweep at budget 90000: sf0.01 full walk
+    * 16503 → exact (arm 1.000, fused 1.000); sf0.1 full walk 117955 →
+    * tStar=21 of 29 (cost 86725, arm 0.940, fused 0.980 — RRF fusion
+    * absorbs most of the pruned arm's loss). */
+  def adviseLexicalPrefix(costs: Seq[Long], maxNqt: Int,
+      budget: Long): (Int, String) = {
+    require(costs.nonEmpty && costs.length == maxNqt && budget > 0)
+    val admissible = (1 to maxNqt).filter(t => costs(t - 1) <= budget)
+    val tStar = if (admissible.isEmpty) 1 else admissible.max
+    (tStar, if (tStar >= maxNqt) "exact" else "pruned")
+  }
+
   /** Token-index (multi-vector) drift response (q353) — the q349 loop
     * on the q346/q348 family. The trigger is ASSIGNMENT churn: tokens
     * whose rank-1 cell changed between the standing assignment and the

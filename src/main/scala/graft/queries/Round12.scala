@@ -840,8 +840,11 @@ object Round12 {
     * once and every query reads a flat scan), and the top-20 rank
     * table (qid, cid, rl) is itself an artifact (only rl <= 20 rows
     * are ever consumed by either query). */
-  private[queries] def bm25Lrank20(s: SparkSession,
-      dir: String): DataFrame = {
+  /** The standing BM25 inverted-index pieces — the (doc, term) tf
+    * table and doc lengths — as build-once fixture artifacts (shared
+    * by bm25Lrank20 and q355's impact index). */
+  private[queries] def bm25TfDl(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -852,6 +855,16 @@ object Round12 {
     val dl = graft.util.FixtureArtifact.parquet(s, dir,
       "documents.parquet", "bm25_dl")(
       tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    (tf, dl)
+  }
+
+  private[queries] def bm25Lrank20(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val (tf, dl) = bm25TfDl(s, dir)
     graft.util.FixtureArtifact.parquet(s, dir,
       "documents.parquet", "bm25_lrank20") {
       val stats = dl.agg(count(lit(1)).as("n_docs"),

@@ -656,17 +656,27 @@ object Round13 {
     * the append origin as a parameter (offBase = 0 reproduces q336's
     * base form; the appended slice passes the base layout's next
     * sequence boundary). */
-  private def pipeMixPack(td: DataFrame, offBase: Long): DataFrame = {
+  private[graft] def pipeMixPack(td: DataFrame, offBase: Long): DataFrame =
+    pipePack(pipeMix(td), offBase)
+
+  /** The q331 half-share mix stage alone (doc_id, lang, tok, hsh). */
+  private[graft] def pipeMix(td: DataFrame): DataFrame = {
     val bud = broadcast(td
       .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
       .select(expr("tt div (2 * dd)").as("bud"))
       .withColumn("one", lit(1)))
-    val mixed = graft.operators.Ranks.runningSumsBinned(td, "lang",
+    graft.operators.Ranks.runningSumsBinned(td, "lang",
         "hsh", Seq("hsh", "doc_id"), Seq("tok"), bins = 32,
         hotThreshold = 1L)
       .withColumn("one", lit(1)).join(bud, Seq("one"))
       .filter(col("run_tok") - col("tok") < col("bud"))
       .select(col("doc_id"), col("lang"), col("tok"), col("hsh"))
+  }
+
+  /** The q332 pack stage alone: offset assignment in global okey order
+    * from `offBase` — re-laying an already-mixed doc set re-runs
+    * EXACTLY this (q354's tail compaction). */
+  private[graft] def pipePack(mixed: DataFrame, offBase: Long): DataFrame = {
     val keyed = mixed.withColumn("okey",
       col("hsh") * lit(4294967296L) + col("doc_id"))
     graft.operators.Ranks.cumSums(keyed, "okey", Seq("tok"), bins = 64)

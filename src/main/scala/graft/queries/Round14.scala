@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.operators.IndexAdvisor
@@ -70,6 +71,170 @@ object Round14 {
     s"""$out AS (SELECT $qfh.doc_id,
         CAST(SUM(${m}wt.dlf) - COUNT(*) * (SELECT kk FROM ${m}kk) AS BIGINT) AS w_fx
       FROM $qfh JOIN ${m}wt ON $qfh.f = ${m}wt.f GROUP BY 1)"""
+
+  /** Token + Lehmer-hash accounting rows of the docs in `selCte`
+    * (q336's columns — the pack algebra's input). Emits `<out>`. */
+  private[queries] def dsirTdSql(docs: String, selCte: String,
+      out: String): String =
+    s"""$out AS MATERIALIZED (SELECT d.doc_id, d.lang,
+        CAST(len($DsirSplitTl) AS BIGINT) AS tok,
+        CAST((d.doc_id * 2654435761) % 1000003 AS BIGINT) AS hsh
+      FROM $docs d JOIN $selCte USING (doc_id))"""
+
+  /** q355's per-query posting budget — the q328 60 kB convention on
+    * the CANDIDATE axis: a serving node's fixed per-query I/O budget
+    * (postings walked + pool-rerank bound). The sf0.01 full term walk
+    * (16503) fits; sf0.1's (117955) does not — the corpus outgrows the
+    * SLO and the lexical arm flips exact → pruned by admissibility. */
+  private val LexBudget = 90000L
+
+  /** RRF fusion of a LEXICAL rank CTE (qid, cid, rl) with the exact
+    * vector ranks `vx` (the q344 dials: 1/(60+r) over each arm's
+    * top-20, top-5 by rrf DESC, cid) — Round12.rrfFuseSql with the
+    * lexical side parameterized instead of the vector side. Emits
+    * `<p>fused`. */
+  private def lexFuseSql(lexSrc: String, p: String): String =
+    s"""${p}fr AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+        COALESCE(l.cid, v.cid) AS cid,
+        (CASE WHEN l.rl IS NOT NULL THEN 1.0 / (60.0 + CAST(l.rl AS DOUBLE)) ELSE 0.0 END) +
+        (CASE WHEN v.rv IS NOT NULL THEN 1.0 / (60.0 + CAST(v.rv AS DOUBLE)) ELSE 0.0 END) AS rrf
+      FROM (SELECT qid, cid, rl FROM $lexSrc WHERE rl <= 20) l
+      FULL OUTER JOIN (SELECT qid, cid, rv FROM vx WHERE rv <= 20) v
+        ON l.qid = v.qid AND l.cid = v.cid),
+      ${p}fused AS (SELECT qid, cid FROM (SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rnk
+        FROM ${p}fr) WHERE rnk <= 5)"""
+
+  /** Sweep probe (q355): the prefix-rung grid — arm recall@20 and
+    * fused recall@5 at each swept T plus the worst-query cost table —
+    * run in DuckDB at both SFs BEFORE the Spark side was wired (the
+    * round-9 rule). The grid is how the 90000 budget and the
+    * T*=21-at-sf0.1 point were chosen. */
+  private[graft] def lexBudgetProbeSql: String = {
+    def serveAt(tE: String, p: String) =
+      s"""${p}pool AS MATERIALIZED (SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY ps DESC, cid) AS pr
+          FROM (SELECT q.qid, imp.doc_id AS cid,
+              round(list_reduce(list(tscore ORDER BY imp.term),
+                (a, x) -> a + x), 6) AS ps
+            FROM imp JOIN qord q ON imp.term = q.term
+            WHERE imp.doc_id <> q.qid AND q.tr <= ($tE)
+            GROUP BY 1, 2)) WHERE pr <= 200),
+        ${p}srv AS MATERIALIZED (SELECT qid, cid, rl FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, cid) AS rl
+          FROM (SELECT pp.qid, pp.cid,
+              round(list_reduce(list(tscore ORDER BY imp.term),
+                (a, x) -> a + x), 6) AS score
+            FROM ${p}pool pp JOIN imp ON imp.doc_id = pp.cid
+            JOIN qt2 ON qt2.qid = pp.qid AND qt2.term = imp.term
+            GROUP BY 1, 2)) WHERE rl <= 20),
+        ${lexFuseSql(s"${p}srv", p)}"""
+    val grid = Seq(("4", "x4"), ("12", "x12"), ("21", "x21"),
+      ("(SELECT m FROM mxq)", "xf"))
+    val serves = grid.map { case (tE, p) => serveAt(tE, p) }
+      .mkString(",\n      ")
+    val rows = grid.map { case (tE, p) =>
+      s"""SELECT 'T=' || CAST(LEAST($tE, (SELECT m FROM mxq)) AS VARCHAR) AS dial,
+        round(CAST((SELECT COUNT(*) FROM lr20 JOIN ${p}srv
+          ON lr20.qid = ${p}srv.qid AND lr20.cid = ${p}srv.cid) AS DOUBLE)
+          / (20.0 * 20), 3) AS arm,
+        round(CAST((SELECT COUNT(*) FROM tfused JOIN ${p}fused
+          ON tfused.qid = ${p}fused.qid AND tfused.cid = ${p}fused.cid)
+          AS DOUBLE) / (5.0 * 20), 3) AS fused,
+        (SELECT cost FROM ctt
+          WHERE t = LEAST($tE, (SELECT m FROM mxq))) AS worstcost"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""${Round6c.exactRecallCte},
+      ${Round12.bm25DocSql(20)},
+      ${Round13.hybVxSql},
+      imp AS MATERIALIZED (SELECT tf2.doc_id, tf2.term, dfv2.df,
+          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+          (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+          CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE))) AS tscore
+        FROM tf2 JOIN dfv2 USING (term)
+        JOIN dl2 ON tf2.doc_id = dl2.doc_id, st2),
+      qord AS MATERIALIZED (SELECT qid, term, df,
+          row_number() OVER (PARTITION BY qid ORDER BY df, term) AS tr
+        FROM qt2 JOIN dfv2 USING (term)),
+      lwk AS (SELECT qid, tr, CAST(SUM(df) OVER (PARTITION BY qid
+          ORDER BY tr) AS BIGINT) AS walk FROM qord),
+      lnq AS (SELECT qid, COUNT(*) AS nt FROM qord GROUP BY 1),
+      mxq AS (SELECT MAX(nt) AS m FROM lnq),
+      ctt AS (SELECT g.t, MAX(w.walk + 200 * n.nt) AS cost
+        FROM (SELECT unnest(range(1, (SELECT m FROM mxq) + 1)) AS t) g
+        JOIN lnq n ON TRUE
+        JOIN lwk w ON w.qid = n.qid AND w.tr = LEAST(g.t, n.nt)
+        GROUP BY 1),
+      lr20 AS (SELECT qid, cid, rl FROM lrank WHERE rl <= 20),
+      ${lexFuseSql("lr20", "t")},
+      $serves
+      $rows
+      ORDER BY dial"""
+  }
+
+  /** Sweep probe (q356): pooled-arm pool containment at the fixed
+    * m=40 vs the corpus-scaled m = max(20, 2·nDoc/5), plus the
+    * decision's exact cost/byte rows — the sweep that measured
+    * "pooling is cheap to hold but expensive to trust". */
+  private[graft] def mvPooledProbeSql: String =
+    s"""${Round11b.maxsimBaseSql},
+      ${Round13.mvDialsSql("tok", measNp = 2)},
+      mvdoc AS (SELECT COUNT(DISTINCT doc) AS nd FROM tok),
+      tpd AS (SELECT (SELECT nu FROM mvst) // (SELECT nd FROM mvdoc) AS t),
+      mpool AS (SELECT GREATEST(20, 2 * (SELECT nd FROM mvdoc) // 5) AS m),
+      pvq AS MATERIALIZED (SELECT doc, i.i AS i,
+          CAST(SUM(CAST(FLOOR(CAST(e[i.i] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS x
+        FROM tok, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      pn2 AS (SELECT doc, CAST(SUM(x * x) AS BIGINT) AS n2 FROM pvq
+        GROUP BY 1),
+      pdot AS MATERIALIZED (SELECT q.doc AS qd, c.doc AS cd,
+          CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+        FROM pvq q JOIN pvq c USING (i)
+        WHERE q.doc < 10 AND c.doc <> q.doc GROUP BY 1, 2),
+      ppr AS MATERIALIZED (SELECT qd, cd, row_number() OVER (
+          PARTITION BY qd ORDER BY pcos DESC, cd) AS pr
+        FROM (SELECT qd, cd, round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))),
+            6) AS pcos
+          FROM pdot JOIN pn2 qn ON qn.doc = pdot.qd
+          JOIN pn2 cn ON cn.doc = pdot.cd)),
+      r40 AS (SELECT qd, cd FROM (SELECT pl.qd, pl.cd, row_number() OVER (
+          PARTITION BY pl.qd ORDER BY ms.score DESC, pl.cd) AS rnk
+        FROM (SELECT qd, cd FROM ppr WHERE pr <= 40) pl
+        JOIN ms ON pl.qd = ms.qd AND pl.cd = ms.cd) WHERE rnk <= 5),
+      rsc AS (SELECT qd, cd FROM (SELECT pl.qd, pl.cd, row_number() OVER (
+          PARTITION BY pl.qd ORDER BY ms.score DESC, pl.cd) AS rnk
+        FROM (SELECT qd, cd FROM ppr WHERE pr <= (SELECT m FROM mpool)) pl
+        JOIN ms ON pl.qd = ms.qd AND pl.cd = ms.cd) WHERE rnk <= 5)
+      SELECT 'pooled_m40' AS dial, round(CAST((SELECT COUNT(*) FROM exr
+          JOIN r40 USING (qd, cd)) AS DOUBLE) / (5.0 * 10), 3) AS rec,
+        CAST(40 AS BIGINT) AS n
+      UNION ALL
+      SELECT 'pooled_mscaled', round(CAST((SELECT COUNT(*) FROM exr
+          JOIN rsc USING (qd, cd)) AS DOUBLE) / (5.0 * 10), 3),
+        (SELECT m FROM mpool)
+      UNION ALL
+      SELECT 'cand_token',
+        CAST((SELECT t FROM tpd) * (SELECT np FROM mvnp)
+          * ((SELECT nu FROM mvst) // (SELECT nlist FROM mvnl))
+          + (SELECT t FROM tpd) * (SELECT t FROM tpd) * 10 AS DOUBLE),
+        (SELECT nu FROM mvst) * 76
+      UNION ALL
+      SELECT 'cand_pooled',
+        CAST((SELECT nd FROM mvdoc) + (SELECT t FROM tpd)
+          * (SELECT t FROM tpd) * (SELECT m FROM mpool) AS DOUBLE),
+        (SELECT nd FROM mvdoc) * 72
+      ORDER BY dial"""
+
+  /** q356's serving-memory window — q328's 60 kB budget applied to the
+    * maxsim node: the token index (76 B/token) fits at nTok=500
+    * (38 kB) and is evicted by its own bytes at nTok=2000 (152 kB);
+    * the pooled single-vector layout (72 B/doc) fits at both. */
+  private val MvMemBudget = 60000L
 
   /** Top-quarter selection + threshold of a training-doc CTE under a
     * scored CTE (q327's rule, unscored docs at w_fx = 0). Emits
@@ -401,6 +566,606 @@ object Round14 {
         SELECT 'shift', 'fullretrain', (SELECT n FROM nhf), (SELECT n FROM na),
           CAST((SELECT n FROM nhf) AS DOUBLE) / (SELECT n FROM na))
       ORDER BY sel, dial""")),
+
+    // ---- pack-waste accounting + tail compaction -------------------------
+    // Every q350 ingest cycle rounds its append origin to the next
+    // 2048-token sequence boundary and reports NOTHING — N cycles
+    // strand up to N·2047 tokens of padding (the round-13 verdict's
+    // missing q193-style waste accounting). This row replays the
+    // frozen-model selection as three ingest cycles (the arriving
+    // selected docs split by hsh % 3 — deterministic arrival order),
+    // each mixed with its OWN half-share budget (the q350 increment
+    // contract) and packed append-only from the running boundary;
+    // emits the layout WITH waste rows (per-cycle padding, exact token
+    // counts — measured 0.96/0.72 of the appended span at the two SFs)
+    // and the advisePackCompaction decision (4·pad >= span; padding is
+    // bounded by cycles·2047 while data grows, so the decision flips
+    // to keep at the 100× probe by integer admissibility). The
+    // COMPACTED tail — the union of the cycles' mixed doc sets
+    // re-packed as ONE increment from the first post-base boundary,
+    // the pack stage alone re-run (pipePack), no re-mixing — is always
+    // measured (the q349 contrast convention): its rows ARE the
+    // from-scratch pack of the same doc set (the oracle replays
+    // exactly that — the hash compare IS the bit-identity proof), base
+    // rows untouched, and the waste_after row shows the reclaim (only
+    // the single base-edge pad survives). Scale shape: per-cycle mix/
+    // pack touch only that cycle's docs; compaction touches only the
+    // appended tail; base state is the q350 artifact set, byte-shared.
+    "q354_llm_pack_waste_compaction" -> QueryDef(
+      (s, dir) => {
+        import graft.util.Scratch
+        val (wt, kkA, selB, packBase) = Round13.pipeBaseState(s, dir)
+        val kk = kkA.head().getLong(0)
+        val theta = selB.agg(min("w_fx")).head().getLong(0)
+        val bend = packBase.agg(coalesce(sum("tok"), lit(0L)))
+          .head().getLong(0)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val arr = docs.filter(expr(Round13.PipeStreamPred))
+        val selArr = Round13.dsirScore(Round13.pipeFeats(arr), wt, kk)
+          .filter(col("w_fx") > lit(theta)).select("doc_id")
+        val tdAll = Round13.pipeTokHsh(arr)
+          .join(selArr, Seq("doc_id"), "left_semi")
+        require(tdAll.limit(1).count() > 0,
+          "no streamed doc beat the frozen threshold — the appended " +
+            "slice is empty on this fixture (q320 convention)")
+        // three ingest cycles, each mixed with its own budget and
+        // packed append-only from the running boundary
+        var cur = bend
+        val cycles = (0 to 2).map { c =>
+          val mixed = Round13.pipeMix(
+            tdAll.filter(pmod(col("hsh"), lit(3L)) === c))
+          val b = (cur + 2047L) / 2048L * 2048L
+          val pad = b - cur
+          val out = Scratch.dir(s"q354_cyc$c")
+          Round13.pipePack(mixed, b).write.mode("overwrite").parquet(out)
+          val p = s.read.parquet(out)
+          val end = b + p.agg(coalesce(sum("tok"), lit(0L)))
+            .head().getLong(0)
+          val r = (c, pad, cur, b, p)
+          cur = end
+          r
+        }
+        val b1 = cycles.head._4
+        val totPad = cycles.map(_._2).sum
+        val span = cur - bend
+        val decision = IndexAdvisor.advisePackCompaction(totPad, span)
+        val compacted = Round13.pipePack(
+          cycles.map(_._5.select("doc_id", "lang", "tok", "hsh"))
+            .reduce(_ unionByName _), b1)
+        import s.implicits._
+        val stats = (cycles.map { case (c, pad, endPrev, _, _) =>
+          ("waste", c.toLong, "pad", pad, -1L, endPrev, -1L, -1L, 0L) } ++
+          Seq(
+            ("waste_after", -1L, "pad", b1 - bend, -1L, bend, -1L, -1L, 0L),
+            ("decide", if (decision == "compact") 1L else 0L, "",
+              totPad, span, cur, -1L, -1L, 0L)))
+          .toDF("part", "doc_id", "lang", "tok", "hsh", "off",
+            "seq_first", "seq_last", "crosses")
+        val layout = cycles.map { case (c, _, _, _, p) =>
+          p.withColumn("part", lit(s"cyc$c")) }
+          .reduce(_ unionByName _)
+          .unionByName(compacted.withColumn("part", lit("compacted")))
+          .select(col("part"), col("doc_id"), col("lang"), col("tok"),
+            col("hsh"), col("off"), col("seq_first"), col("seq_last"),
+            col("crosses"))
+        stats.unionByName(layout).orderBy("part", "off", "doc_id")
+      },
+      Some({
+        def packSql(srcPred: String, offE: String, out: String) =
+          s"""${out}rn AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+            FROM cmixed WHERE $srcPred),
+          $out AS (SELECT doc_id, lang, tok, hsh,
+              run - tok + ($offE) AS off,
+              (run - tok + ($offE)) // 2048 AS seq_first,
+              (run - 1 + ($offE)) // 2048 AS seq_last,
+              CAST(CASE WHEN (run - tok + ($offE)) // 2048
+                <> (run - 1 + ($offE)) // 2048 THEN 1 ELSE 0 END AS BIGINT)
+                AS crosses
+            FROM ${out}rn)"""
+        def layoutRow(part: String, src: String) =
+          s"""SELECT '$part' AS part, doc_id, lang, tok, hsh, off,
+            seq_first, seq_last, crosses FROM $src"""
+        s"""WITH bdocs AS MATERIALIZED (SELECT doc_id, lang, text
+          FROM documents WHERE ${Round13.PipeBasePred}),
+        pdocs AS MATERIALIZED (SELECT doc_id, lang, text
+          FROM documents WHERE ${Round13.PipeStreamPred}),
+        ${dsirFeatSql("bdocs", "b")},
+        ${dsirModelSql("bfh", "mb")},
+        ${dsirScoreSql("bfh", "mb", "bsc")},
+        ${dsirSelThetaSql("bdocs", "bsc", "bt")},
+        ${dsirTdSql("bdocs", "btsel", "btd")},
+        bbud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+          FROM btd),
+        brn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY lang
+            ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+          FROM btd),
+        bend AS (SELECT CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS e FROM brn
+          WHERE run - tok < (SELECT bud FROM bbud)),
+        ${dsirFeatSql("pdocs", "p")},
+        ${dsirScoreSql("pfh", "mb", "psc")},
+        psel AS (SELECT doc_id FROM psc
+          WHERE w_fx > (SELECT theta FROM bttheta)),
+        ${dsirTdSql("pdocs", "psel", "ptd")},
+        cyc AS (SELECT *, hsh % 3 AS c FROM ptd),
+        cbud AS (SELECT c, CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+          FROM cyc GROUP BY 1),
+        crn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY c, lang
+            ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+          FROM cyc),
+        cmixed AS MATERIALIZED (SELECT crn.c, doc_id, lang, tok, hsh
+          FROM crn JOIN cbud USING (c) WHERE run - tok < bud),
+        ctot AS (SELECT c, CAST(SUM(tok) AS BIGINT) AS t FROM cmixed GROUP BY 1),
+        bb1 AS (SELECT ((SELECT e FROM bend) + 2047) // 2048 * 2048 AS b),
+        ee1 AS (SELECT (SELECT b FROM bb1)
+          + COALESCE((SELECT t FROM ctot WHERE c = 0), 0) AS e),
+        bb2 AS (SELECT ((SELECT e FROM ee1) + 2047) // 2048 * 2048 AS b),
+        ee2 AS (SELECT (SELECT b FROM bb2)
+          + COALESCE((SELECT t FROM ctot WHERE c = 1), 0) AS e),
+        bb3 AS (SELECT ((SELECT e FROM ee2) + 2047) // 2048 * 2048 AS b),
+        ee3 AS (SELECT (SELECT b FROM bb3)
+          + COALESCE((SELECT t FROM ctot WHERE c = 2), 0) AS e),
+        ${packSql("c = 0", "(SELECT b FROM bb1)", "c0p")},
+        ${packSql("c = 1", "(SELECT b FROM bb2)", "c1p")},
+        ${packSql("c = 2", "(SELECT b FROM bb3)", "c2p")},
+        ${packSql("TRUE", "(SELECT b FROM bb1)", "cmp")},
+        pads AS (SELECT
+            (SELECT b FROM bb1) - (SELECT e FROM bend) AS p0,
+            (SELECT b FROM bb2) - (SELECT e FROM ee1) AS p1,
+            (SELECT b FROM bb3) - (SELECT e FROM ee2) AS p2)
+        SELECT * FROM (
+          SELECT 'waste' AS part, CAST(0 AS BIGINT) AS doc_id,
+            'pad' AS lang, (SELECT p0 FROM pads) AS tok,
+            CAST(-1 AS BIGINT) AS hsh, (SELECT e FROM bend) AS off,
+            CAST(-1 AS BIGINT) AS seq_first, CAST(-1 AS BIGINT) AS seq_last,
+            CAST(0 AS BIGINT) AS crosses
+          UNION ALL
+          SELECT 'waste', 1, 'pad', (SELECT p1 FROM pads), -1,
+            (SELECT e FROM ee1), -1, -1, 0
+          UNION ALL
+          SELECT 'waste', 2, 'pad', (SELECT p2 FROM pads), -1,
+            (SELECT e FROM ee2), -1, -1, 0
+          UNION ALL
+          SELECT 'waste_after', -1, 'pad',
+            (SELECT b FROM bb1) - (SELECT e FROM bend), -1,
+            (SELECT e FROM bend), -1, -1, 0
+          UNION ALL
+          SELECT 'decide',
+            CAST(CASE WHEN 4 * ((SELECT p0 FROM pads) + (SELECT p1 FROM pads)
+                + (SELECT p2 FROM pads))
+              >= (SELECT e FROM ee3) - (SELECT e FROM bend)
+              AND (SELECT e FROM ee3) > (SELECT e FROM bend)
+              THEN 1 ELSE 0 END AS BIGINT),
+            '', (SELECT p0 FROM pads) + (SELECT p1 FROM pads) + (SELECT p2 FROM pads),
+            (SELECT e FROM ee3) - (SELECT e FROM bend),
+            (SELECT e FROM ee3), -1, -1, 0
+          UNION ALL ${layoutRow("cyc0", "c0p")}
+          UNION ALL ${layoutRow("cyc1", "c1p")}
+          UNION ALL ${layoutRow("cyc2", "c2p")}
+          UNION ALL ${layoutRow("compacted", "cmp")})
+        ORDER BY part, off, doc_id"""
+      })),
+
+    // ---- budgeted lexical rung for the hybrid node -----------------------
+    // Every vector family has a measured compressed/pruned rung; the
+    // hybrid node's lexical arm served exact BM25 from full posting
+    // lists (q344/q351's bm25Lrank20) — a candidate budget could never
+    // bind on half the node (the round-13 verdict's #4). The rung:
+    // walk each query's terms in GLOBAL RARITY order (df ASC, term
+    // ASC — the MaxScore/WAND processing order; on any corpus the
+    // rarest term is both the cheapest posting list and the highest-
+    // impact one), rank a 200-doc pool by the partial score over the
+    // walked prefix, exact-rerank the pool. tStar = the largest
+    // budget-admissible prefix from the worst-query cost table
+    // (walked postings + pool-rerank bound, exact BIGINT from the
+    // standing df table — adviseLexicalPrefix); when tStar covers
+    // every query's whole term list the pool is ranked by the FULL
+    // score and the serve IS exact BM25 — ONE code path, the flip is
+    // which prefix the budget admits. Swept BEFORE wiring (both SFs):
+    // posting-level static pruning is hopeless on this fixture (the
+    // vocabulary is 31 near-uniform-df terms — champion lists read
+    // 0.217 recall at P=128 because per-term impact favors SHORT docs
+    // while the top-20 are long many-term matches), but the prefix
+    // rung holds: at the 90000-posting SLO sf0.01 admits the full
+    // walk (16503 → decide=exact, arm 1.000, fused 1.000) while
+    // sf0.1's full walk costs 117955 → tStar=21 of 29 (cost 86725),
+    // arm recall@20 0.940 and FUSED recall@5 0.980 — RRF fusion
+    // absorbs most of the pruned arm's loss (T=12's 0.552 arm still
+    // fuses to 0.850). At the 10×/100× probes the walk outgrows any
+    // prefix (even T=1) — the floor serve runs and the decision
+    // honestly reads pruned-at-floor (the q323 rule: report, never
+    // inflate). Standing artifacts: bm25_tf/dl (shared with q344/
+    // q351), the impact index bm25_imp, exact_top20_hyb (byte-shared).
+    "q355_llm_hybrid_lexical_budgeted" -> QueryDef(
+      (s, dir) => {
+        val nQ = 20
+        val poolM = 200
+        graft.plans.NativeExpressions.register(s)
+        import graft.operators.Similarity
+        val emb = t(s, dir, "embeddings")
+        val qs20 = emb.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val vcorpus = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val vx = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "exact_top20_hyb")(
+          Similarity.cosineTopK(qs20, vcorpus, k = 20)
+            .select(col("qid"), col("cid"), col("rnk").as("rv")))
+        val lrank = Round12.bm25Lrank20(s, dir)
+        // the standing impact index: per-posting BM25 contribution —
+        // query-independent (df, dl and the corpus stats are global),
+        // so the pruning order is a property of the index, not the
+        // query stream (static index pruning, the WAND family)
+        val (tf, dl) = Round12.bm25TfDl(s, dir)
+        val imp = graft.util.FixtureArtifact.parquet(s, dir,
+          "documents.parquet", "bm25_imp") {
+          val stats = dl.agg(count(lit(1)).as("n_docs"),
+            sum("dl").as("t_tokens"))
+          val dfv = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          tf.join(broadcast(dfv), Seq("term"))
+            .join(dl, Seq("doc_id"))
+            .crossJoin(broadcast(stats))
+            .withColumn("tscore", expr(
+              """((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                 (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+                 (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+                 CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE)))"""))
+            .select(col("doc_id"), col("term"), col("tscore"), col("df"))
+        }
+        // per-query walk order + the decision's cost table (bounded:
+        // nQ queries × a doc's distinct terms — per-query SLO stats,
+        // the plan-choice class)
+        val wq = Window.partitionBy("qid").orderBy(col("df"), col("term"))
+        val qord = imp.filter(col("doc_id") < nQ)
+          .select(col("doc_id").as("qid"), col("term"), col("df"))
+          .withColumn("tr", row_number().over(wq))
+        val qo = qord.select("qid", "df", "tr").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        val walks = qo.groupBy(_._1).values.map { rows =>
+          rows.sortBy(_._3).map(_._2).scanLeft(0L)(_ + _).drop(1)
+        }.toSeq
+        val maxNqt = walks.map(_.length).max
+        val costs = (1 to maxNqt).map { tt =>
+          walks.map(w =>
+            w(math.min(tt, w.length) - 1) + poolM.toLong * w.length).max
+        }
+        val (tStar, dec) = IndexAdvisor.adviseLexicalPrefix(costs, maxNqt,
+          LexBudget)
+        // the serve — one code path for both decisions
+        val qt = qord.select("qid", "term", "tr")
+        val foldScore = expr(
+          """round(aggregate(transform(
+             array_sort(collect_list(struct(term, tscore))), x -> x.tscore),
+             0.0D, (a, x) -> a + x), 6)""")
+        val wp = Window.partitionBy("qid")
+          .orderBy(col("ps").desc, col("cid"))
+        val pool = imp
+          .join(qt.filter(col("tr") <= tStar).select("qid", "term"),
+            Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .groupBy("qid", "doc_id").agg(foldScore.as("ps"))
+          .withColumnRenamed("doc_id", "cid")
+          .withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= poolM).select("qid", "cid")
+        val wr = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("cid"))
+        val srv0 = pool
+          .join(imp.select(col("doc_id").as("cid"), col("term"),
+            col("tscore")), Seq("cid"))
+          .join(qt.select("qid", "term"), Seq("qid", "term"))
+          .groupBy("qid", "cid").agg(foldScore.as("score"))
+          .withColumn("rl", row_number().over(wr))
+          .filter(col("rl") <= 20).select("qid", "cid", "rl")
+        val out = graft.util.Scratch.dir("q355_srv")
+        srv0.write.mode("overwrite").parquet(out)
+        val srv = s.read.parquet(out)
+        def fuse(l: DataFrame): DataFrame = {
+          val l20 = l.filter(col("rl") <= 20)
+          val v20 = vx.filter(col("rv") <= 20)
+          val fr = l20.join(v20, Seq("qid", "cid"), "full_outer")
+            .select(col("qid"), col("cid"),
+              (when(col("rl").isNotNull,
+                lit(1.0) / (lit(60.0) + col("rl").cast("double")))
+                .otherwise(lit(0.0)) +
+               when(col("rv").isNotNull,
+                lit(1.0) / (lit(60.0) + col("rv").cast("double")))
+                .otherwise(lit(0.0))).as("rrf"))
+          val wf = Window.partitionBy("qid")
+            .orderBy(col("rrf").desc, col("cid"))
+          fr.withColumn("rnk", row_number().over(wf))
+            .filter(col("rnk") <= 5).select("qid", "cid")
+        }
+        val armHits = lrank.select("qid", "cid")
+          .join(srv.select("qid", "cid"), Seq("qid", "cid"))
+          .groupBy("qid").agg(count(lit(1)).as("h"))
+        val armRows = lrank.select("qid").distinct()
+          .join(armHits, Seq("qid"), "left")
+          .select(lit("lex").as("sel"), lit("arm").as("dial"), col("qid"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(20.0))
+              .as("recall"))
+        val fusedRows = Round11.taggedRecall("hyb", "fused",
+          fuse(lrank), fuse(srv))
+        import s.implicits._
+        val decideRow = Seq(("lex", s"decide_$dec", -1L, tStar.toLong,
+          costs(tStar - 1).toDouble / LexBudget))
+          .toDF("sel", "dial", "qid", "n_hits", "recall")
+        decideRow.unionByName(armRows).unionByName(fusedRows)
+          .orderBy("sel", "dial", "qid")
+      },
+      Some(s"""${Round6c.exactRecallCte},
+      ${Round12.bm25DocSql(20)},
+      ${Round13.hybVxSql},
+      imp AS MATERIALIZED (SELECT tf2.doc_id, tf2.term, dfv2.df,
+          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) * (CAST(f AS DOUBLE) * 2.2) /
+          (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) *
+          CAST(n_docs AS DOUBLE) / CAST(t_tokens AS DOUBLE))) AS tscore
+        FROM tf2 JOIN dfv2 USING (term)
+        JOIN dl2 ON tf2.doc_id = dl2.doc_id, st2),
+      qord AS MATERIALIZED (SELECT qid, term, df,
+          row_number() OVER (PARTITION BY qid ORDER BY df, term) AS tr
+        FROM qt2 JOIN dfv2 USING (term)),
+      lwk AS (SELECT qid, tr, CAST(SUM(df) OVER (PARTITION BY qid
+          ORDER BY tr) AS BIGINT) AS walk FROM qord),
+      lnq AS (SELECT qid, COUNT(*) AS nt FROM qord GROUP BY 1),
+      mxq AS (SELECT MAX(nt) AS m FROM lnq),
+      ctt AS (SELECT g.t, MAX(w.walk + 200 * n.nt) AS cost
+        FROM (SELECT unnest(range(1, (SELECT m FROM mxq) + 1)) AS t) g
+        JOIN lnq n ON TRUE
+        JOIN lwk w ON w.qid = n.qid AND w.tr = LEAST(g.t, n.nt)
+        GROUP BY 1),
+      tsr AS (SELECT COALESCE(MAX(t), 1) AS tstar FROM ctt
+        WHERE cost <= $LexBudget),
+      decs AS (SELECT CASE WHEN (SELECT tstar FROM tsr) >= (SELECT m FROM mxq)
+        THEN 'exact' ELSE 'pruned' END AS d),
+      lpool AS MATERIALIZED (SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY ps DESC, cid) AS pr
+          FROM (SELECT q.qid, imp.doc_id AS cid,
+              round(list_reduce(list(tscore ORDER BY imp.term),
+                (a, x) -> a + x), 6) AS ps
+            FROM imp JOIN qord q ON imp.term = q.term
+            WHERE imp.doc_id <> q.qid AND q.tr <= (SELECT tstar FROM tsr)
+            GROUP BY 1, 2)) WHERE pr <= 200),
+      srv AS MATERIALIZED (SELECT qid, cid, rl FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            ORDER BY score DESC, cid) AS rl
+          FROM (SELECT p.qid, p.cid,
+              round(list_reduce(list(tscore ORDER BY imp.term),
+                (a, x) -> a + x), 6) AS score
+            FROM lpool p JOIN imp ON imp.doc_id = p.cid
+            JOIN qt2 ON qt2.qid = p.qid AND qt2.term = imp.term
+            GROUP BY 1, 2)) WHERE rl <= 20),
+      lr20 AS (SELECT qid, cid, rl FROM lrank WHERE rl <= 20),
+      ${lexFuseSql("lr20", "t")},
+      ${lexFuseSql("srv", "s")}
+      SELECT * FROM (
+        SELECT 'lex' AS sel, 'decide_' || (SELECT d FROM decs) AS dial,
+          CAST(-1 AS BIGINT) AS qid,
+          CAST((SELECT tstar FROM tsr) AS BIGINT) AS n_hits,
+          CAST((SELECT cost FROM ctt WHERE t = (SELECT tstar FROM tsr))
+            AS DOUBLE) / $LexBudget AS recall
+        UNION ALL
+        SELECT 'lex', 'arm', q.qid, CAST(COALESCE(h.h, 0) AS BIGINT),
+          CAST(COALESCE(h.h, 0) AS DOUBLE) / 20.0
+        FROM (SELECT DISTINCT qid FROM lr20) q LEFT JOIN (
+          SELECT lr20.qid, COUNT(*) AS h FROM lr20
+          JOIN srv ON lr20.qid = srv.qid AND lr20.cid = srv.cid
+          GROUP BY 1) h ON q.qid = h.qid
+        UNION ALL
+        ${Round11.taggedTailSql("hyb", "fused", "tfused", "sfused")})
+      ORDER BY sel, dial, qid""")),
+
+    // ---- the multi-vector family under the UNIFIED budgets ---------------
+    // adviseTokenIndex sizes the token index's dials (q346) but the
+    // family never competed under the joint candidate/byte budgets
+    // against single-vector serving of the same corpus (the round-13
+    // verdict's #5). Two measured families for the SAME maxsim
+    // workload: the token-PLAID serve at advised dials (resident ≈
+    // 76 B/token) vs POOLED single-vector serving — each doc's tokens
+    // mean-pooled in EXACT int64 coords (replays bit-identically in
+    // SQL), brute pooled-cosine rank, corpus-scaled pool, bounded
+    // exact-maxsim rerank (resident ≈ 72 B/doc, a tokPerDoc× shrink;
+    // full-precision token vectors touched only by the rerank join).
+    // DuckDB sweep (both SFs, BEFORE wiring): pooling is cheap to hold
+    // but expensive to TRUST — a fixed m=40 pool reads 0.940/0.580
+    // while the corpus-scaled m = max(20, 2·nDoc/5) holds 0.960/0.980;
+    // that pool is exactly what makes the pooled arm LOSE the
+    // candidate tier at sf0.01 (925 vs the token index's 408). The
+    // decision (adviseMaxsimServing, exact BIGINT, both branches
+    // SQL-gated): sf0.01 → both fit the 60 kB window, token wins on
+    // candidates; sf0.1 → the token index is EVICTED BY ITS OWN BYTES
+    // (152 kB > 60 kB) and the workload flips to pooled (36 kB,
+    // 0.98) — each scale evicts a different family on a different
+    // axis, the q328 flip delivered on the multi-vector node. Measured
+    // rank tables are fixture artifacts (q346 still prices the live
+    // PLAID serve); the DECIDED family serves live every pass.
+    "q356_llm_maxsim_unified_advisor" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        import graft.util.FixtureArtifact
+        val (tok, cents, ca, codes, nlist, np) = Round13.mvAdvisedSetup(s, dir)
+        val qtok = tok.filter(col("doc") < 10)
+          .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
+        val corpusTok = tok.select(col("doc").as("cd"), col("tid").as("ct"),
+          col("e").as("ce"))
+        val exr = Round13.mvExactTop5(s, dir)
+        val nTok = tok.agg(countDistinct(col("e"))).head().getLong(0)
+        val nDoc = tok.select("doc").distinct().count()
+        val tpd = nTok / nDoc
+        val mPool = math.max(20L, 2L * nDoc / 5L)
+        def pooledServe(): DataFrame = {
+          val pv = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+            "mv_pooled_int64")(
+            tok.select(col("doc"), posexplode(col("e")))
+              .select(col("doc"), (col("pos") + 1).as("i"),
+                floor(col("col").cast("double") * lit(1000000L))
+                  .cast("long").as("x"))
+              .groupBy("doc", "i").agg(sum("x").as("x")))
+          val n2 = pv.groupBy("doc").agg(sum(col("x") * col("x")).as("n2"))
+          val dots = pv.filter(col("doc") < 10)
+            .select(col("doc").as("qd"), col("i"), col("x").as("qx"))
+            .join(pv.select(col("doc").as("cd"), col("i"),
+              col("x").as("cx")), Seq("i"))
+            .filter(col("cd") =!= col("qd"))
+            .groupBy("qd", "cd").agg(sum(col("qx") * col("cx")).as("dot"))
+          val pcos = dots
+            .join(broadcast(n2.select(col("doc").as("qd"),
+              col("n2").as("qn2"))), Seq("qd"))
+            .join(n2.select(col("doc").as("cd"), col("n2").as("cn2")),
+              Seq("cd"))
+            .select(col("qd"), col("cd"),
+              round(col("dot").cast("double") /
+                (sqrt(col("qn2").cast("double"))
+                  * sqrt(col("cn2").cast("double"))), 6).as("pcos"))
+          val wpp = Window.partitionBy("qd")
+            .orderBy(col("pcos").desc, col("cd"))
+          val pool = pcos.withColumn("pr", row_number().over(wpp))
+            .filter(col("pr") <= mPool).select("qd", "cd")
+          // bounded exact-maxsim rerank of the pool — the only place
+          // full-precision token vectors are touched (the maxsimExact
+          // recipe restricted to pool pairs)
+          val q = qtok.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+          val c = corpusTok.withColumn("cn", expr("sqrt(vec_dot(ce, ce))"))
+          val wr = Window.partitionBy("qd")
+            .orderBy(col("score").desc, col("cd"))
+          pool.join(broadcast(q), Seq("qd")).join(c, Seq("cd"))
+            .select(col("qd"), col("cd"), col("qt"),
+              round(expr("vec_dot(qe, ce)") / (col("qn") * col("cn"))
+                * lit(1000000.0)).cast("long").as("mc"))
+            .groupBy("qd", "cd", "qt").agg(max("mc").as("mx"))
+            .groupBy("qd", "cd").agg(sum("mx").as("score"))
+            .withColumn("rnk", row_number().over(wr))
+            .filter(col("rnk") <= 5).select("qd", "cd")
+        }
+        // measured serves as fixture artifacts (the q315/q328 rule)
+        val tokenArt = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+          s"mvserve_top5_nl${nlist}np$np",
+          params = Map("nlist" -> nlist, "np" -> np, "m" -> 10L,
+            "k" -> 5L))(
+          Similarity.maxsimPlaidTopK(qtok, corpusTok, ca, codes, cents,
+            np = np.toInt, m = 10, k = 5))
+        val pooledArt = FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", s"mvpooled_top5_m$mPool",
+          params = Map("m" -> mPool, "k" -> 5L))(pooledServe())
+        val nq = exr.select("qd").distinct().count()
+        def recOf(ann: DataFrame): Double =
+          exr.join(ann.select("qd", "cd"), Seq("qd", "cd")).count()
+            .toDouble / (5.0 * nq)
+        val candT = tpd * np * (nTok / nlist) + tpd * tpd * 10L
+        val candP = nDoc + tpd * tpd * mPool
+        val adv = IndexAdvisor.adviseMaxsimServing(Seq(
+            IndexAdvisor.RecallRow("mv-token",
+              Map("bytes" -> 76L * nTok, "cand" -> candT,
+                "nlist" -> nlist, "np" -> np, "m" -> 10L),
+              recOf(tokenArt)),
+            IndexAdvisor.RecallRow("mv-pooled",
+              Map("bytes" -> 72L * nDoc, "cand" -> candP, "m" -> mPool),
+              recOf(pooledArt))),
+          targetRecall = 0.8, candidateBudget = 2L * nTok,
+          memoryBudgetBytes = MvMemBudget)
+        // the decided family serves LIVE (the q351 contract: measured
+        // tables are artifacts, the decided serve is priced per pass)
+        val served = adv.family match {
+          case "mv-token" => Similarity.maxsimPlaidTopK(qtok, corpusTok,
+            ca, codes, cents, np = np.toInt, m = 10, k = 5)
+          case "mv-pooled" => pooledServe()
+          case other => sys.error(
+            s"maxsim advisor picked unreachable family $other")
+        }
+        import s.implicits._
+        val decideRow = Seq(("mv", s"decide_${adv.family}", -1L,
+          adv.params("bytes"), adv.params("cand").toDouble / (2L * nTok)))
+          .toDF("sel", "dial", "qd", "n_hits", "recall")
+        decideRow
+          .unionByName(Round13.mvTaggedRecall("mv", "token", exr, tokenArt))
+          .unionByName(Round13.mvTaggedRecall("mv", "pooled", exr,
+            pooledArt))
+          .unionByName(Round13.mvTaggedRecall("mv", "served", exr, served))
+          .orderBy("sel", "dial", "qd")
+      },
+      Some(s"""WITH ${Round11b.maxsimBaseSql},
+      ${Round13.mvSq8Sql()},
+      ${Round13.mvDialsSql("tok", measNp = 2)},
+      ${Round13.mvStandingSql("(SELECT nlist FROM mvnl)", "g")},
+      ${Round13.mvServeAnnrSql("g", "(SELECT np FROM mvnp)", m = 10,
+        p = "a")},
+      mvdoc AS (SELECT COUNT(DISTINCT doc) AS nd FROM tok),
+      tpd AS (SELECT (SELECT nu FROM mvst) // (SELECT nd FROM mvdoc) AS t),
+      mpool AS (SELECT GREATEST(20, 2 * (SELECT nd FROM mvdoc) // 5) AS m),
+      pvq AS MATERIALIZED (SELECT doc, i.i AS i,
+          CAST(SUM(CAST(FLOOR(CAST(e[i.i] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS x
+        FROM tok, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      pn2 AS (SELECT doc, CAST(SUM(x * x) AS BIGINT) AS n2 FROM pvq
+        GROUP BY 1),
+      pdot AS MATERIALIZED (SELECT q.doc AS qd, c.doc AS cd,
+          CAST(SUM(q.x * c.x) AS BIGINT) AS dot
+        FROM pvq q JOIN pvq c USING (i)
+        WHERE q.doc < 10 AND c.doc <> q.doc GROUP BY 1, 2),
+      ppr AS MATERIALIZED (SELECT qd, cd, row_number() OVER (
+          PARTITION BY qd ORDER BY pcos DESC, cd) AS pr
+        FROM (SELECT qd, cd, round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))),
+            6) AS pcos
+          FROM pdot JOIN pn2 qn ON qn.doc = pdot.qd
+          JOIN pn2 cn ON cn.doc = pdot.cd)),
+      ppool AS (SELECT qd, cd FROM ppr WHERE pr <= (SELECT m FROM mpool)),
+      pannr AS MATERIALIZED (SELECT qd, cd FROM (SELECT pl.qd, pl.cd,
+          row_number() OVER (PARTITION BY pl.qd
+            ORDER BY ms.score DESC, pl.cd) AS rnk
+        FROM ppool pl JOIN ms ON pl.qd = ms.qd AND pl.cd = ms.cd)
+        WHERE rnk <= 5),
+      mnq AS (SELECT COUNT(DISTINCT qd) AS nq FROM exr),
+      mrt AS (SELECT CAST((SELECT COUNT(*) FROM exr JOIN aannr
+          USING (qd, cd)) AS DOUBLE) / (5.0 * (SELECT nq FROM mnq)) AS rec),
+      mrp AS (SELECT CAST((SELECT COUNT(*) FROM exr JOIN pannr
+          USING (qd, cd)) AS DOUBLE) / (5.0 * (SELECT nq FROM mnq)) AS rec),
+      mccfg AS (
+        SELECT 'mv-token' AS fam,
+          (SELECT t FROM tpd) * (SELECT np FROM mvnp)
+              * ((SELECT nu FROM mvst) // (SELECT nlist FROM mvnl))
+            + (SELECT t FROM tpd) * (SELECT t FROM tpd) * 10 AS cand,
+          (SELECT nu FROM mvst) * 76 AS bytes,
+          (SELECT rec FROM mrt) AS rec
+        UNION ALL
+        SELECT 'mv-pooled',
+          (SELECT nd FROM mvdoc)
+            + (SELECT t FROM tpd) * (SELECT t FROM tpd) * (SELECT m FROM mpool),
+          (SELECT nd FROM mvdoc) * 72,
+          (SELECT rec FROM mrp)),
+      mcadm AS (SELECT * FROM mccfg
+        WHERE cand <= 2 * (SELECT nu FROM mvst) AND bytes <= $MvMemBudget),
+      mchosen AS (SELECT COALESCE(
+        (SELECT fam FROM mcadm WHERE rec >= 0.8
+         ORDER BY cand, rec DESC, fam LIMIT 1),
+        (SELECT fam FROM mcadm ORDER BY rec DESC, cand, fam LIMIT 1)) AS fam),
+      mserved AS (
+        SELECT qd, cd FROM aannr
+          WHERE (SELECT fam FROM mchosen) = 'mv-token'
+        UNION ALL
+        SELECT qd, cd FROM pannr
+          WHERE (SELECT fam FROM mchosen) = 'mv-pooled')
+      SELECT * FROM (
+        SELECT 'mv' AS sel, 'decide_' || (SELECT fam FROM mchosen) AS dial,
+          CAST(-1 AS BIGINT) AS qd,
+          CAST((SELECT bytes FROM mccfg
+            WHERE fam = (SELECT fam FROM mchosen)) AS BIGINT) AS n_hits,
+          CAST((SELECT cand FROM mccfg
+            WHERE fam = (SELECT fam FROM mchosen)) AS DOUBLE)
+            / (2 * (SELECT nu FROM mvst)) AS recall
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'mv'", "'token'", "exr",
+          "aannr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'mv'", "'pooled'", "exr",
+          "pannr")})
+        UNION ALL
+        SELECT * FROM (${Round13.mvTailSql("'mv'", "'served'", "exr",
+          "mserved")}))
+      ORDER BY sel, dial, qd""")),
 
     // ---- drift response for the TOKEN index ------------------------------
     // q349 closed the drift loop on the graph family; a re-embedding

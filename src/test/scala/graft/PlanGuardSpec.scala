@@ -287,6 +287,18 @@ class PlanGuardSpec extends SparkTestBase {
                                    // recall scalars; the fusion join is
                                    // pair-keyed full-outer bounded by
                                    // 20+20 rows per query
+    "q354_llm_pack_waste_compaction", // q331's mix budget (pipeMix): the
+                                   // 1-row half-share budget joins on a
+                                   // constant key (bounded NL after
+                                   // constant folding, the q283 class),
+                                   // once per ingest cycle + once for the
+                                   // compaction re-pack; pack windows are
+                                   // cumSums' binned shapes
+    "q356_llm_maxsim_unified_advisor", // q346's whitelisted PLAID serve run
+                                   // live (centroid/query-token broadcasts,
+                                   // bounded builds) + 1-row corpus stats;
+                                   // the pooled arm is all hash equi-joins
+                                   // (dim-keyed dots, pool-bounded rerank)
     "q327_llm_dsir_select"         // q283 fold class: the 1-row NT/NR
                                    // totals, ln-constant and doc-count
                                    // frames join on a constant key (bounded

@@ -90,6 +90,82 @@ class Round14Spec extends SparkTestBase {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("advisePackCompaction: compact iff padding >= a quarter of the span") {
+    import graft.operators.IndexAdvisor.advisePackCompaction
+    // the two fixture points (q354 sweep): 5062/5267 and 4789/6621
+    assert(advisePackCompaction(5062L, 5267L) == "compact")
+    assert(advisePackCompaction(4789L, 6621L) == "compact")
+    // the 100x shape: bounded pads, grown data -> keep
+    assert(advisePackCompaction(6141L, 186000L) == "keep")
+    // boundary: exactly a quarter compacts; just below keeps
+    assert(advisePackCompaction(25L, 100L) == "compact")
+    assert(advisePackCompaction(24L, 100L) == "keep")
+    assert(advisePackCompaction(0L, 0L) == "keep")
+  }
+
+  test("tail compaction conserves the mixed doc set and eliminates inter-cycle padding") {
+    val td = Seq(
+      (1L, "en", 100L, 7L), (2L, "de", 90L, 12L), (3L, "en", 80L, 23L),
+      (4L, "fr", 70L, 31L), (5L, "en", 60L, 44L), (6L, "de", 50L, 58L))
+      .toDF("doc_id", "lang", "tok", "hsh")
+    val cycles = (0 to 2).map { c =>
+      queries.Round13.pipeMix(td.filter(pmod(col("hsh"), lit(3L)) === c)) }
+    val union = cycles.reduce(_ unionByName _)
+    val compacted = queries.Round13.pipePack(union, offBase = 2048L)
+    // doc multiset conserved
+    assert(compacted.select("doc_id", "lang", "tok", "hsh")
+      .orderBy("doc_id").collect()
+      .sameElements(union.orderBy("doc_id").collect()))
+    // offsets contiguous from the base boundary: span == sum of tokens
+    val tot = union.agg(sum("tok")).head().getLong(0)
+    val mx = compacted.agg(max(col("off") + col("tok"))).head().getLong(0)
+    assert(mx - 2048L == tot)
+    // re-packing the compacted rows is idempotent
+    val again = queries.Round13.pipePack(
+      compacted.select("doc_id", "lang", "tok", "hsh"), offBase = 2048L)
+    assert(again.orderBy("doc_id").collect()
+      .sameElements(compacted.orderBy("doc_id").collect()))
+  }
+
+  test("adviseLexicalPrefix: largest admissible prefix; exact iff it covers every term list") {
+    import graft.operators.IndexAdvisor.adviseLexicalPrefix
+    // the two fixture points (q355 sweep at budget 90000):
+    // sf0.01 full walk fits -> exact at T = maxNqt
+    assert(adviseLexicalPrefix(Seq(5973L, 6349L, 16503L), 3, 90000L)
+      == ((3, "exact")))
+    // sf0.1: T=21 is the last admissible of 29 -> pruned
+    val costs01 = (1 to 29).map(t =>
+      if (t <= 21) 80000L + t else 95000L + t)
+    assert(adviseLexicalPrefix(costs01, 29, 90000L) == ((21, "pruned")))
+    // not even T=1 fits (the 10x/100x probe shape): floor serve, pruned
+    assert(adviseLexicalPrefix(Seq(101L, 201L), 2, 100L) == ((1, "pruned")))
+    // costs need not be monotone for the max-admissible rule
+    assert(adviseLexicalPrefix(Seq(50L, 200L, 90L), 3, 100L)
+      == ((3, "exact")))
+  }
+
+  test("adviseMaxsimServing: token wins on candidates, evicted by bytes at scale") {
+    import graft.operators.IndexAdvisor.{RecallRow, adviseMaxsimServing}
+    def rows(tokBytes: Long, tokCand: Long, pooBytes: Long, pooCand: Long,
+        recT: Double = 0.98, recP: Double = 0.96) = Seq(
+      RecallRow("mv-token", Map("bytes" -> tokBytes, "cand" -> tokCand), recT),
+      RecallRow("mv-pooled", Map("bytes" -> pooBytes, "cand" -> pooCand), recP))
+    // the sf0.01 point: both fit the window, token is the cheaper arm
+    assert(adviseMaxsimServing(rows(38000L, 408L, 9000L, 925L),
+      0.8, 1000L, 60000L).family == "mv-token")
+    // the sf0.1 point: token evicted by its own bytes -> pooled
+    assert(adviseMaxsimServing(rows(152000L, 1152L, 36000L, 3700L,
+      recP = 0.98), 0.8, 4000L, 60000L).family == "mv-pooled")
+    // below-target fallback: max recall among admissible
+    assert(adviseMaxsimServing(rows(38000L, 408L, 9000L, 925L,
+      recT = 0.5, recP = 0.7), 0.8, 1000L, 60000L).family == "mv-pooled")
+    // nothing admissible is a pinned scenario -> loud failure
+    assertThrows[IllegalArgumentException] {
+      adviseMaxsimServing(rows(152000L, 5000L, 70000L, 5000L),
+        0.8, 4000L, 60000L)
+    }
+  }
+
   test("dsirScore drops docs with zero known features (the q350 rule)") {
     val feats = Seq((1L, "en", 10L), (1L, "en", 11L), (2L, "en", 99L))
       .toDF("doc_id", "lang", "f")
