@@ -182,13 +182,15 @@ object Round14 {
   private[graft] def mvPooledProbeSql: String =
     s"""${Round11b.maxsimBaseSql},
       ${Round13.mvDialsSql("tok", measNp = 2)},
-      mvdoc AS (SELECT COUNT(DISTINCT doc) AS nd FROM tok),
-      tpd AS (SELECT (SELECT nu FROM mvst) // (SELECT nd FROM mvdoc) AS t),
-      mpool AS (SELECT GREATEST(20, 2 * (SELECT nd FROM mvdoc) // 5) AS m),
       pvq AS MATERIALIZED (SELECT doc, i.i AS i,
           CAST(SUM(CAST(FLOOR(CAST(e[i.i] AS DOUBLE) * 1000000) AS BIGINT))
             AS BIGINT) AS x
         FROM tok, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      mvdoc AS (SELECT COUNT(DISTINCT l) AS nd FROM (
+        SELECT doc, list(x ORDER BY i) AS l FROM pvq GROUP BY doc)),
+      tpd AS (SELECT (SELECT COUNT(*) FROM tok)
+        // (SELECT COUNT(DISTINCT doc) FROM tok) AS t),
+      mpool AS (SELECT GREATEST(20, 2 * (SELECT nd FROM mvdoc) // 5) AS m),
       pn2 AS (SELECT doc, CAST(SUM(x * x) AS BIGINT) AS n2 FROM pvq
         GROUP BY 1),
       pdot AS MATERIALIZED (SELECT q.doc AS qd, c.doc AS cd,
@@ -982,6 +984,11 @@ object Round14 {
     // axis, the q328 flip delivered on the multi-vector node. Measured
     // rank tables are fixture artifacts (q346 still prices the live
     // PLAID serve); the DECIDED family serves live every pass.
+    // Decision inputs are REP-based (the q339 rule, enforced by the
+    // x10 probe): distinct token vectors, distinct POOLED vectors
+    // (duplicate docs pool identically), tokens/doc from the id-level
+    // ratio — an id-level doc count made tokens/doc round to ZERO on
+    // the replicated fixture and emptied the admissible set.
     "q356_llm_maxsim_unified_advisor" -> QueryDef(
       (s, dir) => {
         import graft.operators.Similarity
@@ -992,18 +999,28 @@ object Round14 {
         val corpusTok = tok.select(col("doc").as("cd"), col("tid").as("ct"),
           col("e").as("ce"))
         val exr = Round13.mvExactTop5(s, dir)
+        // REP-based decision inputs (the q339 replication-invariance
+        // rule — the x10 probe caught the id-level doc count breaking
+        // admissibility): distinct token vectors, distinct POOLED
+        // vectors (duplicate docs pool identically), and tokens/doc
+        // from the id-level ratio (4 at every replication factor)
         val nTok = tok.agg(countDistinct(col("e"))).head().getLong(0)
-        val nDoc = tok.select("doc").distinct().count()
-        val tpd = nTok / nDoc
-        val mPool = math.max(20L, 2L * nDoc / 5L)
+        val cnt = tok.agg(count(lit(1)),
+          countDistinct(col("doc"))).head()
+        val tpd = cnt.getLong(0) / cnt.getLong(1)
+        val pv = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
+          "mv_pooled_int64")(
+          tok.select(col("doc"), posexplode(col("e")))
+            .select(col("doc"), (col("pos") + 1).as("i"),
+              floor(col("col").cast("double") * lit(1000000L))
+                .cast("long").as("x"))
+            .groupBy("doc", "i").agg(sum("x").as("x")))
+        val nDocU = pv.groupBy("doc")
+          .agg(sort_array(collect_list(struct(col("i"), col("x"))))
+            .as("v"))
+          .agg(countDistinct(col("v"))).head().getLong(0)
+        val mPool = math.max(20L, 2L * nDocU / 5L)
         def pooledServe(): DataFrame = {
-          val pv = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
-            "mv_pooled_int64")(
-            tok.select(col("doc"), posexplode(col("e")))
-              .select(col("doc"), (col("pos") + 1).as("i"),
-                floor(col("col").cast("double") * lit(1000000L))
-                  .cast("long").as("x"))
-              .groupBy("doc", "i").agg(sum("x").as("x")))
           val n2 = pv.groupBy("doc").agg(sum(col("x") * col("x")).as("n2"))
           val dots = pv.filter(col("doc") < 10)
             .select(col("doc").as("qd"), col("i"), col("x").as("qx"))
@@ -1055,14 +1072,14 @@ object Round14 {
           exr.join(ann.select("qd", "cd"), Seq("qd", "cd")).count()
             .toDouble / (5.0 * nq)
         val candT = tpd * np * (nTok / nlist) + tpd * tpd * 10L
-        val candP = nDoc + tpd * tpd * mPool
+        val candP = nDocU + tpd * tpd * mPool
         val adv = IndexAdvisor.adviseMaxsimServing(Seq(
             IndexAdvisor.RecallRow("mv-token",
               Map("bytes" -> 76L * nTok, "cand" -> candT,
                 "nlist" -> nlist, "np" -> np, "m" -> 10L),
               recOf(tokenArt)),
             IndexAdvisor.RecallRow("mv-pooled",
-              Map("bytes" -> 72L * nDoc, "cand" -> candP, "m" -> mPool),
+              Map("bytes" -> 72L * nDocU, "cand" -> candP, "m" -> mPool),
               recOf(pooledArt))),
           targetRecall = 0.8, candidateBudget = 2L * nTok,
           memoryBudgetBytes = MvMemBudget)
@@ -1092,13 +1109,15 @@ object Round14 {
       ${Round13.mvStandingSql("(SELECT nlist FROM mvnl)", "g")},
       ${Round13.mvServeAnnrSql("g", "(SELECT np FROM mvnp)", m = 10,
         p = "a")},
-      mvdoc AS (SELECT COUNT(DISTINCT doc) AS nd FROM tok),
-      tpd AS (SELECT (SELECT nu FROM mvst) // (SELECT nd FROM mvdoc) AS t),
-      mpool AS (SELECT GREATEST(20, 2 * (SELECT nd FROM mvdoc) // 5) AS m),
       pvq AS MATERIALIZED (SELECT doc, i.i AS i,
           CAST(SUM(CAST(FLOOR(CAST(e[i.i] AS DOUBLE) * 1000000) AS BIGINT))
             AS BIGINT) AS x
         FROM tok, (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1, 2),
+      mvdoc AS (SELECT COUNT(DISTINCT l) AS nd FROM (
+        SELECT doc, list(x ORDER BY i) AS l FROM pvq GROUP BY doc)),
+      tpd AS (SELECT (SELECT COUNT(*) FROM tok)
+        // (SELECT COUNT(DISTINCT doc) FROM tok) AS t),
+      mpool AS (SELECT GREATEST(20, 2 * (SELECT nd FROM mvdoc) // 5) AS m),
       pn2 AS (SELECT doc, CAST(SUM(x * x) AS BIGINT) AS n2 FROM pvq
         GROUP BY 1),
       pdot AS MATERIALIZED (SELECT q.doc AS qd, c.doc AS cd,
