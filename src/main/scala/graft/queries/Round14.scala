@@ -238,6 +238,81 @@ object Round14 {
     * the pooled single-vector layout (72 B/doc) fits at both. */
   private val MvMemBudget = 60000L
 
+  /** Append-only pack of one mixed-cycle slice (the q350 pack algebra
+    * over `cmixed WHERE srcPred`, offsets from `offE`). Emits
+    * `<out>rn`, `<out>`. Shared by the q354 and q357 oracles. */
+  private def packCycleSql(srcPred: String, offE: String,
+      out: String): String =
+    s"""${out}rn AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM cmixed WHERE $srcPred),
+    $out AS (SELECT doc_id, lang, tok, hsh,
+        run - tok + ($offE) AS off,
+        (run - tok + ($offE)) // 2048 AS seq_first,
+        (run - 1 + ($offE)) // 2048 AS seq_last,
+        CAST(CASE WHEN (run - tok + ($offE)) // 2048
+          <> (run - 1 + ($offE)) // 2048 THEN 1 ELSE 0 END AS BIGINT)
+          AS crosses
+      FROM ${out}rn)"""
+
+  private def layoutRowSql(part: String, src: String): String =
+    s"""SELECT '$part' AS part, doc_id, lang, tok, hsh, off,
+      seq_first, seq_last, crosses FROM $src"""
+
+  /** The q354/q357 shared cycle chain: frozen base model/theta + base
+    * layout end, streamed-doc selection under the frozen threshold,
+    * hsh%3 cycle split, per-cycle half-share mix, running 2048-boundary
+    * append offsets (bb1..ee3), per-cycle packs c0p/c1p/c2p, the
+    * one-increment compacted re-pack cmp, and the per-cycle pads. */
+  private def pipeCycleChainSql: String =
+    s"""bdocs AS MATERIALIZED (SELECT doc_id, lang, text
+      FROM documents WHERE ${Round13.PipeBasePred}),
+    pdocs AS MATERIALIZED (SELECT doc_id, lang, text
+      FROM documents WHERE ${Round13.PipeStreamPred}),
+    ${dsirFeatSql("bdocs", "b")},
+    ${dsirModelSql("bfh", "mb")},
+    ${dsirScoreSql("bfh", "mb", "bsc")},
+    ${dsirSelThetaSql("bdocs", "bsc", "bt")},
+    ${dsirTdSql("bdocs", "btsel", "btd")},
+    bbud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+      FROM btd),
+    brn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY lang
+        ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM btd),
+    bend AS (SELECT CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS e FROM brn
+      WHERE run - tok < (SELECT bud FROM bbud)),
+    ${dsirFeatSql("pdocs", "p")},
+    ${dsirScoreSql("pfh", "mb", "psc")},
+    psel AS (SELECT doc_id FROM psc
+      WHERE w_fx > (SELECT theta FROM bttheta)),
+    ${dsirTdSql("pdocs", "psel", "ptd")},
+    cyc AS (SELECT *, hsh % 3 AS c FROM ptd),
+    cbud AS (SELECT c, CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
+      FROM cyc GROUP BY 1),
+    crn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY c, lang
+        ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM cyc),
+    cmixed AS MATERIALIZED (SELECT crn.c, doc_id, lang, tok, hsh
+      FROM crn JOIN cbud USING (c) WHERE run - tok < bud),
+    ctot AS (SELECT c, CAST(SUM(tok) AS BIGINT) AS t FROM cmixed GROUP BY 1),
+    bb1 AS (SELECT ((SELECT e FROM bend) + 2047) // 2048 * 2048 AS b),
+    ee1 AS (SELECT (SELECT b FROM bb1)
+      + COALESCE((SELECT t FROM ctot WHERE c = 0), 0) AS e),
+    bb2 AS (SELECT ((SELECT e FROM ee1) + 2047) // 2048 * 2048 AS b),
+    ee2 AS (SELECT (SELECT b FROM bb2)
+      + COALESCE((SELECT t FROM ctot WHERE c = 1), 0) AS e),
+    bb3 AS (SELECT ((SELECT e FROM ee2) + 2047) // 2048 * 2048 AS b),
+    ee3 AS (SELECT (SELECT b FROM bb3)
+      + COALESCE((SELECT t FROM ctot WHERE c = 2), 0) AS e),
+    ${packCycleSql("c = 0", "(SELECT b FROM bb1)", "c0p")},
+    ${packCycleSql("c = 1", "(SELECT b FROM bb2)", "c1p")},
+    ${packCycleSql("c = 2", "(SELECT b FROM bb3)", "c2p")},
+    ${packCycleSql("TRUE", "(SELECT b FROM bb1)", "cmp")},
+    pads AS (SELECT
+        (SELECT b FROM bb1) - (SELECT e FROM bend) AS p0,
+        (SELECT b FROM bb2) - (SELECT e FROM ee1) AS p1,
+        (SELECT b FROM bb3) - (SELECT e FROM ee2) AS p2)"""
+
   /** Top-quarter selection + threshold of a training-doc CTE under a
     * scored CTE (q327's rule, unscored docs at w_fx = 0). Emits
     * `<p>ad`, `<p>sel` (doc_id, w_fx), `<p>theta` (theta). */
@@ -654,68 +729,7 @@ object Round14 {
         stats.unionByName(layout).orderBy("part", "off", "doc_id")
       },
       Some({
-        def packSql(srcPred: String, offE: String, out: String) =
-          s"""${out}rn AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-            FROM cmixed WHERE $srcPred),
-          $out AS (SELECT doc_id, lang, tok, hsh,
-              run - tok + ($offE) AS off,
-              (run - tok + ($offE)) // 2048 AS seq_first,
-              (run - 1 + ($offE)) // 2048 AS seq_last,
-              CAST(CASE WHEN (run - tok + ($offE)) // 2048
-                <> (run - 1 + ($offE)) // 2048 THEN 1 ELSE 0 END AS BIGINT)
-                AS crosses
-            FROM ${out}rn)"""
-        def layoutRow(part: String, src: String) =
-          s"""SELECT '$part' AS part, doc_id, lang, tok, hsh, off,
-            seq_first, seq_last, crosses FROM $src"""
-        s"""WITH bdocs AS MATERIALIZED (SELECT doc_id, lang, text
-          FROM documents WHERE ${Round13.PipeBasePred}),
-        pdocs AS MATERIALIZED (SELECT doc_id, lang, text
-          FROM documents WHERE ${Round13.PipeStreamPred}),
-        ${dsirFeatSql("bdocs", "b")},
-        ${dsirModelSql("bfh", "mb")},
-        ${dsirScoreSql("bfh", "mb", "bsc")},
-        ${dsirSelThetaSql("bdocs", "bsc", "bt")},
-        ${dsirTdSql("bdocs", "btsel", "btd")},
-        bbud AS (SELECT CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
-          FROM btd),
-        brn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY lang
-            ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-          FROM btd),
-        bend AS (SELECT CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS e FROM brn
-          WHERE run - tok < (SELECT bud FROM bbud)),
-        ${dsirFeatSql("pdocs", "p")},
-        ${dsirScoreSql("pfh", "mb", "psc")},
-        psel AS (SELECT doc_id FROM psc
-          WHERE w_fx > (SELECT theta FROM bttheta)),
-        ${dsirTdSql("pdocs", "psel", "ptd")},
-        cyc AS (SELECT *, hsh % 3 AS c FROM ptd),
-        cbud AS (SELECT c, CAST(SUM(tok) AS BIGINT) // (2 * COUNT(DISTINCT lang)) AS bud
-          FROM cyc GROUP BY 1),
-        crn AS (SELECT *, CAST(SUM(tok) OVER (PARTITION BY c, lang
-            ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
-          FROM cyc),
-        cmixed AS MATERIALIZED (SELECT crn.c, doc_id, lang, tok, hsh
-          FROM crn JOIN cbud USING (c) WHERE run - tok < bud),
-        ctot AS (SELECT c, CAST(SUM(tok) AS BIGINT) AS t FROM cmixed GROUP BY 1),
-        bb1 AS (SELECT ((SELECT e FROM bend) + 2047) // 2048 * 2048 AS b),
-        ee1 AS (SELECT (SELECT b FROM bb1)
-          + COALESCE((SELECT t FROM ctot WHERE c = 0), 0) AS e),
-        bb2 AS (SELECT ((SELECT e FROM ee1) + 2047) // 2048 * 2048 AS b),
-        ee2 AS (SELECT (SELECT b FROM bb2)
-          + COALESCE((SELECT t FROM ctot WHERE c = 1), 0) AS e),
-        bb3 AS (SELECT ((SELECT e FROM ee2) + 2047) // 2048 * 2048 AS b),
-        ee3 AS (SELECT (SELECT b FROM bb3)
-          + COALESCE((SELECT t FROM ctot WHERE c = 2), 0) AS e),
-        ${packSql("c = 0", "(SELECT b FROM bb1)", "c0p")},
-        ${packSql("c = 1", "(SELECT b FROM bb2)", "c1p")},
-        ${packSql("c = 2", "(SELECT b FROM bb3)", "c2p")},
-        ${packSql("TRUE", "(SELECT b FROM bb1)", "cmp")},
-        pads AS (SELECT
-            (SELECT b FROM bb1) - (SELECT e FROM bend) AS p0,
-            (SELECT b FROM bb2) - (SELECT e FROM ee1) AS p1,
-            (SELECT b FROM bb3) - (SELECT e FROM ee2) AS p2)
+        s"""WITH $pipeCycleChainSql
         SELECT * FROM (
           SELECT 'waste' AS part, CAST(0 AS BIGINT) AS doc_id,
             'pad' AS lang, (SELECT p0 FROM pads) AS tok,
@@ -742,12 +756,210 @@ object Round14 {
             '', (SELECT p0 FROM pads) + (SELECT p1 FROM pads) + (SELECT p2 FROM pads),
             (SELECT e FROM ee3) - (SELECT e FROM bend),
             (SELECT e FROM ee3), -1, -1, 0
-          UNION ALL ${layoutRow("cyc0", "c0p")}
-          UNION ALL ${layoutRow("cyc1", "c1p")}
-          UNION ALL ${layoutRow("cyc2", "c2p")}
-          UNION ALL ${layoutRow("compacted", "cmp")})
+          UNION ALL ${layoutRowSql("cyc0", "c0p")}
+          UNION ALL ${layoutRowSql("cyc1", "c1p")}
+          UNION ALL ${layoutRowSql("cyc2", "c2p")}
+          UNION ALL ${layoutRowSql("compacted", "cmp")})
         ORDER BY part, off, doc_id"""
       })),
+
+    // ---- the pipeline's maintenance loops run INLINE (capstone) ----------
+    // q350 ingests, q352 decides model refresh, q354 decides
+    // compaction — three rows, three separate decisions. A production
+    // pipeline runs them as ONE loop: this row streams the arriving
+    // docs as three ingest cycles (the q354 hsh%3 split, each cycle
+    // its own AvailableNow run — "three ingest days"), and every
+    // micro-batch ALSO accumulates the q352 churn statistic (one
+    // broadcast-join scan — the trigger is the complement of the
+    // scorer's own inner join, so monitoring is nearly free),
+    // MERGE-idempotent for both selection and stats. At stream end
+    // the two maintenance decisions run on the accumulated integers:
+    // advisePipelineDrift reads the same-distribution stream's churn
+    // (require-pinned below threshold → keep, the scenario this
+    // fixture encodes; the drifted scenario is q352's own row) and
+    // advisePackCompaction reads the three cycles' padding (fires at
+    // both SFs) — and unlike q354, the compaction decision is
+    // APPLIED: the maintained layout's tail IS the compacted re-pack
+    // (SQL-gated on the replayed decision, the q306 recipe; the keep
+    // branch would carry the per-cycle layouts). The oracle is the
+    // pure batch replay of the whole loop on the union fixture — the
+    // hash compare is simultaneously the stream ≡ batch proof AND the
+    // compaction bit-identity proof; re-entrancy spec-tested (the
+    // q350 contract extended to stats accumulation). Scale shape: all
+    // q350/q354 terms (scoring linear in arriving docs by necessity,
+    // mix/pack per cycle, compaction tail-only) + one broadcast-join
+    // churn scan per batch.
+    "q357_stream_pipeline_maintained" -> QueryDef(
+      (s, dir) => {
+        import graft.util.Scratch
+        val (wt, kkA, selB, packBase) = Round13.pipeBaseState(s, dir)
+        val kk = kkA.head().getLong(0)
+        val theta = selB.agg(min("w_fx")).head().getLong(0)
+        val bend = packBase.agg(coalesce(sum("tok"), lit(0L)))
+          .head().getLong(0)
+        s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
+        s.sql("DROP TABLE IF EXISTS graftmem.pipe_maint_sel")
+        s.sql("""CREATE TABLE graftmem.pipe_maint_sel
+          (doc_id BIGINT, lang STRING, tok BIGINT, hsh BIGINT, cyc BIGINT)""")
+        s.sql("DROP TABLE IF EXISTS graftmem.pipe_maint_churn")
+        s.sql("""CREATE TABLE graftmem.pipe_maint_churn
+          (cyc BIGINT, bid BIGINT, unseen BIGINT, total BIGINT)""")
+        val docsSchema = t(s, dir, "documents").schema
+        (0 to 2).foreach { c =>
+          val src = s.readStream.schema(docsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          val probe = src.filter(expr(Round13.PipeStreamPred))
+            .filter(pmod(pmod(col("doc_id") * lit(2654435761L),
+              lit(1000003L)), lit(3L)) === c)
+          val q = EventTime.withShufflePartitions(s, 8) {
+            probe.writeStream.foreachBatch {
+              (batch: DataFrame, bid: Long) =>
+                val b = batch.select(col("doc_id"), col("lang"),
+                  col("text"))
+                val feats = Round13.pipeFeats(b)
+                feats.join(broadcast(wt.select(col("f"),
+                    lit(1).as("seen"))), Seq("f"), "left")
+                  .agg(sum(when(col("seen").isNull, 1L).otherwise(0L))
+                    .as("unseen"), count(lit(1)).as("total"))
+                  .select(lit(c.toLong).as("cyc"), lit(bid).as("bid"),
+                    col("unseen"), col("total"))
+                  .createOrReplaceTempView("q357_churn_batch")
+                batch.sparkSession.sql(
+                  """MERGE INTO graftmem.pipe_maint_churn t
+                    USING q357_churn_batch b
+                    ON t.cyc = b.cyc AND t.bid = b.bid
+                    WHEN NOT MATCHED THEN INSERT (cyc, bid, unseen, total)
+                      VALUES (b.cyc, b.bid, b.unseen, b.total)""")
+                val scored = Round13.dsirScore(feats, wt, kk)
+                  .filter(col("w_fx") > lit(theta))
+                Round13.pipeTokHsh(b)
+                  .join(scored.select("doc_id"), Seq("doc_id"), "left_semi")
+                  .withColumn("cyc", lit(c.toLong))
+                  .createOrReplaceTempView("q357_batch")
+                batch.sparkSession.sql(
+                  """MERGE INTO graftmem.pipe_maint_sel t USING q357_batch b
+                    ON t.doc_id = b.doc_id
+                    WHEN NOT MATCHED THEN INSERT (doc_id, lang, tok, hsh, cyc)
+                      VALUES (b.doc_id, b.lang, b.tok, b.hsh, b.cyc)""")
+                ()
+            }.trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+        }
+        val selAll = s.sql(
+          "SELECT doc_id, lang, tok, hsh, cyc FROM graftmem.pipe_maint_sel")
+        require(selAll.limit(1).count() > 0,
+          "no streamed doc beat the frozen threshold — the appended " +
+            "slice is empty on this fixture (q320 convention)")
+        val ch = s.sql("""SELECT CAST(COALESCE(SUM(unseen), 0) AS BIGINT),
+            CAST(COALESCE(SUM(total), 0) AS BIGINT)
+          FROM graftmem.pipe_maint_churn""").head()
+        val (unseen, total) = (ch.getLong(0), ch.getLong(1))
+        require(2L * unseen < total,
+          s"the same-distribution stream must stay below the churn " +
+            s"threshold ($unseen of $total instances unseen — the " +
+            "drifted scenario is q352's row)")
+        val nArr = t(s, dir, "documents")
+          .filter(expr(Round13.PipeStreamPred)).count()
+        val decModel = IndexAdvisor.advisePipelineDrift(unseen, total,
+          0L, 0L, nArr)
+        var cur = bend
+        val cycles = (0 to 2).map { c =>
+          val mixed = Round13.pipeMix(selAll.filter(col("cyc") === c)
+            .select("doc_id", "lang", "tok", "hsh"))
+          val b = (cur + 2047L) / 2048L * 2048L
+          val pad = b - cur
+          val out = Scratch.dir(s"q357_cyc$c")
+          Round13.pipePack(mixed, b).write.mode("overwrite").parquet(out)
+          val p = s.read.parquet(out)
+          val end = b + p.agg(coalesce(sum("tok"), lit(0L)))
+            .head().getLong(0)
+          val r = (c, pad, cur, p)
+          cur = end
+          r
+        }
+        val b1 = (bend + 2047L) / 2048L * 2048L
+        val totPad = cycles.map(_._2).sum
+        val span = cur - bend
+        val decPack = IndexAdvisor.advisePackCompaction(totPad, span)
+        // the decision APPLIED: the maintained tail
+        val tail =
+          if (decPack == "compact")
+            Round13.pipePack(
+              cycles.map(_._4.select("doc_id", "lang", "tok", "hsh"))
+                .reduce(_ unionByName _), b1)
+          else cycles.map(_._4).reduce(_ unionByName _)
+        import s.implicits._
+        val stats = (Seq(
+          ("stat_churn", 0L, decModel, unseen, total, nArr, -1L, -1L, 0L),
+          ("stat_pack", if (decPack == "compact") 1L else 0L, decPack,
+            totPad, span, cur, -1L, -1L, 0L)) ++
+          cycles.map { case (c, pad, endPrev, _) =>
+            ("stat_pad", c.toLong, "pad", pad, -1L, endPrev, -1L, -1L, 0L) })
+          .toDF("part", "doc_id", "lang", "tok", "hsh", "off",
+            "seq_first", "seq_last", "crosses")
+        val layout = packBase.withColumn("part", lit("base"))
+          .unionByName(tail.withColumn("part", lit("tail")))
+          .select(col("part"), col("doc_id"), col("lang"), col("tok"),
+            col("hsh"), col("off"), col("seq_first"), col("seq_last"),
+            col("crosses"))
+        stats.unionByName(layout).orderBy("part", "off", "doc_id")
+      },
+      Some(s"""WITH $pipeCycleChainSql,
+      bmx AS (SELECT doc_id, lang, tok, hsh FROM brn
+        WHERE run - tok < (SELECT bud FROM bbud)),
+      brn2 AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY hsh, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run2 FROM bmx),
+      bpk AS (SELECT doc_id, lang, tok, hsh, run2 - tok AS off,
+          (run2 - tok) // 2048 AS seq_first, (run2 - 1) // 2048 AS seq_last,
+          CAST(CASE WHEN (run2 - tok) // 2048 <> (run2 - 1) // 2048
+            THEN 1 ELSE 0 END AS BIGINT) AS crosses
+        FROM brn2),
+      mch AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+          CAST(SUM(CASE WHEN mbwt.f IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS unseen
+        FROM pfh LEFT JOIN mbwt ON pfh.f = mbwt.f),
+      mna AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pdocs),
+      mdec AS (SELECT CAST(CASE WHEN 4 * ((SELECT p0 FROM pads)
+            + (SELECT p1 FROM pads) + (SELECT p2 FROM pads))
+          >= (SELECT e FROM ee3) - (SELECT e FROM bend)
+          AND (SELECT e FROM ee3) > (SELECT e FROM bend)
+          THEN 1 ELSE 0 END AS BIGINT) AS d)
+      SELECT * FROM (
+        SELECT 'stat_churn' AS part, CAST(0 AS BIGINT) AS doc_id,
+          CASE WHEN 2 * (SELECT unseen FROM mch) < (SELECT total FROM mch)
+            THEN 'keep' ELSE 'refresh' END AS lang,
+          (SELECT unseen FROM mch) AS tok,
+          (SELECT total FROM mch) AS hsh,
+          (SELECT n FROM mna) AS off,
+          CAST(-1 AS BIGINT) AS seq_first, CAST(-1 AS BIGINT) AS seq_last,
+          CAST(0 AS BIGINT) AS crosses
+        UNION ALL
+        SELECT 'stat_pack', (SELECT d FROM mdec),
+          CASE WHEN (SELECT d FROM mdec) = 1 THEN 'compact' ELSE 'keep' END,
+          (SELECT p0 FROM pads) + (SELECT p1 FROM pads) + (SELECT p2 FROM pads),
+          (SELECT e FROM ee3) - (SELECT e FROM bend),
+          (SELECT e FROM ee3), -1, -1, 0
+        UNION ALL
+        SELECT 'stat_pad', 0, 'pad', (SELECT p0 FROM pads), -1,
+          (SELECT e FROM bend), -1, -1, 0
+        UNION ALL
+        SELECT 'stat_pad', 1, 'pad', (SELECT p1 FROM pads), -1,
+          (SELECT e FROM ee1), -1, -1, 0
+        UNION ALL
+        SELECT 'stat_pad', 2, 'pad', (SELECT p2 FROM pads), -1,
+          (SELECT e FROM ee2), -1, -1, 0
+        UNION ALL ${layoutRowSql("base", "bpk")}
+        UNION ALL SELECT 'tail', doc_id, lang, tok, hsh, off, seq_first,
+          seq_last, crosses FROM cmp WHERE (SELECT d FROM mdec) = 1
+        UNION ALL SELECT 'tail', doc_id, lang, tok, hsh, off, seq_first,
+          seq_last, crosses FROM c0p WHERE (SELECT d FROM mdec) = 0
+        UNION ALL SELECT 'tail', doc_id, lang, tok, hsh, off, seq_first,
+          seq_last, crosses FROM c1p WHERE (SELECT d FROM mdec) = 0
+        UNION ALL SELECT 'tail', doc_id, lang, tok, hsh, off, seq_first,
+          seq_last, crosses FROM c2p WHERE (SELECT d FROM mdec) = 0)
+      ORDER BY part, off, doc_id""")),
 
     // ---- budgeted lexical rung for the hybrid node -----------------------
     // Every vector family has a measured compressed/pruned rung; the

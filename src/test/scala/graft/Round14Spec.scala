@@ -166,6 +166,17 @@ class Round14Spec extends SparkTestBase {
     }
   }
 
+  test("q357 maintained ingest is re-entrant: two full runs produce identical output") {
+    // the q350 contract extended to the stats accumulation: selection
+    // AND churn MERGEs are idempotent, every stage deterministic, so a
+    // re-run (fresh standing tables, same frozen artifacts) must
+    // reproduce the stats rows and the maintained layout bit-for-bit
+    val fn = SparkEntry.queries("q357_stream_pipeline_maintained")
+    val a = fn(spark, sf).collect()
+    val b = fn(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("dsirScore drops docs with zero known features (the q350 rule)") {
     val feats = Seq((1L, "en", 10L), (1L, "en", 11L), (2L, "en", 99L))
       .toDF("doc_id", "lang", "f")
