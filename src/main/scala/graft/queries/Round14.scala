@@ -681,37 +681,80 @@ object Round14 {
         val arr = docs.filter(expr(Round13.PipeStreamPred))
         val selArr = Round13.dsirScore(Round13.pipeFeats(arr), wt, kk)
           .filter(col("w_fx") > lit(theta)).select("doc_id")
-        val tdAll = Round13.pipeTokHsh(arr)
+        // Materialize the selected-slice accounting rows ONCE: the
+        // require plus the three cycle filters below would otherwise
+        // each re-run the slice tokenize + score + semi-join (4 full
+        // passes over the arriving docs per execution — guide §2.4,
+        // "remove shuffles outright"; the frame is a few hundred
+        // 4-column rows, the lineage hard-cut costs nothing).
+        val tdDir = Scratch.dir("q354_td")
+        Round13.pipeTokHsh(arr)
           .join(selArr, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(tdDir)
+        val tdAll = s.read.parquet(tdDir)
         require(tdAll.limit(1).count() > 0,
           "no streamed doc beat the frozen threshold — the appended " +
             "slice is empty on this fixture (q320 convention)")
-        // three ingest cycles, each mixed with its own budget and
-        // packed append-only from the running boundary
+        // Three ingest cycles. The per-cycle mix is ONE windowed pass
+        // partitioned by (cycle, lang) instead of three sequential
+        // pipeMix jobs — running sums within a group are identical
+        // whether the frame is filtered to the cycle first or the
+        // cycle is a partition key (exact integer addition, same
+        // (hsh, doc_id) total order; the Ranks binned contracts).
+        // Likewise the per-cycle packs are ONE cumSumsBy pass keyed by
+        // cycle. The sequential offset chain (each cycle's append
+        // origin = previous end rounded to the 2048 boundary) needs
+        // only the three per-cycle token totals — a 3-row collect —
+        // not three materialized layouts (guide §2.4/§1.2: fewer
+        // passes, fewer actions).
+        val withC = tdAll
+          .withColumn("c", pmod(col("hsh"), lit(3L)))
+          .withColumn("cl", concat_ws(" ", col("c"), col("lang")))
+        val buds = withC.groupBy("c")
+          .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
+          .select(col("c"), expr("tt div (2 * dd)").as("bud"))
+        val mixDir = Scratch.dir("q354_mixed")
+        graft.operators.Ranks.runningSumsBinned(withC, "cl", "hsh",
+            Seq("hsh", "doc_id"), Seq("tok"), bins = 32, hotThreshold = 1L)
+          .join(broadcast(buds), Seq("c"))
+          .filter(col("run_tok") - col("tok") < col("bud"))
+          .select("c", "doc_id", "lang", "tok", "hsh")
+          .write.mode("overwrite").parquet(mixDir)
+        val mixed = s.read.parquet(mixDir)
+        val ctot = mixed.groupBy("c").agg(sum("tok").as("t"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         var cur = bend
         val cycles = (0 to 2).map { c =>
-          val mixed = Round13.pipeMix(
-            tdAll.filter(pmod(col("hsh"), lit(3L)) === c))
           val b = (cur + 2047L) / 2048L * 2048L
           val pad = b - cur
-          val out = Scratch.dir(s"q354_cyc$c")
-          Round13.pipePack(mixed, b).write.mode("overwrite").parquet(out)
-          val p = s.read.parquet(out)
-          val end = b + p.agg(coalesce(sum("tok"), lit(0L)))
-            .head().getLong(0)
-          val r = (c, pad, cur, b, p)
-          cur = end
+          val r = (c, pad, cur, b)
+          cur = b + ctot.getOrElse(c.toLong, 0L)
           r
         }
         val b1 = cycles.head._4
         val totPad = cycles.map(_._2).sum
         val span = cur - bend
         val decision = IndexAdvisor.advisePackCompaction(totPad, span)
+        val offBase = cycles.foldLeft(lit(null).cast("long")) {
+          case (acc, (c, _, _, b)) =>
+            when(col("c") === c.toLong, lit(b)).otherwise(acc)
+        }
+        val packed = graft.operators.Ranks.cumSumsBy(
+            mixed.withColumn("okey",
+              col("hsh") * lit(4294967296L) + col("doc_id")),
+            Seq("c"), "okey", Seq("tok"), bins = 64)
+          .select(col("c"), col("doc_id"), col("lang"), col("tok"),
+            col("hsh"), (col("cum_tok") - col("tok") + offBase).as("off"))
+          .withColumn("seq_first", expr("off div 2048"))
+          .withColumn("seq_last", expr("(off + tok - 1) div 2048"))
+          .withColumn("crosses",
+            when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L))
+          .withColumn("part", concat(lit("cyc"), col("c")))
+          .drop("c")
         val compacted = Round13.pipePack(
-          cycles.map(_._5.select("doc_id", "lang", "tok", "hsh"))
-            .reduce(_ unionByName _), b1)
+          mixed.select("doc_id", "lang", "tok", "hsh"), b1)
         import s.implicits._
-        val stats = (cycles.map { case (c, pad, endPrev, _, _) =>
+        val stats = (cycles.map { case (c, pad, endPrev, _) =>
           ("waste", c.toLong, "pad", pad, -1L, endPrev, -1L, -1L, 0L) } ++
           Seq(
             ("waste_after", -1L, "pad", b1 - bend, -1L, bend, -1L, -1L, 0L),
@@ -719,9 +762,7 @@ object Round14 {
               totPad, span, cur, -1L, -1L, 0L)))
           .toDF("part", "doc_id", "lang", "tok", "hsh", "off",
             "seq_first", "seq_last", "crosses")
-        val layout = cycles.map { case (c, _, _, _, p) =>
-          p.withColumn("part", lit(s"cyc$c")) }
-          .reduce(_ unionByName _)
+        val layout = packed
           .unionByName(compacted.withColumn("part", lit("compacted")))
           .select(col("part"), col("doc_id"), col("lang"), col("tok"),
             col("hsh"), col("off"), col("seq_first"), col("seq_last"),
