@@ -959,10 +959,22 @@ object Round13 {
         // drift — the x10 probe caught the churn trigger reading 0 of
         // 180k self-dup edges — so the drift statistic is only
         // meaningful over the rep graph
-        val corpus = emb
+        // One lineage hard-cut for the frames every downstream job
+        // re-reads: the rep corpus subtree (a full-embeddings groupBy
+        // shuffle) is referenced ~6× per live walk (codebook, per-round
+        // norms, final rerank) and 4× by the churn scans — materialize
+        // it (and the two derived worlds) ONCE per execution (guide
+        // §2.4; the round-9 artifact rule, applied to the per-pass live
+        // path).
+        def cutDF(df: DataFrame, label: String): DataFrame = {
+          val out = graft.util.Scratch.dir(label)
+          df.write.mode("overwrite").parquet(out)
+          s.read.parquet(out)
+        }
+        val corpus = cutDF(emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
           .groupBy("ce").agg(min("cid").as("cid"))
-          .select("cid", "ce")
+          .select("cid", "ce"), "q349_corpus")
         val qs = emb.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val e = graft.util.FixtureArtifact.parquet(s, dir,
@@ -980,9 +992,11 @@ object Round13 {
         val nE = e.count()
         def truncOf(c: String) = expr(
           s"transform(sequence(1, 64), i -> IF(i <= 32, element_at($c, i), CAST(0.0 AS FLOAT)))")
-        val iso = corpus.select(col("cid"), reverse(col("ce")).as("ce"))
+        val iso = cutDF(corpus.select(col("cid"),
+          reverse(col("ce")).as("ce")), "q349_wiso")
         val isoQ = qs.select(col("qid"), reverse(col("qe")).as("qe"))
-        val trunc = corpus.select(col("cid"), truncOf("ce").as("ce"))
+        val trunc = cutDF(corpus.select(col("cid"),
+          truncOf("ce").as("ce")), "q349_wtrunc")
         val truncQ = qs.select(col("qid"), truncOf("qe").as("qe"))
         // the drift trigger: rounded edge cosines, old vs new — a
         // bounded |E|·dim scan (never a rebuild)
@@ -993,20 +1007,20 @@ object Round13 {
               round(expr("vec_dot(ue, ve)") /
                 (expr("sqrt(vec_dot(ue, ue))") *
                  expr("sqrt(vec_dot(ve, ve))")), 6).as("cos"))
-        val oldC = edgeCos(corpus)
+        // old-edge cosines feed BOTH movedOf counts — cut once
+        val oldC = cutDF(edgeCos(corpus), "q349_oldc")
         def movedOf(w: DataFrame): Long = oldC
           .join(edgeCos(w).withColumnRenamed("cos", "ncos"), Seq("u", "v"))
           .filter(col("cos") =!= col("ncos")).count()
-        val movedIso = movedOf(iso)
-        val movedTrunc = movedOf(trunc)
-        // pin the scenario branches (the q320/q341 convention: a
-        // regenerated fixture that flips a branch fails LOUDLY)
-        require(2L * movedIso < nE,
-          s"the isometric scenario must stay below the churn threshold " +
-            s"($movedIso of $nE edges moved)")
-        require(2L * movedTrunc >= nE,
-          s"the non-isometric scenario must fire the churn threshold " +
-            s"($movedTrunc of $nE edges moved)")
+        // The two churn counts are independent jobs over tiny frames —
+        // submit them concurrently so the second backfills the first's
+        // straggler tail (guide §2.6; identical values, only the
+        // submission order changes)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fMovedIso = Future(movedOf(iso))
+        val fMovedTrunc = Future(movedOf(trunc))
         // per-world serving state (codes/edges/truths = artifacts)
         def cents16(w: DataFrame) = broadcast(w.orderBy("cid").limit(16)
           .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
@@ -1072,19 +1086,41 @@ object Round13 {
           Similarity.nnDescentEdges(stitched, trunc, d = Round9.NnDegree,
             rounds = Round9.NnRounds)
         }
-        val kept = serve(isoQ, iso, e, isoCodes, "kept",
-          asArtifact = false)
+        // the two LIVE walks are independent multi-job loops — run them
+        // concurrently with each other AND with the churn counts (guide
+        // §2.6): each walk's round tail leaves most cores idle, the
+        // other jobs backfill. The scenario requires are still checked
+        // before any result is consumed.
+        val fKept = Future(serve(isoQ, iso, e, isoCodes, "kept",
+          asArtifact = false))
+        val fRep = Future(serve(truncQ, trunc, repairedE, truncCodes, "rep",
+          asArtifact = false))
+        val movedIso = Await.result(fMovedIso, Duration.Inf)
+        val movedTrunc = Await.result(fMovedTrunc, Duration.Inf)
+        // pin the scenario branches (the q320/q341 convention: a
+        // regenerated fixture that flips a branch fails LOUDLY)
+        require(2L * movedIso < nE,
+          s"the isometric scenario must stay below the churn threshold " +
+            s"($movedIso of $nE edges moved)")
+        require(2L * movedTrunc >= nE,
+          s"the non-isometric scenario must fire the churn threshold " +
+            s"($movedTrunc of $nE edges moved)")
+        val kept = Await.result(fKept, Duration.Inf)
+        val repaired = Await.result(fRep, Duration.Inf)
         val stale = serve(truncQ, trunc, e, truncCodes, "stale",
           asArtifact = true)
-        val repaired = serve(truncQ, trunc, repairedE, truncCodes, "rep",
-          asArtifact = false)
         val rebuilt = serve(truncQ, trunc, rebuiltE, truncCodes, "reb",
           asArtifact = true)
         // the repair-vs-rebuild decision from measured hits (1-row
-        // scalars over the materialized serves — plan-choice class)
-        val nq = exTrunc.select("qid").distinct().count()
-        val rpHits = exTrunc.join(repaired, Seq("qid", "cid")).count()
-        val rbHits = exTrunc.join(rebuilt, Seq("qid", "cid")).count()
+        // scalars over the materialized serves — plan-choice class;
+        // three independent count jobs, submitted concurrently)
+        val (nq, rpHits, rbHits) = {
+          val a = Future(exTrunc.select("qid").distinct().count())
+          val b = Future(exTrunc.join(repaired, Seq("qid", "cid")).count())
+          val c = Future(exTrunc.join(rebuilt, Seq("qid", "cid")).count())
+          (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf),
+            Await.result(c, Duration.Inf))
+        }
         val decision = IndexAdvisor.adviseGraphDrift(movedTrunc, nE,
           rpHits, rbHits, nq)
         val stats = Seq(
