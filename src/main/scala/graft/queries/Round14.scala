@@ -313,6 +313,61 @@ object Round14 {
         (SELECT b FROM bb2) - (SELECT e FROM ee1) AS p1,
         (SELECT b FROM bb3) - (SELECT e FROM ee2) AS p2)"""
 
+  /** One-pass mix+pack of the three ingest cycles — the q354/q357
+    * shared post-selection chain. `src` must carry (c, doc_id, lang,
+    * tok, hsh). The per-cycle mixes run as ONE windowed pass
+    * partitioned by (cycle, lang) and the per-cycle packs as ONE
+    * cumSumsBy pass keyed by cycle — bit-identical to per-cycle
+    * pipeMix/pipePack (exact integer running sums over the same
+    * (hsh, doc_id) total order; the Ranks binned contracts). The
+    * sequential offset chain (each cycle's append origin = previous
+    * end rounded to the 2048 boundary) needs only the three per-cycle
+    * token totals — one 3-row collect — never three materialized
+    * layouts (guide §1.2 step 1 / §2.4: fewer passes, fewer actions).
+    * Returns (per-cycle (c, pad, prevEnd, origin), finalEnd, packed
+    * rows with the cycle column, the materialized mixed doc set). */
+  private def cycleMixPackAll(s: SparkSession, src: DataFrame,
+      bend: Long, label: String):
+      (Seq[(Int, Long, Long, Long)], Long, DataFrame, DataFrame) = {
+    import graft.util.Scratch
+    val withC = src.withColumn("cl", concat_ws(" ", col("c"), col("lang")))
+    val buds = withC.groupBy("c")
+      .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
+      .select(col("c"), expr("tt div (2 * dd)").as("bud"))
+    val mixDir = Scratch.dir(s"${label}_mixed")
+    graft.operators.Ranks.runningSumsBinned(withC, "cl", "hsh",
+        Seq("hsh", "doc_id"), Seq("tok"), bins = 32, hotThreshold = 1L)
+      .join(broadcast(buds), Seq("c"))
+      .filter(col("run_tok") - col("tok") < col("bud"))
+      .select("c", "doc_id", "lang", "tok", "hsh")
+      .write.mode("overwrite").parquet(mixDir)
+    val mixed = s.read.parquet(mixDir)
+    val ctot = mixed.groupBy("c").agg(sum("tok").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cur = bend
+    val cycles = (0 to 2).map { c =>
+      val b = (cur + 2047L) / 2048L * 2048L
+      val r = (c, b - cur, cur, b)
+      cur = b + ctot.getOrElse(c.toLong, 0L)
+      r
+    }
+    val offBase = cycles.foldLeft(lit(null).cast("long")) {
+      case (acc, (c, _, _, b)) =>
+        when(col("c") === c.toLong, lit(b)).otherwise(acc)
+    }
+    val packed = graft.operators.Ranks.cumSumsBy(
+        mixed.withColumn("okey",
+          col("hsh") * lit(4294967296L) + col("doc_id")),
+        Seq("c"), "okey", Seq("tok"), bins = 64)
+      .select(col("c"), col("doc_id"), col("lang"), col("tok"),
+        col("hsh"), (col("cum_tok") - col("tok") + offBase).as("off"))
+      .withColumn("seq_first", expr("off div 2048"))
+      .withColumn("seq_last", expr("(off + tok - 1) div 2048"))
+      .withColumn("crosses",
+        when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L))
+    (cycles, cur, packed, mixed)
+  }
+
   /** Top-quarter selection + threshold of a training-doc CTE under a
     * scored CTE (q327's rule, unscored docs at w_fx = 0). Emits
     * `<p>ad`, `<p>sel` (doc_id, w_fx), `<p>theta` (theta). */
@@ -695,60 +750,16 @@ object Round14 {
         require(tdAll.limit(1).count() > 0,
           "no streamed doc beat the frozen threshold — the appended " +
             "slice is empty on this fixture (q320 convention)")
-        // Three ingest cycles. The per-cycle mix is ONE windowed pass
-        // partitioned by (cycle, lang) instead of three sequential
-        // pipeMix jobs — running sums within a group are identical
-        // whether the frame is filtered to the cycle first or the
-        // cycle is a partition key (exact integer addition, same
-        // (hsh, doc_id) total order; the Ranks binned contracts).
-        // Likewise the per-cycle packs are ONE cumSumsBy pass keyed by
-        // cycle. The sequential offset chain (each cycle's append
-        // origin = previous end rounded to the 2048 boundary) needs
-        // only the three per-cycle token totals — a 3-row collect —
-        // not three materialized layouts (guide §2.4/§1.2: fewer
-        // passes, fewer actions).
-        val withC = tdAll
-          .withColumn("c", pmod(col("hsh"), lit(3L)))
-          .withColumn("cl", concat_ws(" ", col("c"), col("lang")))
-        val buds = withC.groupBy("c")
-          .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
-          .select(col("c"), expr("tt div (2 * dd)").as("bud"))
-        val mixDir = Scratch.dir("q354_mixed")
-        graft.operators.Ranks.runningSumsBinned(withC, "cl", "hsh",
-            Seq("hsh", "doc_id"), Seq("tok"), bins = 32, hotThreshold = 1L)
-          .join(broadcast(buds), Seq("c"))
-          .filter(col("run_tok") - col("tok") < col("bud"))
-          .select("c", "doc_id", "lang", "tok", "hsh")
-          .write.mode("overwrite").parquet(mixDir)
-        val mixed = s.read.parquet(mixDir)
-        val ctot = mixed.groupBy("c").agg(sum("tok").as("t"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        var cur = bend
-        val cycles = (0 to 2).map { c =>
-          val b = (cur + 2047L) / 2048L * 2048L
-          val pad = b - cur
-          val r = (c, pad, cur, b)
-          cur = b + ctot.getOrElse(c.toLong, 0L)
-          r
-        }
+        // Three ingest cycles through the shared one-pass chain (see
+        // cycleMixPackAll — bit-identical to the per-cycle form).
+        val (cycles, cur, packedC, mixed) = cycleMixPackAll(s,
+          tdAll.withColumn("c", pmod(col("hsh"), lit(3L))),
+          bend, "q354")
         val b1 = cycles.head._4
         val totPad = cycles.map(_._2).sum
         val span = cur - bend
         val decision = IndexAdvisor.advisePackCompaction(totPad, span)
-        val offBase = cycles.foldLeft(lit(null).cast("long")) {
-          case (acc, (c, _, _, b)) =>
-            when(col("c") === c.toLong, lit(b)).otherwise(acc)
-        }
-        val packed = graft.operators.Ranks.cumSumsBy(
-            mixed.withColumn("okey",
-              col("hsh") * lit(4294967296L) + col("doc_id")),
-            Seq("c"), "okey", Seq("tok"), bins = 64)
-          .select(col("c"), col("doc_id"), col("lang"), col("tok"),
-            col("hsh"), (col("cum_tok") - col("tok") + offBase).as("off"))
-          .withColumn("seq_first", expr("off div 2048"))
-          .withColumn("seq_last", expr("(off + tok - 1) div 2048"))
-          .withColumn("crosses",
-            when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L))
+        val packed = packedC
           .withColumn("part", concat(lit("cyc"), col("c")))
           .drop("c")
         val compacted = Round13.pipePack(
@@ -905,21 +916,13 @@ object Round14 {
           .filter(expr(Round13.PipeStreamPred)).count()
         val decModel = IndexAdvisor.advisePipelineDrift(unseen, total,
           0L, 0L, nArr)
-        var cur = bend
-        val cycles = (0 to 2).map { c =>
-          val mixed = Round13.pipeMix(selAll.filter(col("cyc") === c)
-            .select("doc_id", "lang", "tok", "hsh"))
-          val b = (cur + 2047L) / 2048L * 2048L
-          val pad = b - cur
-          val out = Scratch.dir(s"q357_cyc$c")
-          Round13.pipePack(mixed, b).write.mode("overwrite").parquet(out)
-          val p = s.read.parquet(out)
-          val end = b + p.agg(coalesce(sum("tok"), lit(0L)))
-            .head().getLong(0)
-          val r = (c, pad, cur, p)
-          cur = end
-          r
-        }
+        // the three per-cycle mix/packs through the shared one-pass
+        // chain (see cycleMixPackAll — bit-identical to the per-cycle
+        // form)
+        val (cycles, cur, packedC, mixed) = cycleMixPackAll(s,
+          selAll.select(col("cyc").as("c"), col("doc_id"), col("lang"),
+            col("tok"), col("hsh")),
+          bend, "q357")
         val b1 = (bend + 2047L) / 2048L * 2048L
         val totPad = cycles.map(_._2).sum
         val span = cur - bend
@@ -928,9 +931,8 @@ object Round14 {
         val tail =
           if (decPack == "compact")
             Round13.pipePack(
-              cycles.map(_._4.select("doc_id", "lang", "tok", "hsh"))
-                .reduce(_ unionByName _), b1)
-          else cycles.map(_._4).reduce(_ unionByName _)
+              mixed.select("doc_id", "lang", "tok", "hsh"), b1)
+          else packedC.drop("c")
         import s.implicits._
         val stats = (Seq(
           ("stat_churn", 0L, decModel, unseen, total, nArr, -1L, -1L, 0L),
