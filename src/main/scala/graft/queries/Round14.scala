@@ -1497,14 +1497,15 @@ object Round14 {
         def movedOf(caW: DataFrame): Long =
           ca.withColumnRenamed("centroid_id", "c0").join(caW, Seq("tid"))
             .filter(col("c0") =!= col("centroid_id")).count()
-        val movedIso = movedOf(caI)
-        val movedTr = movedOf(caT)
-        require(2L * movedIso < nTok,
-          s"the isometric world must stay below the assignment-churn " +
-            s"threshold ($movedIso of $nTok tokens moved)")
-        require(2L * movedTr >= nTok,
-          s"the non-isometric world must fire the assignment-churn " +
-            s"threshold ($movedTr of $nTok tokens moved)")
+        // the two churn counts, the two LIVE serves and the decision
+        // counts below are independent jobs — overlap them (guide
+        // §2.6); the scenario requires are still checked before any
+        // result is consumed
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fMovedIso = Future(movedOf(caI))
+        val fMovedTr = Future(movedOf(caT))
         def codesArt(w: DataFrame, label: String) =
           FixtureArtifact.parquet(s, dir, "embeddings.parquet",
             s"mvdrift_sq8_$label")(
@@ -1552,12 +1553,20 @@ object Round14 {
             s.read.parquet(out)
           }
         }
-        val kept = serve(toki, ca, codesI, centsI, np.toInt, "kept",
-          asArtifact = false)
+        val fKept = Future(serve(toki, ca, codesI, centsI, np.toInt,
+          "kept", asArtifact = false))
+        val fStale = Future(serve(tokt, ca, codesT, centsT, np.toInt,
+          "stale", asArtifact = false))
+        val movedIso = Await.result(fMovedIso, Duration.Inf)
+        val movedTr = Await.result(fMovedTr, Duration.Inf)
+        require(2L * movedIso < nTok,
+          s"the isometric world must stay below the assignment-churn " +
+            s"threshold ($movedIso of $nTok tokens moved)")
+        require(2L * movedTr >= nTok,
+          s"the non-isometric world must fire the assignment-churn " +
+            s"threshold ($movedTr of $nTok tokens moved)")
         val keptNp1 = serve(toki, ca, codesI, centsI, 1, "kept",
           asArtifact = true)
-        val stale = serve(tokt, ca, codesT, centsT, np.toInt, "stale",
-          asArtifact = false)
         val staleNp1 = serve(tokt, ca, codesT, centsT, 1, "stale",
           asArtifact = true)
         val rebuilt = serve(tokt, caT, codesT, centsT, np.toInt, "reb",
@@ -1608,14 +1617,19 @@ object Round14 {
           }
         val rec = recServe(np.toInt)
         val recNp1 = recServe(1)
+        val kept = Await.result(fKept, Duration.Inf)
+        val stale = Await.result(fStale, Duration.Inf)
         // the decision at both rungs from measured hits (1-row scalars
-        // over materialized serves — plan-choice class)
-        val nq = exTr.select("qd").distinct().count()
-        def hits(ann: DataFrame): Long =
-          exTr.join(ann, Seq("qd", "cd")).count()
-        val (stH, rcH, rbH) = (hits(stale), hits(rec), hits(rebuilt))
-        val (stH1, rcH1, rbH1) =
-          (hits(staleNp1), hits(recNp1), hits(rebuiltNp1))
+        // over materialized serves — plan-choice class; independent
+        // count jobs, submitted concurrently)
+        val fNq = Future(exTr.select("qd").distinct().count())
+        def hits(ann: DataFrame): Future[Long] =
+          Future(exTr.join(ann, Seq("qd", "cd")).count())
+        val Seq(stH, rcH, rbH, stH1, rcH1, rbH1) =
+          Seq(hits(stale), hits(rec), hits(rebuilt), hits(staleNp1),
+            hits(recNp1), hits(rebuiltNp1))
+            .map(Await.result(_, Duration.Inf))
+        val nq = Await.result(fNq, Duration.Inf)
         def code(d: String): Long = d match {
           case "keep" => 0L; case "recenter" => 1L; case _ => 2L }
         val decAdv = IndexAdvisor.adviseTokenDrift(movedTr, nTok,
