@@ -777,11 +777,21 @@ object Round12 {
         .unionByName(wv.filter(!length(col("w")).between(2, 30))
           .select(col("w"), lit(1L).as("wt")))
     }
+    // One hard-cut per invocation: consumers (budget aggregate,
+    // runningSumsBinned's hot-key scan + flagged frame, cumSums'
+    // range probe) would otherwise re-run the tokenize + vocabulary
+    // join + aggregate ~3× inside one action (guide §2.4); the frame
+    // is one accounting row per document. Still computed live on
+    // every execution — this is within-query de-duplication, not a
+    // cross-run cache.
+    val out = graft.util.Scratch.dir("encoded_doctok")
     words.join(wtok.hint("shuffle_hash"), Seq("w"))
       .groupBy("doc_id", "lang").agg(sum("wt").as("tok"))
       .select(col("doc_id"), col("lang"), col("tok"),
         (Round11b.guardedId(col("doc_id")) * lit(2654435761L)
           % lit(1000003L)).as("hsh"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
   }
 
   /** q339's serving-memory budget: the q328 60 kB window applied to

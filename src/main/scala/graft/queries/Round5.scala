@@ -1940,8 +1940,17 @@ object Round5 {
           .select(col("event_type"), col("event_id"), col("value"))
           .persist()
         val m1 = med(e, "value", "med")
-        val dev = e.join(broadcast(m1), Seq("event_type"))
+        // Hard-cut the deviation frame: the MAD pipeline and the final
+        // aggregate would otherwise each replay the full first-median
+        // tree nested inside cumSumsBy's self-references — the before
+        // plan was 425 kB / 392 Exchanges of duplicated subtrees, paid
+        // in planning time alone (guide §3.3: materialise to truncate
+        // a huge plan).
+        val devDir = graft.util.Scratch.dir("q249_dev")
+        e.join(broadcast(m1), Seq("event_type"))
           .withColumn("adev", abs(col("value") - col("med")))
+          .write.mode("overwrite").parquet(devDir)
+        val dev = s.read.parquet(devDir)
         val m2 = med(dev, "adev", "mad")
         dev.join(broadcast(m2), Seq("event_type"))
           .groupBy("event_type")
