@@ -534,18 +534,35 @@ object Round14 {
         val kk = kkA.head().getLong(0)
         val theta = sel.agg(min("w_fx")).head().getLong(0)
         val nArr = arrSame.count()
+        // Materialize each world's slice features ONCE: the churn scan
+        // and every scoring below would otherwise each re-run the
+        // slice tokenize + bigram window (6 executions per pass —
+        // guide §2.4); the feature frame is (doc_id, lang, f) rows.
+        def featsCut(arr: DataFrame, label: String): DataFrame = {
+          val out = graft.util.Scratch.dir(s"q352_feats_$label")
+          Round13.pipeFeats(arr).write.mode("overwrite").parquet(out)
+          s.read.parquet(out)
+        }
+        val featsSame = featsCut(arrSame, "same")
+        val featsShift = featsCut(arrShift, "shift")
         // the trigger: arriving feature instances unseen by the frozen
         // weight table (exact BIGINT, one slice scan per world)
-        def churnOf(arr: DataFrame): (Long, Long) = {
-          val r = Round13.pipeFeats(arr)
+        def churnOf(feats: DataFrame): (Long, Long) = {
+          val r = feats
             .join(broadcast(wt.select(col("f"), lit(1).as("seen"))),
               Seq("f"), "left")
             .agg(sum(when(col("seen").isNull, 1L).otherwise(0L)),
               count(lit(1))).head()
           (r.getLong(0), r.getLong(1))
         }
-        val (unS, totS) = churnOf(arrSame)
-        val (unH, totH) = churnOf(arrShift)
+        // independent count jobs — overlap (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fChS = Future(churnOf(featsSame))
+        val fChH = Future(churnOf(featsShift))
+        val (unS, totS) = Await.result(fChS, Duration.Inf)
+        val (unH, totH) = Await.result(fChH, Duration.Inf)
         // pin the scenario branches (q320/q341 convention)
         require(2L * unS < totS,
           s"the same-distribution slice must stay below the churn " +
@@ -554,11 +571,12 @@ object Round14 {
           s"the drifted slice must fire the churn threshold " +
             s"($unH of $totH instances unseen)")
         // selection counts per (world, model)
-        def nSel(arr: DataFrame, w: DataFrame, k: Long, th: Long): Long =
-          Round13.dsirScore(Round13.pipeFeats(arr), w, k)
-            .filter(col("w_fx") > lit(th)).count()
-        val nSameStale = nSel(arrSame, wt, kk, theta)
-        val nShiftStale = nSel(arrShift, wt, kk, theta)
+        def nSel(feats: DataFrame, w: DataFrame, k: Long,
+            th: Long): Future[Long] = Future(
+          Round13.dsirScore(feats, w, k)
+            .filter(col("w_fx") > lit(th)).count())
+        val fSameStale = nSel(featsSame, wt, kk, theta)
+        val fShiftStale = nSel(featsShift, wt, kk, theta)
         // refreshed model: retrained on base(original) + arrived(shift)
         // — the cheap warm option (the pipeline has observed exactly
         // this data); theta re-derived by the same top-quarter rule
@@ -584,8 +602,12 @@ object Round14 {
           trainArt("ref", base.unionByName(arrShift))
         val (fWt, fKk, fTheta) =
           trainArt("full", shifted(base).unionByName(arrShift))
-        val nShiftRef = nSel(arrShift, rWt, rKk, rTheta)
-        val nShiftFull = nSel(arrShift, fWt, fKk, fTheta)
+        val fShiftRef = nSel(featsShift, rWt, rKk, rTheta)
+        val fShiftFull = nSel(featsShift, fWt, fKk, fTheta)
+        val nSameStale = Await.result(fSameStale, Duration.Inf)
+        val nShiftStale = Await.result(fShiftStale, Duration.Inf)
+        val nShiftRef = Await.result(fShiftRef, Duration.Inf)
+        val nShiftFull = Await.result(fShiftFull, Duration.Inf)
         // rate deviations from the top-quarter design rate, in exact
         // 4·count units (dev/nArr = 4·|rate − 0.25|)
         def dev(n: Long): Long = math.abs(4L * n - nArr)
