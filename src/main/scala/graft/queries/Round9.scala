@@ -418,17 +418,23 @@ object Round9 {
         // same set-membership metric the harness scores the result by
         // (the shared fixture-keyed exact artifact — one build per run)
         val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
-        val nq = exact.select("qid").distinct().count()
-        def measured(ann: org.apache.spark.sql.DataFrame): Double = {
-          val hits = exact
+        // the three calibration statistics are independent count jobs —
+        // overlap them (guide §2.6; values identical)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fNq = Future(exact.select("qid").distinct().count())
+        def hitsOf(ann: org.apache.spark.sql.DataFrame): Future[Long] =
+          Future(exact
             .join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"))
-            .count()
-          hits.toDouble / (5.0 * nq)
-        }
-        val mi = measured(Similarity.ivfTopKProbe(qs, corpus, k = 5,
+            .count())
+        val fHi = hitsOf(Similarity.ivfTopKProbe(qs, corpus, k = 5,
           nlist = 16, nprobe = 8))
-        val ml = measured(Similarity.lshMultiTableTopK(qs, corpus, k = 5,
+        val fHl = hitsOf(Similarity.lshMultiTableTopK(qs, corpus, k = 5,
           nPlanes = 4, dim = 64, nTables = 8))
+        val nq = Await.result(fNq, Duration.Inf)
+        val mi = Await.result(fHi, Duration.Inf).toDouble / (5.0 * nq)
+        val ml = Await.result(fHl, Duration.Inf).toDouble / (5.0 * nq)
         val adv = IndexAdvisor.adviseCalibrated(n, dim = 64, dupRate,
           targetRecall = CalTarget, candidateBudget = calBudget(nu),
           measured = Seq(
