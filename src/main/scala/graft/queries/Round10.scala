@@ -620,17 +620,22 @@ object Round10 {
           .limit(CalSampleK)
         val exactS = Similarity.cosineTopK(qs, sample, k = 5)
           .select(col("qid"), col("cid")).persist()
+        // populate the persist once, then overlap the three independent
+        // measurement counts (guide §2.6; values identical)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         val nq = exactS.select("qid").distinct().count()
-        def measured(ann: org.apache.spark.sql.DataFrame): Double = {
-          val hits = exactS
+        def hitsOf(ann: org.apache.spark.sql.DataFrame): Future[Long] =
+          Future(exactS
             .join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"))
-            .count()
-          hits.toDouble / (5.0 * nq)
-        }
-        val mi = measured(Similarity.ivfTopKProbe(qs, sample, k = 5,
+            .count())
+        val fHi = hitsOf(Similarity.ivfTopKProbe(qs, sample, k = 5,
           nlist = 16, nprobe = 8))
-        val ml = measured(Similarity.lshMultiTableTopK(qs, sample, k = 5,
+        val fHl = hitsOf(Similarity.lshMultiTableTopK(qs, sample, k = 5,
           nPlanes = 4, dim = 64, nTables = 8))
+        val mi = Await.result(fHi, Duration.Inf).toDouble / (5.0 * nq)
+        val ml = Await.result(fHl, Duration.Inf).toDouble / (5.0 * nq)
         exactS.unpersist()
         val adv = IndexAdvisor.adviseCalibrated(n, dim = 64, dupRate,
           targetRecall = Round9.CalTarget,
