@@ -1281,9 +1281,16 @@ object Round14 {
         // admissibility): distinct token vectors, distinct POOLED
         // vectors (duplicate docs pool identically), and tokens/doc
         // from the id-level ratio (4 at every replication factor)
-        val nTok = tok.agg(countDistinct(col("e"))).head().getLong(0)
-        val cnt = tok.agg(count(lit(1)),
-          countDistinct(col("doc"))).head()
+        // independent statistic/measurement jobs — overlap (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fNTok = Future(tok.agg(countDistinct(col("e")))
+          .head().getLong(0))
+        val fCnt = Future(tok.agg(count(lit(1)),
+          countDistinct(col("doc"))).head())
+        val nTok = Await.result(fNTok, Duration.Inf)
+        val cnt = Await.result(fCnt, Duration.Inf)
         val tpd = cnt.getLong(0) / cnt.getLong(1)
         val pv = FixtureArtifact.parquet(s, dir, "embeddings.parquet",
           "mv_pooled_int64")(
@@ -1344,20 +1351,23 @@ object Round14 {
         val pooledArt = FixtureArtifact.parquet(s, dir,
           "embeddings.parquet", s"mvpooled_top5_m$mPool",
           params = Map("m" -> mPool, "k" -> 5L))(pooledServe())
-        val nq = exr.select("qd").distinct().count()
-        def recOf(ann: DataFrame): Double =
-          exr.join(ann.select("qd", "cd"), Seq("qd", "cd")).count()
-            .toDouble / (5.0 * nq)
+        val fNq = Future(exr.select("qd").distinct().count())
+        def hitsOf(ann: DataFrame): Future[Long] =
+          Future(exr.join(ann.select("qd", "cd"), Seq("qd", "cd")).count())
+        val (fHT, fHP) = (hitsOf(tokenArt), hitsOf(pooledArt))
+        val nq = Await.result(fNq, Duration.Inf)
+        def recOf(f: Future[Long]): Double =
+          Await.result(f, Duration.Inf).toDouble / (5.0 * nq)
         val candT = tpd * np * (nTok / nlist) + tpd * tpd * 10L
         val candP = nDocU + tpd * tpd * mPool
         val adv = IndexAdvisor.adviseMaxsimServing(Seq(
             IndexAdvisor.RecallRow("mv-token",
               Map("bytes" -> 76L * nTok, "cand" -> candT,
                 "nlist" -> nlist, "np" -> np, "m" -> 10L),
-              recOf(tokenArt)),
+              recOf(fHT)),
             IndexAdvisor.RecallRow("mv-pooled",
               Map("bytes" -> 72L * nDocU, "cand" -> candP, "m" -> mPool),
-              recOf(pooledArt))),
+              recOf(fHP))),
           targetRecall = 0.8, candidateBudget = 2L * nTok,
           memoryBudgetBytes = MvMemBudget)
         // the decided family serves LIVE (the q351 contract: measured
