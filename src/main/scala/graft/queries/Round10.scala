@@ -741,18 +741,23 @@ object Round10 {
         val nu = st.getLong(1)
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
         val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
-        val nq = exact.select("qid").distinct().count()
-        def measured(ann: org.apache.spark.sql.DataFrame): Double = {
-          val hits = exact
+        // independent measurement counts — overlap (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fNq = Future(exact.select("qid").distinct().count())
+        def hitsOf(ann: org.apache.spark.sql.DataFrame): Future[Long] =
+          Future(exact
             .join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"))
-            .count()
-          hits.toDouble / (5.0 * nq)
-        }
+            .count())
         // the two measured serves are fixture artifacts read warm (the
         // round-12 serve-sharing shape); the ivfpq one is byte-shared
         // with q328's measurement 2
-        val mi = measured(calIvfMeasuredServe(s, dir, qs, corpus))
-        val mp = measured(calPqMeasuredServe(s, dir, qs, corpus, n))
+        val fMi = hitsOf(calIvfMeasuredServe(s, dir, qs, corpus))
+        val fMp = hitsOf(calPqMeasuredServe(s, dir, qs, corpus, n))
+        val nq = Await.result(fNq, Duration.Inf)
+        val mi = Await.result(fMi, Duration.Inf).toDouble / (5.0 * nq)
+        val mp = Await.result(fMp, Duration.Inf).toDouble / (5.0 * nq)
         val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
           dupRate, targetRecall = Round9.CalTarget,
           candidateBudget = nu * 9L / 10L,

@@ -251,17 +251,22 @@ object Round11b {
           s"raw vectors fit the $Sq8MemBudget B budget at nu=$nu — " +
             "the ivf row would need measuring (q315 scores that regime)")
         val exact = Round6c.exactTop5(s, dir).select(col("qid"), col("cid"))
-        val nq = exact.select("qid").distinct().count()
-        def measured(ann: DataFrame): Double = {
-          val hits = exact
+        // independent measurement counts — overlap (guide §2.6)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fNq = Future(exact.select("qid").distinct().count())
+        def hitsOf(ann: DataFrame): Future[Long] =
+          Future(exact
             .join(ann.select(col("qid"), col("cid")), Seq("qid", "cid"))
-            .count()
-          hits.toDouble / (5.0 * nq)
-        }
+            .count())
         // measured serves as fixture artifacts (the round-12 sharing
         // shape); the ivfpq one is byte-shared with q315's measurement
-        val ms = measured(calSq8MeasuredServe(s, dir, qs, corpus))
-        val mp = measured(Round10.calPqMeasuredServe(s, dir, qs, corpus, n))
+        val fMs = hitsOf(calSq8MeasuredServe(s, dir, qs, corpus))
+        val fMp = hitsOf(Round10.calPqMeasuredServe(s, dir, qs, corpus, n))
+        val nq = Await.result(fNq, Duration.Inf)
+        val ms = Await.result(fMs, Duration.Inf).toDouble / (5.0 * nq)
+        val mp = Await.result(fMp, Duration.Inf).toDouble / (5.0 * nq)
         val adv = IndexAdvisor.adviseCalibratedServing(n, dim = 64,
           dupRate, targetRecall = 0.8,
           candidateBudget = nu * 9L / 10L,
