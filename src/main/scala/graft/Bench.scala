@@ -101,7 +101,25 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0)
     def passTotal(p: Map[String, Double]) = p.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"slowest":$slow,"total_pass1":${ms(passTotal(pass1))},"total_pass2":${ms(passTotal(pass2))},"total_min":${ms(total)},"total":${ms(total)}}""")
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"queries":$qs,"slowest":$slow,"total_pass1":${ms(passTotal(pass1))},"total_pass2":${ms(passTotal(pass2))},"total_min":${ms(total)},"total":${ms(total)}}"""
+    // The recording harness keeps only a bounded (~2000-char) TAIL of
+    // stdout, and the full line above (356 per-query entries) is ~20 kB —
+    // it has been truncated mid-object in the recorded artifact for two
+    // rounds (PERF r13/r14: prev_bench_ok=false, n_common=0). Keep the
+    // full line (the complete per-query record, unchanged methodology),
+    // write the same JSON to a sidecar file, and make the FINAL stdout
+    // line a compact (<1 kB) summary that survives the tail capture:
+    // totals + pass totals + the top-10 slowest + the sidecar path.
+    println(fullLine)
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_FILE",
+      s"/tmp/graft_bench_queries_c$cpus.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // the stdout lines are the record
+    val slow10 = sorted.takeRight(10).reverse
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"total_pass1":${ms(passTotal(pass1))},"total_pass2":${ms(passTotal(pass2))},"total_min":${ms(total)},"total":${ms(total)},"queries_file":"$sidecar","slowest":$slow10}""")
     spark.stop()
   }
 }

@@ -489,9 +489,19 @@ object Round10 {
         val codes = graft.util.FixtureArtifact.parquet(s, dir,
           "embeddings.parquet", "pqcodes_s16_c16")(
           Similarity.pqCodes(corpus, nSub = 16, nCodes = 16, dim = 64))
+        // standing-index metadata as artifacts (guide §2.4): the norm
+        // table was re-derived (full-vector scan + vec_dot) by every
+        // walk round's join, the codebook per execution
+        val cnorms = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "cnorms_full")(Similarity.cosNormsDF(corpus))
+        val cbArt = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "pqcb_c16_full",
+          params = Map("nCodes" -> 16L))(
+          Similarity.pqCodebookDF(corpus, nCodes = 16))
         Similarity.beamPqTopKFrom(qs, corpus, refined, codes, entries,
           k = 5, beam = DiskannBeam, rounds = DiskannRounds,
-          nSub = 16, nCodes = 16, dim = 64)
+          nSub = 16, nCodes = 16, dim = 64,
+          norms = Some(cnorms), codebook = Some(cbArt))
       }),
       Some(diskannOracle(beam = DiskannBeam, rounds = DiskannRounds,
         nSub = 16, nCodes = 16))),
@@ -527,8 +537,9 @@ object Round10 {
         graft.plans.NativeExpressions.register(s)
         val corpus0 = emb.filter(slot =!= 0)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val st = corpus0.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_slotc")(corpus0.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0); val nu = st.getLong(1)
         // the graph-branch operating point: memory provisioned at
         // 224 B/vector (between the 204 B graph index and 256 B raw
@@ -557,6 +568,16 @@ object Round10 {
             nCodes = adv.params("nCodes").toInt, dim = 64))
         val cents = broadcast(corpus0.orderBy("cid").limit(16)
           .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        // standing-index metadata as artifacts (guide §2.4): norms were
+        // re-derived by every walk round of every micro-batch, the
+        // codebook once per micro-batch
+        val cnorms = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "cnorms_slotc")(
+          Similarity.cosNormsDF(corpus0))
+        val cbArt = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "pqcb_c16_slotc",
+          params = Map("nCodes" -> 16L))(
+          Similarity.pqCodebookDF(corpus0, nCodes = 16))
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
         s.sql("DROP TABLE IF EXISTS graftmem.semdedup_alerts_graph")
         s.sql("""CREATE TABLE graftmem.semdedup_alerts_graph
@@ -574,7 +595,8 @@ object Round10 {
                   rounds = adv.params("rounds").toInt,
                   nSub = adv.params("nSub").toInt,
                   nCodes = adv.params("nCodes").toInt, dim = 64,
-                  threshold = 0.35)
+                  threshold = 0.35, norms = Some(cnorms),
+                  codebook = Some(cbArt))
                 .createOrReplaceTempView("q313_batch")
               batch.sparkSession.sql(
                 """MERGE INTO graftmem.semdedup_alerts_graph t USING q313_batch b
@@ -610,8 +632,9 @@ object Round10 {
     // corpus through the unchanged harness; both branches live.
     "q314_llm_ann_calibrated_sampled" -> QueryDef(
       (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
-        val st = corpus.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_full")(corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0)
         val nu = st.getLong(1)
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
@@ -624,7 +647,7 @@ object Round10 {
         // measurement counts (guide §2.6; values identical)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val nq = exactS.select("qid").distinct().count()
         def hitsOf(ann: org.apache.spark.sql.DataFrame): Future[Long] =
           Future(exactS
@@ -735,8 +758,9 @@ object Round10 {
     // branches gated by the SQL-computed family.
     "q315_llm_ann_calibrated_memory" -> QueryDef(
       (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
-        val st = corpus.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_full")(corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0)
         val nu = st.getLong(1)
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
@@ -744,7 +768,7 @@ object Round10 {
         // independent measurement counts — overlap (guide §2.6)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fNq = Future(exact.select("qid").distinct().count())
         def hitsOf(ann: org.apache.spark.sql.DataFrame): Future[Long] =
           Future(exact
@@ -1010,8 +1034,9 @@ object Round10 {
         graft.plans.NativeExpressions.register(s)
         val corpus0 = emb.filter(slot =!= 0)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val st = corpus0.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_slotc")(corpus0.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0); val nu = st.getLong(1)
         val adv = IndexAdvisor.adviseServing(n, dim = 64,
           dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n,
@@ -1035,6 +1060,15 @@ object Round10 {
             nCodes = adv.params("nCodes").toInt, dim = 64))
         val cents = broadcast(corpus0.orderBy("cid").limit(16)
           .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
+        // standing-index metadata artifacts — IDENTICAL labels to
+        // q313's (same standing corpus): one build serves both queries
+        val cnorms = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "cnorms_slotc")(
+          Similarity.cosNormsDF(corpus0))
+        val cbArt = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "pqcb_c16_slotc",
+          params = Map("nCodes" -> 16L))(
+          Similarity.pqCodebookDF(corpus0, nCodes = 16))
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
         s.sql("DROP TABLE IF EXISTS graftmem.graph_inserts")
         s.sql("""CREATE TABLE graftmem.graph_inserts
@@ -1051,7 +1085,8 @@ object Round10 {
                   cents, beam = adv.params("beam").toInt,
                   rounds = adv.params("rounds").toInt,
                   nSub = adv.params("nSub").toInt,
-                  nCodes = adv.params("nCodes").toInt, dim = 64, dOut = 8)
+                  nCodes = adv.params("nCodes").toInt, dim = 64, dOut = 8,
+                  norms = Some(cnorms), codebook = Some(cbArt))
                 .createOrReplaceTempView("q317_batch")
               batch.sparkSession.sql(
                 """MERGE INTO graftmem.graph_inserts t USING q317_batch b

@@ -859,8 +859,9 @@ object Round11 {
     // the q312 walk chain + recall tail.
     "q322_llm_ann_calibrated_graphpq" -> QueryDef(
       (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
-        val st = corpus.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_full")(corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0); val nu = st.getLong(1)
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
         val cents = broadcast(corpus.orderBy("cid").limit(16)

@@ -242,8 +242,9 @@ object Round11b {
     // costs in //, family tie-break ASC ('ivf-sq8' < 'ivfpq').
     "q328_llm_ann_calibrated_sq8" -> QueryDef(
       (s, dir) => Round6c.recallHarness(s, dir, (qs, corpus) => {
-        val st = corpus.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_full")(corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0)
         val nu = st.getLong(1)
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
@@ -254,7 +255,7 @@ object Round11b {
         // independent measurement counts — overlap (guide §2.6)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fNq = Future(exact.select("qid").distinct().count())
         def hitsOf(ann: DataFrame): Future[Long] =
           Future(exact
@@ -1068,12 +1069,20 @@ object Round11b {
           .select(col("doc_id"), col("lang"), col("text"))
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
-        val tks = docs.select(col("doc_id"), col("lang"),
-            posexplode(split(norm, " ")))
-          .select(col("doc_id"), col("lang"), col("pos"), col("col").as("w1"))
-        val wnd = Window.partitionBy("doc_id").orderBy("pos")
-        val dp = tks.withColumn("w2", lead("w1", 1).over(wnd))
-          .filter(col("w2").isNotNull)
+        // Row-local bigram features (guide §2.4): the previous form
+        // exploded the token stream and shuffled EVERY token row
+        // through a per-doc window just to pair adjacent words. The
+        // per-word reduced hashes are one array map, bound once via
+        // the single-element-transform let (element_at(transform(
+        // array(x), a -> ...), 1) — a referenced three times but
+        // computed once; a bare named column would be re-inlined by
+        // CollapseProject into each slice, the q169-class duplication),
+        // and the bigram hash is a zip of adjacent slices — the
+        // feature values are bit-identical ((h1*65521 + h2) % B over
+        // the same reduced word hashes), order within a doc is
+        // irrelevant to every consumer (counts and sums), and the
+        // token-stream Exchange disappears. Same-window A/B'd vs the
+        // window form (see OPTIMIZATION_r15.md).
         // The feature stream is scanned exactly twice (counts + the
         // per-doc sum) — persist it; everything BETWEEN those scans is
         // bounded by the 4096-bucket domain: the Laplace ln arguments
@@ -1086,9 +1095,14 @@ object Round11b {
         // (doc, ctf, crf) table and hash-joined a distinct-value ln
         // table back per ROW — 12.4 s warm, ~33 stages; this form is
         // the B-bounded shape OPERATORS.md promises.)
-        val fh = dp.select(col("doc_id"), col("lang"),
-          (((wordHm(col("w1")) % 65521L) * 65521L +
-            wordHm(col("w2")) % 65521L) % DsirBuckets).as("f"))
+        val fs = transform(
+          array(transform(split(norm, " "), w => wordHm(w) % lit(65521L))),
+          a => zip_with(
+            slice(a, lit(1), size(a) - 1),
+            slice(a, lit(2), size(a) - 1),
+            (x, y) => (x * lit(65521L) + y) % lit(DsirBuckets)))
+        val fh = docs.select(col("doc_id"), col("lang"),
+            explode(element_at(fs, 1)).as("f"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cf = fh.groupBy("f").agg(
             count(lit(1)).as("rcnt"),

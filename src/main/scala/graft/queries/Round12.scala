@@ -1002,7 +1002,16 @@ object Round12 {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val n = corpus.count()
+        // the corpus count and the two keep counts are independent
+        // 1-row jobs — overlap them (guide §2.6); values identical
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import graft.util.Jobs.ec
+        val fN = Future(corpus.count())
+        val keeps = Seq("f50", "f05")
+          .map(tag => tag -> Round11.keepOf(emb, tag)).toMap
+        val fKc = keeps.map { case (tag, k) => tag -> Future(k.count()) }
+        val n = Await.result(fN, Duration.Inf)
         val mc = math.max(100L, 3L * n / 20L).toInt
         // ONE ivfPqIndex (artifact-resident pieces) and ONE ADC
         // candidate scan per (tag, nprobe) — the three pool dials
@@ -1012,30 +1021,50 @@ object Round12 {
         val idx = Similarity.ivfPqIndex(corpus, nlist = 16, nSub = 16,
           nCodes = 16, dim = 64,
           artifact = Some((dir, "embeddings.parquet", "ivfpq")))
-        val parts = for (tag <- Seq("f50", "f05")) yield {
-          val keep = Round11.keepOf(emb, tag)
-          val mf = math.max(50L, 3L * keep.count() / 20L).toInt
+        // The six (tag, dial) recall rows previously sat in ONE final
+        // plan (205 kB, 200 Exchange nodes — plans/r15/q338_*_before):
+        // planning/AQE-replanning cost scales with that, and the six
+        // branches' stages serialize behind one job's tail. Compute
+        // each part as its OWN concurrently-submitted job cut to
+        // scratch (guide §2.6 + the q249 plan-size rule); the final
+        // plan unions six flat 50-row scans. Values identical — the
+        // same part frames, parquet-roundtripped (exact for
+        // BIGINT/DOUBLE/VARCHAR).
+        def partJob(label: String)(df: => DataFrame): scala.concurrent.Future[DataFrame] =
+          Future {
+            val out = graft.util.Scratch.dir(label)
+            df.write.mode("overwrite").parquet(out)
+            s.read.parquet(out)
+          }
+        val parts = (for (tag <- Seq("f50", "f05")) yield {
+          val keep = keeps(tag)
+          val mf = math.max(50L,
+            3L * Await.result(fKc(tag), Duration.Inf) / 20L).toInt
           val exf = Round11.exactTop5Filtered(s, dir, tag, qs, corpus, keep)
             .select("qid", "cid")
-          val cand10 = Similarity.ivfPqAdcCandidates(qs, idx, nprobe = 10,
-            keep = Some(keep))
-          val cand14 = Similarity.ivfPqAdcCandidates(qs, idx, nprobe = 14,
-            keep = Some(keep))
-          def serve(cand: DataFrame, m: Int): DataFrame =
-            Similarity.ivfPqTopKFromCandidates(cand, qs, corpus, k = 5,
-              rerank = m)
+          def cand(nprobe: Int): DataFrame =
+            Similarity.ivfPqAdcCandidates(qs, idx, nprobe = nprobe,
+              keep = Some(keep))
+          def serve(nprobe: Int, m: Int): DataFrame =
+            Similarity.ivfPqTopKFromCandidates(cand(nprobe), qs, corpus,
+              k = 5, rerank = m)
           val probed =
             if (tag == "f50")
               // the shared measurement artifact q339 replays verbatim
+              // (built on the main thread, before the part jobs)
               ivfpqF50ProbedServe(s, dir, qs, corpus, keep, mc,
-                cand14 = Some(cand14))
-            else serve(cand14, mc)
+                cand14 = Some(cand(14)))
+            else serve(14, mc)
           Seq(
-            Round11.taggedRecall(tag, "naive", exf, serve(cand10, mc)),
-            Round11.taggedRecall(tag, "probed", exf, probed),
-            Round11.taggedRecall(tag, "fpool", exf, serve(cand14, mf)))
-        }
-        parts.flatten.reduce(_ unionByName _).orderBy("sel", "dial", "qid")
+            partJob(s"q338_${tag}_naive")(
+              Round11.taggedRecall(tag, "naive", exf, serve(10, mc))),
+            partJob(s"q338_${tag}_probed")(
+              Round11.taggedRecall(tag, "probed", exf, probed)),
+            partJob(s"q338_${tag}_fpool")(
+              Round11.taggedRecall(tag, "fpool", exf, serve(14, mf))))
+        }).flatten
+        parts.map(Await.result(_, Duration.Inf))
+          .reduce(_ unionByName _).orderBy("sel", "dial", "qid")
       },
       Some(s"""${Round6c.exactRecallCte},
       ${Round11.fsetExfSql("f50", Round11.F50Pred)},
@@ -1093,8 +1122,9 @@ object Round12 {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val st = corpus.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_full")(corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0); val nu = st.getLong(1)
         require(nu * 256L > F50MemBudget,
           s"raw vectors fit the $F50MemBudget B budget at nu=$nu — " +
@@ -1106,20 +1136,35 @@ object Round12 {
         // or a duplicated corpus breaks fNu <= nu and inflates the
         // candidate arithmetic (caught by the x10 probe). Identical to
         // the id count on the all-distinct test fixtures.
-        val fNu = corpus.join(keep, Seq("cid"), "left_semi")
-          .agg(countDistinct(col("ce"))).head().getLong(0)
+        // the fNu/nq statistics and the two measurement counts are four
+        // independent 1-row jobs previously run sequentially — overlap
+        // them (guide §2.6, the q306/q341 shape); artifact builds still
+        // run on the main thread (the serve arguments evaluate before
+        // the Future wraps the count), values identical
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import graft.util.Jobs.ec
+        val fFNu = Future(Round6c.statsArtifact(s, dir,
+          "embeddings.parquet", "stats_fnu_f50")(
+          corpus.join(keep, Seq("cid"), "left_semi")
+            .agg(countDistinct(col("ce")))).getLong(0))
         val exf = Round11.exactTop5Filtered(s, dir, "f50", qs, corpus, keep)
           .select("qid", "cid")
-        val nq = exf.select("qid").distinct().count()
-        def measured(ann: DataFrame): Double =
+        val fNq = Future(exf.select("qid").distinct().count())
+        def hitsOf(ann: DataFrame): Long =
           exf.join(ann.select("qid", "cid"), Seq("qid", "cid")).count()
-            .toDouble / (5.0 * nq)
         // the two measurements ARE q337's/q338's probed-f50 serves —
         // read from the shared fixture artifacts, never recomputed
         // (the r11 ivfF50ProbedServe sharing precedent)
-        val msq = measured(sq8F50ProbedServe(s, dir, qs, corpus, keep))
-        val mpq = measured(ivfpqF50ProbedServe(s, dir, qs, corpus, keep,
-          mc = math.max(100L, 3L * n / 20L).toInt))
+        val sqServe = sq8F50ProbedServe(s, dir, qs, corpus, keep)
+        val pqServe = ivfpqF50ProbedServe(s, dir, qs, corpus, keep,
+          mc = math.max(100L, 3L * n / 20L).toInt)
+        val fMsqH = Future(hitsOf(sqServe))
+        val fMpqH = Future(hitsOf(pqServe))
+        val fNu = Await.result(fFNu, Duration.Inf)
+        val nq = Await.result(fNq, Duration.Inf)
+        val msq = Await.result(fMsqH, Duration.Inf).toDouble / (5.0 * nq)
+        val mpq = Await.result(fMpqH, Duration.Inf).toDouble / (5.0 * nq)
         val adv = IndexAdvisor.adviseFilteredServing(nu, fNu, dim = 64,
           targetRecall = 0.8, candidateBudget = nu * 9L / 10L,
           memoryBudgetBytes = F50MemBudget,
@@ -1343,7 +1388,7 @@ object Round12 {
         // requires still run before any result is consumed)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fNSurv = Future(keep.count())
         val curT = zca.join(keep, Seq("cid"), "left_semi")
         val fMovedT = Future(curT.join(zOld, Seq("cid"))
@@ -1580,6 +1625,14 @@ object Round12 {
           "embeddings.parquet", "mving_sq8")(
           Similarity.sq8Codes(stok.select(col("ct"), col("ce")),
             "ct", "ce"))
+        // the standing (doc, token, code) table as ONE artifact — the
+        // per-batch corpusTok ⋈ codes join collapses to a flat scan
+        // (guide §2.4); label shared by q343/q348 (same standing corpus)
+        val ctokArt = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "mving_ctok_sq8")(
+          stok.select(col("cd"), col("ct"))
+            .join(codes.select(col("id").as("ct"), col("qc").as("cc"),
+              col("rc")), Seq("ct")))
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
         s.sql("DROP TABLE IF EXISTS graftmem.maxsim_alerts_mv")
         s.sql("""CREATE TABLE graftmem.maxsim_alerts_mv
@@ -1594,7 +1647,8 @@ object Round12 {
           probe.writeStream.foreachBatch {
             (batch: DataFrame, _: Long) =>
               Similarity.maxsimSemDedupBatch(batch, stok, ca, codes,
-                  cents, np = 4, m = 40, minScore = 900000L)
+                  cents, np = 4, m = 40, minScore = 900000L,
+                  ctokCodes = Some(ctokArt))
                 .createOrReplaceTempView("q343_batch")
               batch.sparkSession.sql(
                 """MERGE INTO graftmem.maxsim_alerts_mv t USING q343_batch b

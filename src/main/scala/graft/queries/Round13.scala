@@ -731,12 +731,13 @@ object Round13 {
     * artifacts at the advised nlist (labels carry the dial — at
     * sf0.01 the 16-cell artifacts are byte-shared with q334's). */
   private[queries] def mvAdvisedSetup(s: SparkSession, dir: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame, Long, Long) = {
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Long, Long) = {
     graft.plans.NativeExpressions.register(s)
     val tok = t(s, dir, "embeddings").select(
       expr("vec_id div 4").as("doc"), col("vec_id").as("tid"),
       col("embedding").as("e"))
-    val nTok = tok.agg(countDistinct(col("e"))).head().getLong(0)
+    val nTok = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+      "stats_ntok_mv")(tok.agg(countDistinct(col("e")))).getLong(0)
     val (nlist, np) = IndexAdvisor.adviseTokenIndex(nTok,
       measuredNlist = 16L, measuredNprobe = 2L)
     val cents = broadcast(tok.orderBy("tid").limit(nlist.toInt)
@@ -750,7 +751,15 @@ object Round13 {
     val codes = graft.util.FixtureArtifact.parquet(s, dir,
       "embeddings.parquet", "maxsim_sq8")(
       Similarity.sq8Codes(tok.select(col("tid"), col("e")), "tid", "e"))
-    (tok, cents, ca, codes, nlist, np)
+    // the standing (cd, ct, cc, rc) table as ONE artifact — every
+    // serve's per-call corpusTok ⋈ codes join collapses to a flat scan
+    // (guide §2.4); values identical by construction
+    val ctok = graft.util.FixtureArtifact.parquet(s, dir,
+      "embeddings.parquet", "maxsim_ctok_sq8")(
+      tok.select(col("doc").as("cd"), col("tid").as("ct"))
+        .join(codes.select(col("id").as("ct"), col("qc").as("cc"),
+          col("rc")), Seq("ct")))
+    (tok, cents, ca, codes, ctok, nlist, np)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -772,13 +781,13 @@ object Round13 {
     // (SQL-computed in the oracle — the q305/q310 recipe).
     "q346_llm_maxsim_advised" -> QueryDef(
       (s, dir) => {
-        val (tok, cents, ca, codes, nlist, np) = mvAdvisedSetup(s, dir)
+        val (tok, cents, ca, codes, ctok, nlist, np) = mvAdvisedSetup(s, dir)
         val qtok = tok.filter(col("doc") < 10)
           .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
         val corpusTok = tok.select(col("doc").as("cd"), col("tid").as("ct"),
           col("e").as("ce"))
         val ann = Similarity.maxsimPlaidTopK(qtok, corpusTok, ca, codes,
-          cents, np = np.toInt, m = 10, k = 5)
+          cents, np = np.toInt, m = 10, k = 5, ctokCodes = Some(ctok))
         mvTaggedRecall("mv", s"nl${nlist}np$np", mvExactTop5(s, dir), ann)
           .orderBy("qd")
       },
@@ -808,7 +817,7 @@ object Round13 {
     // served live at the advised nlist (q346's standing artifacts).
     "q347_llm_maxsim_takedown" -> QueryDef(
       (s, dir) => {
-        val (tok, cents, ca, codes, nlist, np) = mvAdvisedSetup(s, dir)
+        val (tok, cents, ca, codes, ctok, nlist, np) = mvAdvisedSetup(s, dir)
         val qtok = tok.filter(col("doc") < 10)
           .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
         val corpusTok = tok.select(col("doc").as("cd"), col("tid").as("ct"),
@@ -818,7 +827,8 @@ object Round13 {
         val exrt = mvExactTop5(s, dir, keepDocs = Some(keepDocs))
         def serve(npd: Long): DataFrame =
           Similarity.maxsimPlaidTopK(qtok, corpusTok, ca, codes, cents,
-            np = npd.toInt, m = 10, k = 5, keepDocs = Some(keepDocs))
+            np = npd.toInt, m = 10, k = 5, keepDocs = Some(keepDocs),
+            ctokCodes = Some(ctok))
         mvTaggedRecall("mvtd", "naive", exrt, serve(np))
           .unionByName(mvTaggedRecall("mvtd", "probed", exrt,
             serve(math.min(nlist, 2L * np))))
@@ -863,7 +873,8 @@ object Round13 {
         val stok = emb.filter(docSlot =!= 0)
           .select(expr("vec_id div 4").as("cd"), col("vec_id").as("ct"),
             col("embedding").as("ce"))
-        val nTok = stok.agg(countDistinct(col("ce"))).head().getLong(0)
+        val nTok = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_ntok_sving")(stok.agg(countDistinct(col("ce")))).getLong(0)
         val (nlist, np) = IndexAdvisor.adviseTokenIndex(nTok,
           measuredNlist = 16L, measuredNprobe = 4L)
         val cents = broadcast(stok.orderBy("ct").limit(nlist.toInt)
@@ -879,6 +890,14 @@ object Round13 {
           "embeddings.parquet", "mving_sq8")(
           Similarity.sq8Codes(stok.select(col("ct"), col("ce")),
             "ct", "ce"))
+        // the standing (doc, token, code) table as ONE artifact — the
+        // per-batch corpusTok ⋈ codes join collapses to a flat scan
+        // (guide §2.4); label shared by q343/q348 (same standing corpus)
+        val ctokArt = graft.util.FixtureArtifact.parquet(s, dir,
+          "embeddings.parquet", "mving_ctok_sq8")(
+          stok.select(col("cd"), col("ct"))
+            .join(codes.select(col("id").as("ct"), col("qc").as("cc"),
+              col("rc")), Seq("ct")))
         s.conf.set("spark.sql.catalog.graftmem", "graft.sources.MemCatalog")
         s.sql("DROP TABLE IF EXISTS graftmem.maxsim_alerts_mvadv")
         s.sql("""CREATE TABLE graftmem.maxsim_alerts_mvadv
@@ -893,7 +912,8 @@ object Round13 {
           probe.writeStream.foreachBatch {
             (batch: DataFrame, _: Long) =>
               Similarity.maxsimSemDedupBatch(batch, stok, ca, codes,
-                  cents, np = np.toInt, m = 40, minScore = 900000L)
+                  cents, np = np.toInt, m = 40, minScore = 900000L,
+                  ctokCodes = Some(ctokArt))
                 .createOrReplaceTempView("q348_batch")
               batch.sparkSession.sql(
                 """MERGE INTO graftmem.maxsim_alerts_mvadv t USING q348_batch b
@@ -1018,7 +1038,7 @@ object Round13 {
         // submission order changes)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fMovedIso = Future(movedOf(iso))
         val fMovedTrunc = Future(movedOf(trunc))
         // per-world serving state (codes/edges/truths = artifacts)
@@ -1089,8 +1109,8 @@ object Round13 {
         // the two LIVE walks are independent multi-job loops — run them
         // concurrently with each other AND with the churn counts (guide
         // §2.6): each walk's round tail leaves most cores idle, the
-        // other jobs backfill. The scenario requires are still checked
-        // before any result is consumed.
+        // other jobs backfill. (Same-window A/B: pins-before-submit
+        // serialized the walks behind the churn scans, +0.8 s.)
         val fKept = Future(serve(isoQ, iso, e, isoCodes, "kept",
           asArtifact = false))
         val fRep = Future(serve(truncQ, trunc, repairedE, truncCodes, "rep",
@@ -1098,13 +1118,24 @@ object Round13 {
         val movedIso = Await.result(fMovedIso, Duration.Inf)
         val movedTrunc = Await.result(fMovedTrunc, Duration.Inf)
         // pin the scenario branches (the q320/q341 convention: a
-        // regenerated fixture that flips a branch fails LOUDLY)
-        require(2L * movedIso < nE,
-          s"the isometric scenario must stay below the churn threshold " +
-            s"($movedIso of $nE edges moved)")
-        require(2L * movedTrunc >= nE,
-          s"the non-isometric scenario must fire the churn threshold " +
-            s"($movedTrunc of $nE edges moved)")
+        // regenerated fixture that flips a branch fails LOUDLY). On the
+        // failure path, drain the in-flight walks FIRST so the throw
+        // leaves no background jobs writing scratch into the harness's
+        // next query (the round-14 advice item).
+        def pins(): Unit = {
+          require(2L * movedIso < nE,
+            s"the isometric scenario must stay below the churn threshold " +
+              s"($movedIso of $nE edges moved)")
+          require(2L * movedTrunc >= nE,
+            s"the non-isometric scenario must fire the churn threshold " +
+              s"($movedTrunc of $nE edges moved)")
+        }
+        try pins() catch { case t: Throwable =>
+          Seq(fKept, fRep).foreach(f =>
+            try Await.result(f, Duration.Inf)
+            catch { case _: Throwable => () })
+          throw t
+        }
         val kept = Await.result(fKept, Duration.Inf)
         val repaired = Await.result(fRep, Duration.Inf)
         val stale = serve(truncQ, trunc, e, truncCodes, "stale",
@@ -1282,8 +1313,9 @@ object Round13 {
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val corpus = emb
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val st = corpus.agg(count(lit(1)).as("n"),
-          countDistinct(col("ce")).as("nu")).head()
+        val st = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_nnu_full")(corpus.agg(count(lit(1)).as("n"),
+          countDistinct(col("ce")).as("nu")))
         val n = st.getLong(0); val nu = st.getLong(1)
         val dupRate = if (n == 0L) 0.0 else 1.0 - nu.toDouble / n
         require(nu * 256L > HybMemBudget,

@@ -330,7 +330,13 @@ object Round14 {
       bend: Long, label: String):
       (Seq[(Int, Long, Long, Long)], Long, DataFrame, DataFrame) = {
     import graft.util.Scratch
-    val withC = src.withColumn("cl", concat_ws(" ", col("c"), col("lang")))
+    // the cycle column must be LongType (the ctot collect reads
+    // getLong) and within {0,1,2} (offBase folds over exactly those,
+    // with a null default) — normalize and fail loudly on a new
+    // caller's out-of-domain cycle instead of silently null offs
+    // (round-14 advice item)
+    val withC = src.withColumn("c", col("c").cast("long"))
+      .withColumn("cl", concat_ws(" ", col("c"), col("lang")))
     val buds = withC.groupBy("c")
       .agg(sum("tok").as("tt"), countDistinct("lang").as("dd"))
       .select(col("c"), expr("tt div (2 * dd)").as("bud"))
@@ -344,6 +350,8 @@ object Round14 {
     val mixed = s.read.parquet(mixDir)
     val ctot = mixed.groupBy("c").agg(sum("tok").as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(ctot.keySet.subsetOf(Set(0L, 1L, 2L)),
+      s"cycleMixPackAll assumes cycles in {0,1,2}; got ${ctot.keySet}")
     var cur = bend
     val cycles = (0 to 2).map { c =>
       val b = (cur + 2047L) / 2048L * 2048L
@@ -558,7 +566,7 @@ object Round14 {
         // independent count jobs — overlap (guide §2.6)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fChS = Future(churnOf(featsSame))
         val fChH = Future(churnOf(featsShift))
         val (unS, totS) = Await.result(fChS, Duration.Inf)
@@ -1270,7 +1278,8 @@ object Round14 {
       (s, dir) => {
         import graft.operators.Similarity
         import graft.util.FixtureArtifact
-        val (tok, cents, ca, codes, nlist, np) = Round13.mvAdvisedSetup(s, dir)
+        val (tok, cents, ca, codes, ctok, nlist, np) =
+          Round13.mvAdvisedSetup(s, dir)
         val qtok = tok.filter(col("doc") < 10)
           .select(col("doc").as("qd"), col("tid").as("qt"), col("e").as("qe"))
         val corpusTok = tok.select(col("doc").as("cd"), col("tid").as("ct"),
@@ -1284,11 +1293,13 @@ object Round14 {
         // independent statistic/measurement jobs — overlap (guide §2.6)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val fNTok = Future(tok.agg(countDistinct(col("e")))
-          .head().getLong(0))
-        val fCnt = Future(tok.agg(count(lit(1)),
-          countDistinct(col("doc"))).head())
+        import graft.util.Jobs.ec
+        val fNTok = Future(Round6c.statsArtifact(s, dir,
+          "embeddings.parquet", "stats_ntok_mv")(
+          tok.agg(countDistinct(col("e")))).getLong(0))
+        val fCnt = Future(Round6c.statsArtifact(s, dir,
+          "embeddings.parquet", "stats_ct_docs_mv")(
+          tok.agg(count(lit(1)), countDistinct(col("doc")))))
         val nTok = Await.result(fNTok, Duration.Inf)
         val cnt = Await.result(fCnt, Duration.Inf)
         val tpd = cnt.getLong(0) / cnt.getLong(1)
@@ -1299,10 +1310,11 @@ object Round14 {
               floor(col("col").cast("double") * lit(1000000L))
                 .cast("long").as("x"))
             .groupBy("doc", "i").agg(sum("x").as("x")))
-        val nDocU = pv.groupBy("doc")
-          .agg(sort_array(collect_list(struct(col("i"), col("x"))))
-            .as("v"))
-          .agg(countDistinct(col("v"))).head().getLong(0)
+        val nDocU = Round6c.statsArtifact(s, dir, "embeddings.parquet",
+          "stats_ndocu_mv")(pv.groupBy("doc")
+            .agg(sort_array(collect_list(struct(col("i"), col("x"))))
+              .as("v"))
+            .agg(countDistinct(col("v")))).getLong(0)
         val mPool = math.max(20L, 2L * nDocU / 5L)
         def pooledServe(): DataFrame = {
           val n2 = pv.groupBy("doc").agg(sum(col("x") * col("x")).as("n2"))
@@ -1347,7 +1359,7 @@ object Round14 {
           params = Map("nlist" -> nlist, "np" -> np, "m" -> 10L,
             "k" -> 5L))(
           Similarity.maxsimPlaidTopK(qtok, corpusTok, ca, codes, cents,
-            np = np.toInt, m = 10, k = 5))
+            np = np.toInt, m = 10, k = 5, ctokCodes = Some(ctok)))
         val pooledArt = FixtureArtifact.parquet(s, dir,
           "embeddings.parquet", s"mvpooled_top5_m$mPool",
           params = Map("m" -> mPool, "k" -> 5L))(pooledServe())
@@ -1374,7 +1386,8 @@ object Round14 {
         // tables are artifacts, the decided serve is priced per pass)
         val served = adv.family match {
           case "mv-token" => Similarity.maxsimPlaidTopK(qtok, corpusTok,
-            ca, codes, cents, np = np.toInt, m = 10, k = 5)
+            ca, codes, cents, np = np.toInt, m = 10, k = 5,
+            ctokCodes = Some(ctok))
           case "mv-pooled" => pooledServe()
           case other => sys.error(
             s"maxsim advisor picked unreachable family $other")
@@ -1506,7 +1519,7 @@ object Round14 {
         graft.plans.NativeExpressions.register(s)
         import graft.operators.Similarity
         import graft.util.FixtureArtifact
-        val (tok, cents, ca, _, nlist, np) = Round13.mvAdvisedSetup(s, dir)
+        val (tok, cents, ca, _, _, nlist, np) = Round13.mvAdvisedSetup(s, dir)
         def truncOf(c: String) = expr(s"transform(sequence(1, 64), " +
           s"i -> IF(i <= 32, element_at($c, i), CAST(0.0 AS FLOAT)))")
         val toki = tok.select(col("doc"), col("tid"),
@@ -1535,7 +1548,7 @@ object Round14 {
         // result is consumed
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fMovedIso = Future(movedOf(caI))
         val fMovedTr = Future(movedOf(caT))
         def codesArt(w: DataFrame, label: String) =
@@ -1591,12 +1604,24 @@ object Round14 {
           "stale", asArtifact = false))
         val movedIso = Await.result(fMovedIso, Duration.Inf)
         val movedTr = Await.result(fMovedTr, Duration.Inf)
-        require(2L * movedIso < nTok,
-          s"the isometric world must stay below the assignment-churn " +
-            s"threshold ($movedIso of $nTok tokens moved)")
-        require(2L * movedTr >= nTok,
-          s"the non-isometric world must fire the assignment-churn " +
-            s"threshold ($movedTr of $nTok tokens moved)")
+        // scenario pins; on the failure path drain the in-flight serves
+        // FIRST so the throw leaves no background jobs running (the
+        // round-14 advice item — submission stays before the pins for
+        // the measured §2.6 overlap, the A/B'd variant)
+        def pins(): Unit = {
+          require(2L * movedIso < nTok,
+            s"the isometric world must stay below the assignment-churn " +
+              s"threshold ($movedIso of $nTok tokens moved)")
+          require(2L * movedTr >= nTok,
+            s"the non-isometric world must fire the assignment-churn " +
+              s"threshold ($movedTr of $nTok tokens moved)")
+        }
+        try pins() catch { case t: Throwable =>
+          Seq(fKept, fStale).foreach(f =>
+            try Await.result(f, Duration.Inf)
+            catch { case _: Throwable => () })
+          throw t
+        }
         val keptNp1 = serve(toki, ca, codesI, centsI, 1, "kept",
           asArtifact = true)
         val staleNp1 = serve(tokt, ca, codesT, centsT, 1, "stale",

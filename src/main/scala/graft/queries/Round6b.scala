@@ -380,8 +380,12 @@ object Round6b {
         // (built once, served by every batch) — the same contract as
         // q313's standing graph/codes and q297's rep index; only the
         // per-batch probe shingling + scoring stays live per pass.
+        // label encodes the corpus holdout (1-in-10, slot != 0) baked
+        // into the build — a future filter change is a changed label,
+        // hence a rebuild, never a stale serve (round-14 advice item)
         val idx = graft.util.FixtureArtifact.parquet(s, dir,
-          "documents.parquet", "neardup_shingle_idx")(
+          "documents.parquet", "neardup_shingle_idx_h10",
+          params = Map("holdoutMod" -> 10L))(
           Round6b.shingledDocs(t(s, dir, "documents")
             .filter(pmod(col("doc_id") * lit(2654435761L), lit(10L)) =!= 0),
             "db", "nb"))

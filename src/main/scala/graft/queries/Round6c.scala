@@ -76,6 +76,19 @@ object Round6c {
     * the hit join and aggregation are k-bounded. Helpers are declared
     * BEFORE `defs` (object-init order, CLAUDE.md).
     */
+  /** A fixture-pure 1-row statistic frame (corpus size, distinct
+    * payload count, tokens/doc, ...) as a fixture artifact: these are
+    * index METADATA — recorded at index-build time in any production
+    * layout — that a dozen advisor queries re-computed as a full
+    * countDistinct shuffle on every execution (guide §2.4; the
+    * measurement-artifact precedent of q315/q328). The label names the
+    * statistic + corpus view; the agg expression is the caller's,
+    * unchanged, so values are identical by construction. */
+  private[queries] def statsArtifact(s: SparkSession, dir: String,
+      file: String, label: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+    graft.util.FixtureArtifact.parquet(s, dir, file, label)(build).head()
+
   private[queries] def recallHarness(s: SparkSession, dir: String,
       ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -422,7 +422,7 @@ object Round9 {
         // overlap them (guide §2.6; values identical)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.util.Jobs.ec
         val fNq = Future(exact.select("qid").distinct().count())
         def hitsOf(ann: org.apache.spark.sql.DataFrame): Future[Long] =
           Future(exact
