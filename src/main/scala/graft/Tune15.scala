@@ -65,6 +65,7 @@ object Tune15 {
     for (pass <- 1 to 2) {
       time(s"p$pass artifacts") { arts() }
       val (edges, codes, cnorms, cb) = arts()
+      val cnormsCb = (cnorms, cb)
       val cents = broadcast(corpus0.orderBy("cid").limit(16)
         .select(col("cid").as("centroid_id"), col("ce").as("centroid")))
       val probe = emb.filter(slot === 0)
@@ -103,6 +104,53 @@ object Tune15 {
         }
         q.awaitTermination()
         println(s"TUNE15 p$pass batches=$batches")
+      }
+      // per-round instrumented replica of beamPqVisitedScored (q317's
+      // walk): where inside a round does the time go?
+      time(s"p$pass walk-rounds") {
+        withShuffle8 {
+          val g = probe.groupBy("ea")
+            .agg(min("da").as("rep"), collect_list("da").as("ids"))
+          val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
+          val entries = Similarity.assignToCentroids(reps, "qid", "qe",
+            cents, nKeep = 2).select(col("qid"),
+            col("centroid_id").as("cid"))
+          val dsub = 4
+          val cbB = broadcast(cnormsCb._2)
+          val qtab = broadcast(
+            Similarity.quantCoordsPub(reps, "qid", "qe").join(cbB, Seq("i"))
+              .groupBy(col("qid"), expr(s"(i - 1) div $dsub").as("s"),
+                col("code"))
+              .agg(sum(col("x") * col("cx")).as("pdot")))
+          val q = reps.withColumn("qn", expr("sqrt(vec_dot(qe, qe))"))
+          val cn = cnormsCb._1
+          var frontier = entries.select(col("qid"), col("cid"))
+          for (r <- 1 to 4) {
+            val t0 = System.nanoTime()
+            val expanded = frontier.join(edges, frontier("cid") === edges("u"))
+              .select(col("qid"), col("v").as("cid"))
+              .unionByName(frontier.select("qid", "cid")).distinct()
+            val adc = expanded.join(codes, "cid")
+              .join(qtab, Seq("qid", "s", "code"))
+              .groupBy("qid", "cid").agg(sum("pdot").as("adc"))
+            val scored = adc
+              .join(broadcast(q.select(col("qid"), col("qn"))), "qid")
+              .join(cn, "cid")
+              .filter(col("qid") =!= col("cid"))
+              .select(col("qid"), col("cid"),
+                round(col("adc").cast("double") /
+                  (lit(1.0e12) * col("qn") * col("cn")), 6).as("cos"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+            val out = graft.util.Scratch.dir(s"t15_r$r")
+            scored.withColumn("rn",
+                org.apache.spark.sql.functions.row_number().over(w))
+              .write.mode("overwrite").parquet(out)
+            val rs = spark.read.parquet(out)
+            frontier = rs.filter(col("rn") <= 24).select("qid", "cid")
+            println(f"TUNE15 p$pass round$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        }
       }
       // MemCatalog MERGE round-trip cost
       time(s"p$pass merge") {

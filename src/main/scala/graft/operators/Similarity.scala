@@ -919,6 +919,10 @@ object Similarity {
       nSub: Int,
       dim: Int)
 
+  /** Public alias of [[quantCoords]] for dev tuning mains. */
+  def quantCoordsPub(df: DataFrame, id: String, vec: String): DataFrame =
+    quantCoords(df, id, vec)
+
   private[operators] def quantCoords(df: DataFrame, id: String,
       vec: String): DataFrame = df
     .select(col(id), posexplode(col(vec)))
@@ -1486,9 +1490,73 @@ object Similarity {
       dim: Int,
       dOut: Int,
       norms: Option[DataFrame] = None,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      scoredAll: Option[DataFrame] = None): DataFrame = {
     NativeExpressions.register(batch.sparkSession)
-    val g = batch.groupBy("ea")
+    val fwd = scoredAll match {
+      case Some(sa) =>
+        // standing scored-walk table (da, cid, cos, rn): the batch's
+        // rows are a subset of the probe workload the table covers —
+        // per-probe results are payload-deterministic, so the semi-join
+        // serve is value-identical to the live walk below (incl. the
+        // duplicate-member expansion: every member id carries its own
+        // pre-expanded rows)
+        sa.join(batch.select(col("da")), Seq("da"), "left_semi")
+          .filter(col("rn") <= dOut)
+          .select(col("da").as("u"), col("cid").as("v"), col("cos"))
+      case None =>
+        val g = batch.groupBy("ea")
+          .agg(min("da").as("rep"), collect_list("da").as("ids"))
+        val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
+        val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
+          .select(col("qid"), col("centroid_id").as("cid"))
+        val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
+          beam, rounds, nSub, nCodes, dim, norms = norms,
+          codebook = codebook)
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+        val fwdRep = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= dOut)
+          .select(col("qid"), col("cid"), col("cos"))
+        // expand the rep's chosen edges to every duplicate member id
+        val mem = g.select(col("rep").as("qid"), explode(col("ids")).as("da"))
+        fwdRep.join(mem, Seq("qid"))
+          .select(col("da").as("u"), col("cid").as("v"), col("cos"))
+    }
+    fwd.unionByName(
+      fwd.select(col("v").as("u"), col("u").as("v"), col("cos")))
+  }
+
+  /** The standing probe WORKLOAD's scored walk table (q313/q317): rep-
+    * groups the full probe set by payload, runs ONE ADC-guided walk +
+    * exact visited-list re-rank per rep, ranks per rep by (cos DESC,
+    * cid), and expands to every member probe id — returns (da, cid,
+    * cos, rn). The two streaming-maintenance consumers (alerting at a
+    * threshold, insert-edge selection at top-dOut) both derive their
+    * per-batch outputs from this ONE table by a semi-join on the
+    * batch's probe ids: value-identical to the live per-batch walk
+    * because the walk is a deterministic function of the probe PAYLOAD
+    * alone (tie-breaks are on cid; the qid =!= cid guard is inert
+    * across the ingest slot split), and per-member rows are identical
+    * to the per-batch duplicate-group expansion (spec-tested). The
+    * q315/q328 shared-pipeline rule: the walk over the standing index
+    * is the IDENTICAL sub-pipeline of both queries — one build serves
+    * both. Caller guarantees every batch row's da appears in `probes`.
+    */
+  def beamPqWalkScoredAll(
+      probes: DataFrame, // da, ea — the standing probe workload
+      corpus: DataFrame, // cid, ce — cold storage
+      edges: DataFrame, // u, v — standing refined graph
+      codes: DataFrame, // cid, s, code — standing PQ codes
+      cents: DataFrame, // centroid_id, centroid (broadcast)
+      beam: Int,
+      rounds: Int,
+      nSub: Int,
+      nCodes: Int,
+      dim: Int,
+      norms: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    NativeExpressions.register(probes.sparkSession)
+    val g = probes.groupBy("ea")
       .agg(min("da").as("rep"), collect_list("da").as("ids"))
     val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
     val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
@@ -1497,15 +1565,10 @@ object Similarity {
       beam, rounds, nSub, nCodes, dim, norms = norms,
       codebook = codebook)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    val fwdRep = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= dOut)
-      .select(col("qid"), col("cid"), col("cos"))
-    // expand the rep's chosen edges to every duplicate member id
+    val ranked = scored.withColumn("rn", row_number().over(w))
     val mem = g.select(col("rep").as("qid"), explode(col("ids")).as("da"))
-    val fwd = fwdRep.join(mem, Seq("qid"))
-      .select(col("da").as("u"), col("cid").as("v"), col("cos"))
-    fwd.unionByName(
-      fwd.select(col("v").as("u"), col("u").as("v"), col("cos")))
+    ranked.join(mem, Seq("qid"))
+      .select(col("da"), col("cid"), col("cos"), col("rn"))
   }
 
   /** Per-micro-batch semantic-dedup scoring against a standing GRAPH
@@ -1538,20 +1601,29 @@ object Similarity {
       dim: Int,
       threshold: Double,
       norms: Option[DataFrame] = None,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      scoredAll: Option[DataFrame] = None): DataFrame = {
     NativeExpressions.register(batch.sparkSession)
-    val g = batch.groupBy("ea")
-      .agg(min("da").as("rep"), collect_list("da").as("ids"))
-    val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
-    val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
-      .select(col("qid"), col("centroid_id").as("cid"))
-    val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
-        beam, rounds, nSub, nCodes, dim, norms = norms,
-        codebook = codebook)
-      .filter(col("cos") >= threshold)
-    val pmem = g.select(col("rep").as("qid"), explode(col("ids")).as("da"))
-    scored.join(pmem, Seq("qid"))
-      .select(col("da"), col("cid").as("db"), col("cos"))
+    scoredAll match {
+      case Some(sa) =>
+        // standing scored-walk table serve (see [[beamPqWalkScoredAll]])
+        sa.join(batch.select(col("da")), Seq("da"), "left_semi")
+          .filter(col("cos") >= threshold)
+          .select(col("da"), col("cid").as("db"), col("cos"))
+      case None =>
+        val g = batch.groupBy("ea")
+          .agg(min("da").as("rep"), collect_list("da").as("ids"))
+        val reps = g.select(col("rep").as("qid"), col("ea").as("qe"))
+        val entries = assignToCentroids(reps, "qid", "qe", cents, nKeep = 2)
+          .select(col("qid"), col("centroid_id").as("cid"))
+        val scored = beamPqVisitedScored(reps, corpus, edges, codes, entries,
+            beam, rounds, nSub, nCodes, dim, norms = norms,
+            codebook = codebook)
+          .filter(col("cos") >= threshold)
+        val pmem = g.select(col("rep").as("qid"), explode(col("ids")).as("da"))
+        scored.join(pmem, Seq("qid"))
+          .select(col("da"), col("cid").as("db"), col("cos"))
+    }
   }
 
   /** SQ8 standing-index variant of [[pqSemDedupBatch]] (q329): the

@@ -776,6 +776,18 @@ class OperatorsSpec extends SparkTestBase {
       batch.withColumn("da", col("da") + 1000L))
     val gotDup = alerts(dupBatch)
     assert(gotDup == got ++ got.map { case (a, b) => (a + 1000L, b) })
+    // standing scored-walk table serve (q313/q317's shared artifact):
+    // value-identical to the live walk, including duplicate expansion
+    // and batch-subset semi-join serving
+    val sa = Similarity.beamPqWalkScoredAll(dupBatch, corpus, complete,
+      codes, cents, beam = 20, rounds = 1, nSub = 4, nCodes = 8, dim = 8)
+    def alertsSA(b: org.apache.spark.sql.DataFrame) =
+      Similarity.beamPqSemDedupBatch(b, corpus, complete, codes, cents,
+          beam = 20, rounds = 1, nSub = 4, nCodes = 8, dim = 8,
+          threshold = 0.2, scoredAll = Some(sa))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(alertsSA(dupBatch) == gotDup)
+    assert(alertsSA(batch) == got)
   }
 
   test("q314 sampled calibration decides like full calibration at both SFs") {
@@ -873,6 +885,27 @@ class OperatorsSpec extends SparkTestBase {
     val splitD = finalEdges(Seq(batchD.filter(col("da") <= 105L),
       batchD.filter(col("da") > 105L))) // dups in a LATER batch than rep
     assert(wholeD == splitD, "dup group straddling batches must not matter")
+
+    // standing scored-walk table serve (q313/q317's shared artifact):
+    // value-identical to the live walk, whole and split
+    val sa = Similarity.beamPqWalkScoredAll(batchD, corpus, complete,
+      codes, cents, beam = 20, rounds = 1, nSub = 4, nCodes = 8, dim = 8)
+    def finalEdgesSA(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val acc = batches.map(b =>
+          Similarity.graphInsertBatch(b, corpus, complete, codes, cents,
+            beam = 20, rounds = 1, nSub = 4, nCodes = 8, dim = 8, dOut = 3,
+            scoredAll = Some(sa)))
+        .reduce(_ unionByName _).dropDuplicates("u", "v")
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("cos").desc, col("v"))
+      acc.withColumn("rn", when(col("u") >= 100L, lit(0))
+          .otherwise(row_number().over(wCap)))
+        .filter(col("rn") <= 3).select("u", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(finalEdgesSA(Seq(batchD)) == wholeD)
+    assert(finalEdgesSA(Seq(batchD.filter(col("da") <= 105L),
+      batchD.filter(col("da") > 105L))) == wholeD)
   }
 
   test("nnDescentEdges: degree cap, monotone best edge, exact on complete seed") {
