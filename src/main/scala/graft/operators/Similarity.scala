@@ -1661,7 +1661,7 @@ object Similarity {
       .join(codes.select(col("id").as("pb"), col("qc").as("cq"),
         col("rc")), "pb")
       .select(col("pa"), col("pb"),
-        (expr("aggregate(zip_with(bq, cq, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+        (expr("vec_dotl(bq, cq)")
           * col("rc")).as("akey"))
     val wd = Window.partitionBy("pa").orderBy(col("akey").desc, col("pb"))
     val pool = ranked.withColumn("rn", row_number().over(wd))
@@ -1745,7 +1745,7 @@ object Similarity {
     val apx = cdocs.join(qcodes, Seq("qd"))
       .join(ctok, Seq("cd"))
       .select(col("qd"), col("cd"), col("qt"),
-        (expr("aggregate(zip_with(qq, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+        (expr("vec_dotl(qq, cc)")
           * col("rc")).as("apair"))
       .groupBy("qd", "cd", "qt").agg(max("apair").as("amx"))
       .groupBy("qd", "cd").agg(sum("amx").as("ascore"))
@@ -1837,7 +1837,7 @@ object Similarity {
     val apx = cdocs.join(qcodes, Seq("qd"))
       .join(ctok, Seq("cd"))
       .select(col("qd"), col("cd"), col("qt"),
-        (expr("aggregate(zip_with(qq, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+        (expr("vec_dotl(qq, cc)")
           * col("rc")).as("apair"))
       .groupBy("qd", "cd", "qt").agg(max("apair").as("amx"))
       .groupBy("qd", "cd").agg(sum("amx").as("ascore"))
@@ -2045,7 +2045,7 @@ object Similarity {
       .join(qcodes, Seq("qid"))
       .join(codes.select(col("id").as("cid"), col("qc"), col("rc")), "cid")
       .select(col("qid"), col("cid"),
-        (expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+        (expr("vec_dotl(qq, qc)")
           * col("rc")).as("akey"))
     val wp = Window.partitionBy("qid").orderBy(col("akey").desc, col("cid"))
     val pool = cand.withColumn("pr", row_number().over(wp))

@@ -745,7 +745,7 @@ object Round11b {
           .join(codes.select(expr("id div 4").as("cd"), col("id").as("ct"),
             col("qc").as("cc"), col("rc")), Seq("cd"))
           .select(col("qd"), col("cd"), col("qt"),
-            (expr("aggregate(zip_with(qq, cc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+            (expr("vec_dotl(qq, cc)")
               * col("rc")).as("apair"))
           .groupBy("qd", "cd", "qt").agg(max("apair").as("amx"))
           .groupBy("qd", "cd").agg(sum("amx").as("ascore"))

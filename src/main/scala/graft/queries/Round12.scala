@@ -635,7 +635,7 @@ object Round12 {
       .join(qcodes, Seq("qid"))
       .join(codes.select(col("id").as("cid"), col("qc"), col("rc")), "cid")
       .select(col("qid"), col("cid"),
-        (expr("aggregate(zip_with(qq, qc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+        (expr("vec_dotl(qq, qc)")
           * col("rc")).as("akey"))
     val wp = Window.partitionBy("qid").orderBy(col("akey").desc, col("cid"))
     val pool = cand.withColumn("pr", row_number().over(wp))

@@ -1127,9 +1127,15 @@ object Round14 {
              0.0D, (a, x) -> a + x), 6)""")
         val wp = Window.partitionBy("qid")
           .orderBy(col("ps").desc, col("cid"))
+        // the walked-terms side (≤ nQ × tStar rows) and the pool
+        // (≤ nQ × poolM rows) are corpus-size-INDEPENDENT by
+        // construction — broadcast them so the impact index is never
+        // shuffled (guide §2.3/§3.1: without stats these joins planned
+        // sort-merge, re-shuffling ~0.77·nd postings at the 100× probe
+        // regardless of tStar — the PROBES_r14 4.9×/decade term)
         val pool = imp
-          .join(qt.filter(col("tr") <= tStar).select("qid", "term"),
-            Seq("term"))
+          .join(broadcast(qt.filter(col("tr") <= tStar)
+            .select("qid", "term")), Seq("term"))
           .filter(col("doc_id") =!= col("qid"))
           .groupBy("qid", "doc_id").agg(foldScore.as("ps"))
           .withColumnRenamed("doc_id", "cid")
@@ -1137,10 +1143,10 @@ object Round14 {
           .filter(col("pr") <= poolM).select("qid", "cid")
         val wr = Window.partitionBy("qid")
           .orderBy(col("score").desc, col("cid"))
-        val srv0 = pool
+        val srv0 = broadcast(pool)
           .join(imp.select(col("doc_id").as("cid"), col("term"),
             col("tscore")), Seq("cid"))
-          .join(qt.select("qid", "term"), Seq("qid", "term"))
+          .join(broadcast(qt.select("qid", "term")), Seq("qid", "term"))
           .groupBy("qid", "cid").agg(foldScore.as("score"))
           .withColumn("rl", row_number().over(wr))
           .filter(col("rl") <= 20).select("qid", "cid", "rl")

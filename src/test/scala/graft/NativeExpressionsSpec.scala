@@ -36,6 +36,32 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(rows(1).getDouble(0) == 11.0)
   }
 
+  test("vec_dotl equals the HOF long fold bitwise on SQ8 codes") {
+    NativeExpressions.register(spark)
+    val codes = graft.operators.Similarity.sq8Codes(
+      Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id").as("id0"), col("embedding").as("e")),
+      "id0", "e")
+    val pairs = codes.select(col("id"), col("qc").as("a"))
+      .join(codes.select((col("id") + 1).as("id"), col("qc").as("b")), "id")
+    val diff = pairs.select(
+        expr("vec_dotl(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, " +
+          "(acc, x) -> acc + x)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+    // null propagation
+    val df = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),
+      (None, Some(Seq(1L)))).toDF("a", "b")
+    df.createOrReplaceTempView("lvecs")
+    val rows = spark.sql("SELECT vec_dotl(a, b) AS d FROM lvecs ORDER BY d")
+      .collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getLong(0) == 11L)
+  }
+
   test("word_ngram_hashes: count, determinism, and injectivity basics") {
     NativeExpressions.register(spark)
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"), (4L, "only"))
